@@ -1,0 +1,9 @@
+from flink_samples_spark.plans.registry import ORACLES, QUERIES, query
+
+# Importing the catalog modules populates the registry.
+from flink_samples_spark.plans import catalog_core  # noqa: F401
+from flink_samples_spark.plans import catalog_relational  # noqa: F401
+from flink_samples_spark.plans import catalog_functions  # noqa: F401
+from flink_samples_spark.plans import catalog_llmops  # noqa: F401
+
+__all__ = ["ORACLES", "QUERIES", "query"]

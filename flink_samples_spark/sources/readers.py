@@ -1,0 +1,127 @@
+"""Batch source constructors.
+
+Reference parity:
+- number-sequence source (``DataStreamJob.java:45-49``) →
+  :func:`range_source` (``spark.range``; streaming twin in
+  ``streaming.sources.rate_source``).
+- Cassandra bounded POJO scan, ``select * from test.pojo`` split by
+  15 MiB (``CassandraPojoSource.java:57-63``) → :func:`scan_parquet`
+  (a DSv2 parquet scan: Spark's split sizing —
+  ``spark.sql.files.maxPartitionBytes`` — is the same
+  split-by-bytes idea, with predicate/column pushdown on top).
+- JSON-lines file input, plain or gzip (``src/main/resources/
+  input.json``, deps ``pom.xml:89-100``) → :func:`read_json_lines`.
+
+Scale note: all readers return lazy DataFrames; filters/projections
+applied by callers reach the scan via Catalyst pushdown. Nothing here
+collects.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Explicit schema for the reference's JSON-lines fixture
+# (input.json:1 — {"my_field1": int, "my_field2": int, "my_field3": str}).
+# Streaming file sources require a user-supplied schema; batch reads
+# use it too so inference cost is zero and types are stable.
+JSONLINES_SCHEMA = T.StructType(
+    [
+        T.StructField("my_field1", T.LongType()),
+        T.StructField("my_field2", T.LongType()),
+        T.StructField("my_field3", T.StringType()),
+    ]
+)
+
+
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) (footer inspection,
+    driver-side only). Spark reads those as int64 under
+    ``spark.sql.legacy.parquet.nanosAsLong``; we restore TimestampType."""
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:  # pragma: no cover
+        return []
+    f = path
+    if os.path.isdir(path):
+        cands = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not cands:
+            return []
+        f = cands[0]
+    try:
+        schema = pq.read_schema(f)
+    except Exception:
+        return []
+    return [fld.name for fld in schema if str(fld.type) == "timestamp[ns]"]
+
+
+def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Bounded columnar scan (the engine's generalization of the
+    reference's bounded Cassandra scan, ``CassandraPojoSource.java:57-63``).
+
+    TIMESTAMP(NANOS) columns are converted to Spark TimestampType by
+    integer-dividing to µs (floor — identical to DuckDB's read-time
+    truncation, so oracles agree). Integer `div` avoids the precision
+    loss a double division would hit (ns epoch values exceed 2^53).
+    """
+    # Defensive: callers (e.g. the driver harness) may hand us a session
+    # built without the engine's configs; both are runtime-settable.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(path)
+    for c in _ns_timestamp_cols(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return scan_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Catalog registration — the Spark twin of the reference's
+    ``createTemporaryTable`` (``StreamingFlinkSQL.java:14,25``)."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
+
+
+def range_source(spark: SparkSession, start: int = 0, end: int | None = None) -> DataFrame:
+    """Bounded number-sequence source, one LongType column ``id``
+    (batch twin of ``NumberSequenceSource(0, Long.MAX_VALUE)``,
+    ``DataStreamJob.java:45-49``)."""
+    if end is None:
+        return spark.range(start)
+    return spark.range(start, end)
+
+
+def read_json_lines(
+    spark: SparkSession, path: str, schema: T.StructType | None = JSONLINES_SCHEMA
+) -> DataFrame:
+    """JSON-lines reader; gzip is transparent, as with the reference's
+    flink-json + files connectors (``pom.xml:89-100``)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
