@@ -1,3 +1,29 @@
+from flink_samples_spark.operators.aggregates import (
+    approx_count_distinct_agg,
+    count_distinct_agg,
+    cube_agg,
+    global_agg,
+    hash_agg,
+    having,
+    rollup_agg,
+)
+from flink_samples_spark.operators.analytic import (
+    global_topk,
+    range_frame_agg,
+    running_agg,
+    topk_per_group,
+    with_lag_lead,
+    with_ntile,
+    with_rank_columns,
+)
+from flink_samples_spark.operators.joins import (
+    anti_join,
+    broadcast_join,
+    range_join,
+    semi_join,
+    sort_merge_join,
+    star_join,
+)
 from flink_samples_spark.operators.time_windows import (
     session_window_agg,
     sliding_window_agg,
@@ -5,7 +31,27 @@ from flink_samples_spark.operators.time_windows import (
 )
 
 __all__ = [
+    "anti_join",
+    "approx_count_distinct_agg",
+    "broadcast_join",
+    "count_distinct_agg",
+    "cube_agg",
+    "global_agg",
+    "global_topk",
+    "hash_agg",
+    "having",
+    "range_frame_agg",
+    "range_join",
+    "rollup_agg",
+    "running_agg",
+    "semi_join",
     "session_window_agg",
     "sliding_window_agg",
+    "sort_merge_join",
+    "star_join",
+    "topk_per_group",
     "tumbling_window_agg",
+    "with_lag_lead",
+    "with_ntile",
+    "with_rank_columns",
 ]

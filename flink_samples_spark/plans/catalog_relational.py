@@ -1,10 +1,616 @@
 """Tier-C catalog: relational surface (SURVEY.md §2.2-2.7).
 
 The reference ships a full SQL planner (flink-table-planner-loader,
-pom.xml:135-140); these queries declare the equivalent Spark surface
-over the driver's TPC-H-ish tables.
+pom.xml:135-140) — shipping the planner is a declared capability;
+these queries exercise that surface over the driver's TPC-H-ish
+tables, each with its DuckDB oracle twin.
+
+Determinism rules applied throughout:
+- every rank/lag/top-k ordering carries a unique tie-break key;
+- double aggregates are ROUNDed identically on both sides (engines
+  may accumulate in different orders);
+- DuckDB SUM(BIGINT) → HUGEINT is CAST back to BIGINT.
 """
 
 from __future__ import annotations
 
-# Populated in the next build step.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_samples_spark.operators import (
+    anti_join,
+    approx_count_distinct_agg,
+    broadcast_join,
+    cube_agg,
+    global_topk,
+    hash_agg,
+    having,
+    range_frame_agg,
+    range_join,
+    rollup_agg,
+    running_agg,
+    semi_join,
+    sort_merge_join,
+    star_join,
+    topk_per_group,
+    with_lag_lead,
+    with_ntile,
+    with_rank_columns,
+)
+from flink_samples_spark.plans.registry import query
+from flink_samples_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------- §2.2 ----
+@query(
+    "q_project",
+    oracle="""
+    SELECT l_orderkey,
+           l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price,
+           upper(l_returnflag) AS flag_uc
+    FROM lineitem
+    """,
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        F.upper("l_returnflag").alias("flag_uc"),
+    )
+
+
+@query(
+    "q_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_shipdate
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'N')
+      AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_linestatus LIKE 'O%'
+      AND l_discount IS NOT NULL
+    """,
+)
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_linestatus").like("O%")
+        & F.col("l_discount").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+
+@query(
+    "q_case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE o_orderstatus WHEN 'F' THEN 'done' ELSE 'open' END AS status_label
+    FROM orders
+    """,
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "F", "done").otherwise("open").alias("status_label"),
+    )
+
+
+# Casts chosen so both engines agree exactly: floor-then-cast for
+# double→int (Spark truncates, DuckDB rounds — floor first removes the
+# difference), int→string, int→double.
+@query(
+    "q_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+           CAST(l_linenumber AS VARCHAR) AS line_str,
+           CAST(l_linenumber AS DOUBLE) AS line_dbl
+    FROM lineitem
+    """,
+)
+def q_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.col("l_linenumber").cast("string").alias("line_str"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+    )
+
+
+# ---------------------------------------------------------------- §2.3 ----
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_customers, ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = broadcast_join(c, n, c.c_nationkey == n.n_nationkey)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+@query(
+    "q_join_smj",
+    oracle="""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q_join_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    joined = sort_merge_join(li, o, li.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+@query(
+    "q_join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0), 2) AS spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(o, o.o_custkey == c.c_custkey, "left")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return semi_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return anti_join(c, o, c.c_custkey == o.o_custkey).select("c_custkey", "c_name")
+
+
+# Non-equi: for each part, how many suppliers hold more balance than
+# the part's price would need (a pure theta condition). part×supplier
+# is the smallest big×small pair with a meaningful range predicate.
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT p.p_partkey, COUNT(s.s_suppkey) AS n_richer
+    FROM part p JOIN supplier s ON s.s_acctbal > p.p_retailprice
+    GROUP BY p.p_partkey
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    joined = range_join(p, s, s.s_acctbal > p.p_retailprice)
+    return joined.groupBy("p_partkey").agg(F.count("s_suppkey").alias("n_richer"))
+
+
+@query(
+    "q_join_star",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = star_join(
+        li,
+        [
+            (o, li.l_orderkey == o.o_orderkey),
+            (c, o.o_custkey == c.c_custkey),
+            (n, c.c_nationkey == n.n_nationkey),
+            (r, n.n_regionkey == r.r_regionkey),
+        ],
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------- §2.4 ----
+# TPC-H Q1 shape: the canonical multi-agg pricing summary.
+@query(
+    "q_agg_multi",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return hash_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        ],
+    )
+
+
+@query(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# HLL++ sketch — no exact oracle; the pytest suite asserts ≤5% relative
+# error vs exact COUNT(DISTINCT), the driver records rows-only.
+@query("q_agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return approx_count_distinct_agg(li, ["l_returnflag"], "l_partkey", "approx_parts")
+
+
+@query(
+    "q_agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return rollup_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        ],
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return cube_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [F.count(F.lit(1)).alias("n_rows")],
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle="""
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 5
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return having(
+        li,
+        ["l_partkey"],
+        [F.count(F.lit(1)).alias("n_lines")],
+        F.col("n_lines") > 5,
+    )
+
+
+# ---------------------------------------------------------------- §2.5 ----
+@query(
+    "q_win_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    ranked = with_rank_columns(
+        c, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    )
+    return ranked.select("c_custkey", "c_nationkey", "c_acctbal", "rn", "rnk", "drnk")
+
+
+@query(
+    "q_win_laglead",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           lag(o_totalprice) OVER w AS lag_val,
+           lead(o_totalprice) OVER w AS lead_val
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = with_lag_lead(
+        o, "o_totalprice", ["o_custkey"], [F.col("o_orderdate"), F.col("o_orderkey")]
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice", "lag_val", "lead_val")
+
+
+@query(
+    "q_win_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = running_agg(
+        o,
+        F.sum("o_totalprice"),
+        "running_spend_raw",
+        ["o_custkey"],
+        [F.col("o_orderdate"), F.col("o_orderkey")],
+    )
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("running_spend_raw", 2).alias("running_spend"),
+    )
+
+
+# RANGE frame over a numeric ordering column: peers-by-value, so tie
+# order never matters — deterministic without a tie-break.
+@query(
+    "q_win_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_near
+    FROM orders
+    """,
+)
+def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    out = range_frame_agg(
+        o, F.count(F.lit(1)), "n_near", ["o_custkey"], "o_totalprice", 50000
+    )
+    return out.select("o_orderkey", "o_custkey", "o_totalprice", "n_near")
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey,
+           CAST(ntile(4) OVER w AS BIGINT) AS tile,
+           ROUND(percent_rank() OVER w, 6) AS pr
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    out = with_ntile(c, 4, [], [F.col("c_acctbal").desc(), F.col("c_custkey")])
+    return out.select(
+        "c_custkey",
+        F.col("tile").cast("bigint").alias("tile"),
+        F.round("pct_rank", 6).alias("pr"),
+    )
+
+
+# ---------------------------------------------------------------- §2.6 ----
+# The driver's value-hash is order-insensitive, so sort correctness is
+# asserted in tests/test_relational.py; here the oracle checks content.
+@query(
+    "q_sort",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+    ORDER BY c_nationkey ASC, c_acctbal DESC NULLS LAST, c_custkey
+    """,
+)
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_nationkey", "c_acctbal").orderBy(
+        F.col("c_nationkey").asc(),
+        F.col("c_acctbal").desc_nulls_last(),
+        F.col("c_custkey"),
+    )
+
+
+@query(
+    "q_limit",
+    oracle="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100",
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", "o_totalprice").orderBy("o_orderkey").limit(100)
+
+
+@query(
+    "q_topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return global_topk(
+        o.select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        10,
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal, rn FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             CAST(row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+      FROM customer)
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    out = topk_per_group(c, ["c_nationkey"], [F.col("c_acctbal").desc(), F.col("c_custkey")], 3)
+    return out.select("c_custkey", "c_nationkey", "c_acctbal", "rn")
+
+
+# ---------------------------------------------------------------- §2.7 ----
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, c_acctbal AS acctbal FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, s_acctbal AS acctbal FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.select(F.col("c_nationkey").alias("nationkey"), F.col("c_acctbal").alias("acctbal"))
+    b = s.select(F.col("s_nationkey").alias("nationkey"), F.col("s_acctbal").alias("acctbal"))
+    return a.unionByName(b)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.select(F.col("c_nationkey").alias("nationkey"))
+    b = s.select(F.col("s_nationkey").alias("nationkey"))
+    return a.unionByName(b).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.select(F.col("c_nationkey").alias("nationkey"))
+    b = s.select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersect(b)
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.select(F.col("c_nationkey").alias("nationkey"))
+    b = s.select(F.col("s_nationkey").alias("nationkey"))
+    # SQL EXCEPT is set semantics: subtract() removes a key entirely if
+    # it appears anywhere in b (exceptAll would keep multiplicity
+    # leftovers, which is EXCEPT ALL).
+    return a.subtract(b)
