@@ -1,0 +1,91 @@
+"""User-code extension surface (SURVEY.md §2.10).
+
+The reference's extension points are a custom SourceFunction
+(CassandraPojoSinkStreaming.java:109-148) and a sink Encoder lambda
+(DataStreamJob.java:53-56). The PySpark-idiomatic user-code surface
+is: vectorized pandas UDFs (scalar), grouped-agg pandas UDFs (UDAF),
+``mapInPandas`` (UDTF, 1→N), and ``applyInPandas`` (per-group
+transform).
+
+Scale notes: all four run Arrow-batched (columnar transfer, no
+per-row pickling); ``applyInPandas`` shuffles once on the group key
+and materializes ONE GROUP AT A TIME per task — fine for bounded
+groups (a user's events), wrong for unbounded ones (use window
+functions instead). Row-at-a-time ``F.udf`` is deliberately absent:
+it is the slow path and nothing here needs it.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+# UDFs are built inside each constructor: pandas_udf resolves its DDL
+# return type against the active SparkSession, so module-import-time
+# decoration would require a session before any engine code runs.
+
+
+# --- scalar pandas UDF ----------------------------------------------------
+def doc_score_pandas_udf(docs: DataFrame) -> DataFrame:
+    @pandas_udf("bigint")
+    def doc_score(text: pd.Series, n_chars: pd.Series) -> pd.Series:
+        # Deterministic, SQL-expressible on purpose (the oracle
+        # recomputes it): 2*len(text) + n_chars. The point is the
+        # Arrow plumbing.
+        return 2 * text.str.len().astype("int64") + n_chars.astype("int64")
+
+    return docs.select(
+        "doc_id", doc_score(F.col("text"), F.col("n_chars")).alias("score")
+    )
+
+
+# --- grouped-agg pandas UDF (UDAF) ---------------------------------------
+def weighted_avg_applyinpandas(events: DataFrame) -> DataFrame:
+    """Per-user weighted average of ``value`` weighted by
+    (event_id % 7 + 1) — a UDAF with a closed-form SQL twin."""
+
+    @pandas_udf("double")
+    def weighted_avg(v: pd.Series, w: pd.Series) -> float:
+        return float((v * w).sum() / w.sum())
+
+    weighted = events.withColumn("w", (F.col("event_id") % 7 + 1).cast("double"))
+    return weighted.groupBy("user_id").agg(
+        F.round(weighted_avg(F.col("value"), F.col("w")), 6).alias("wavg")
+    )
+
+
+# --- UDTF (1→N) via mapInPandas ------------------------------------------
+def words_udtf(docs: DataFrame) -> DataFrame:
+    """Explode documents into words (1 row → N rows), Arrow-batched."""
+
+    def explode_words(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words = pdf[["doc_id", "lang", "text"]].copy()
+            words["word"] = words["text"].str.split(" ")
+            out = words.explode("word")[["doc_id", "lang", "word"]]
+            yield out
+
+    return docs.mapInPandas(explode_words, "doc_id bigint, lang string, word string")
+
+
+# --- per-group transform via applyInPandas -------------------------------
+def zscore_applyinpandas(events: DataFrame) -> DataFrame:
+    """Per-user z-score of ``value`` (sample stddev, ddof=1 — matches
+    SQL stddev_samp)."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"]
+        z = (v - v.mean()) / v.std(ddof=1)
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        zscore, "event_id bigint, user_id bigint, z double"
+    )

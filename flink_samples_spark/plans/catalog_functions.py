@@ -1,5 +1,264 @@
-"""Tier-C catalog: scalar function families + UDF surface (SURVEY.md §2.8, §2.10)."""
+"""Tier-C catalog: scalar function families + UDF surface
+(SURVEY.md §2.8, §2.10).
+
+One representative query per function family, each exercising the
+minimum set from the survey. Dialect care: Spark/DuckDB agree on
+substring (1-based), regexp_extract group args, greatest/least;
+divergences handled explicitly — DuckDB has no pmod (emulated),
+returns DATE from date_trunc('month') (cast back), ceil(double) is
+double (Spark: bigint — cast both).
+"""
 
 from __future__ import annotations
 
-# Populated in the next build step.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_samples_spark.functions.udfs import (
+    doc_score_pandas_udf,
+    weighted_avg_applyinpandas,
+    words_udtf,
+    zscore_applyinpandas,
+)
+from flink_samples_spark.plans.registry import query
+from flink_samples_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------- §2.8 ----
+@query(
+    "q_fn_string",
+    oracle="""
+    SELECT p_partkey,
+           concat(p_brand, ':', p_type) AS brand_type,
+           substring(p_name, 1, 8) AS name_pfx,
+           upper(p_brand) AS brand_uc,
+           lower(p_type) AS type_lc,
+           trim(p_name) AS name_trim,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           regexp_extract(p_type, '([a-z]+)$', 1) AS type_last_word,
+           str_split(p_type, ' ')[1] AS type_first_word,
+           CASE WHEN p_name LIKE '%red%' THEN 1 ELSE 0 END AS has_red
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.lower("p_type").alias("type_lc"),
+        F.trim("p_name").alias("name_trim"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.regexp_extract("p_type", "([a-z]+)$", 1).alias("type_last_word"),
+        F.split("p_type", " ").getItem(0).alias("type_first_word"),
+        F.when(F.col("p_name").like("%red%"), 1).otherwise(0).alias("has_red"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS days_to_2002,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS unix_ts,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias("days_to_2002"),
+        F.unix_timestamp("o_orderdate").alias("unix_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice, 1) AS price_r1,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS key_pmod,
+           round(pow(l_quantity, 2), 4) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS price_ln
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_quantity").cast("bigint").alias("qty_floor"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("bigint").alias("key_pmod"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+    )
+
+
+@query(
+    "q_fn_null",
+    oracle="""
+    SELECT c_custkey,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           greatest(c_acctbal, 0.0) AS bal_pos,
+           least(c_acctbal, 1000.0) AS bal_capped,
+           CASE WHEN nullif(c_acctbal, c_acctbal) IS NULL THEN 1 ELSE 0 END AS always_one
+    FROM customer
+    """,
+)
+def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_pos"),
+        F.least(F.col("c_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+        F.when(F.nullif(F.col("c_acctbal"), F.col("c_acctbal")).isNull(), 1)
+        .otherwise(0)
+        .alias("always_one"),
+    )
+
+
+# Array HOFs over the embeddings table. The fold accumulator is DOUBLE
+# on both sides (f32 values promote exactly to f64, left-to-right), so
+# sums agree bit-for-bit before the defensive ROUND.
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           embedding[1] AS first_dim,
+           round(list_sum(CAST(embedding AS DOUBLE[])), 4) AS vec_sum,
+           round(list_max(CAST(embedding AS DOUBLE[])), 4) AS vec_max,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at("embedding", 1).alias("first_dim"),
+        F.round(F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x), 4).alias("vec_sum"),
+        F.round(F.array_max(dbl), 4).alias("vec_max"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+# JSON-string props parsed to MapType; keys/values surfaced as scalar
+# columns so the oracle (DuckDB json fns) can recompute them.
+@query(
+    "q_fn_map",
+    oracle="""
+    SELECT event_id,
+           json_keys(props)[1] AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id",
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, F.lit("k")).alias("k_value"),
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+    FROM events
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.LongType())])
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.from_json(F.col("props"), schema).getField("k").alias("k_num"),
+    )
+
+
+# --------------------------------------------------------------- §2.10 ----
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT doc_id, CAST(2 * length(text) + n_chars AS BIGINT) AS score
+    FROM documents
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_score_pandas_udf(docs)
+
+
+@query(
+    "q_udaf",
+    oracle="""
+    SELECT user_id,
+           round(SUM(value * w) / SUM(w), 6) AS wavg
+    FROM (SELECT user_id, value,
+                 CAST((event_id % 7) + 1 AS DOUBLE) AS w
+          FROM events)
+    GROUP BY user_id
+    """,
+)
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return weighted_avg_applyinpandas(ev)
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT lang, unnest(str_split(text, ' ')) AS word FROM documents)
+    GROUP BY lang, word
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = words_udtf(docs)
+    return words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q_apply_in_pandas",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 6) AS z
+    FROM events
+    """,
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return zscore_applyinpandas(ev)
