@@ -1,0 +1,28 @@
+from flink_samples_spark.llmops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from flink_samples_spark.llmops.similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from flink_samples_spark.llmops.text import (
+    document_fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_counts,
+)
+
+__all__ = [
+    "brute_force_cosine_topk",
+    "document_fingerprint",
+    "exact_dedup",
+    "language_id",
+    "lsh_bucketed_topk",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "quality_score",
+    "simhash_signatures",
+    "text_stats",
+    "token_counts",
+]

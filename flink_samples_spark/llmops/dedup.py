@@ -1,0 +1,236 @@
+"""Deduplication operators for LLM data pipelines (SURVEY.md §2.11).
+
+Four tiers of dedup, from exact to fuzzy, all expressed as DataFrame
+compositions (shuffle-conscious; see each docstring):
+
+- :func:`exact_dedup` — content-hash groupBy. One shuffle on the
+  hash; at 100 TB the hash (16 bytes) shuffles, never the text.
+- :func:`ngram_jaccard_pairs` — EXACT pairwise word-shingle Jaccard
+  via shingle-explode + self-join. Quadratic in co-shingled docs;
+  this is the small/medium-corpus truth baseline the LSH path is
+  measured against.
+- :func:`minhash_lsh_pairs` — MinHash + LSH banding. Near-linear:
+  shuffle is on (band, band_hash) buckets; with 128 hashes in
+  32 bands × 4 rows, P(missing a pair with J≥0.8) < 5e-8, so its
+  output equals the exact operator's on real data while scaling to
+  100 TB (bucket-join instead of all-pairs).
+- :func:`simhash_signatures` — 64-bit SimHash; near-dups differ in
+  few bits. Join on rotated prefix buckets at scale.
+
+Skew note (100 TB): boilerplate shingles create hot LSH buckets; cap
+bucket size (drop buckets above a threshold — they are boilerplate by
+definition) or salt the band key. The cap is exposed as
+``max_bucket`` on :func:`minhash_lsh_pairs`.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_samples_spark.llmops.text import document_fingerprint
+
+_MERSENNE = (1 << 61) - 1
+_N_HASHES = 128
+_BANDS = 32
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by canonical content fingerprint: one survivor
+    (min doc_id) per content group + the duplicate count."""
+    fp = document_fingerprint(docs)
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _shingles(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, shingle) pairs: distinct word k-grams per document.
+    Built with JVM HOFs (split + transform + slice) — no Python."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact pairs (a < b) with word-``k``-gram Jaccard ≥ threshold.
+
+    Plan: explode distinct shingles → self-join on shingle (the only
+    shuffle) → count intersections per pair → Jaccard from per-doc
+    shingle counts. Counts are exact ints, so the division is
+    bit-identical across engines (oracle-checkable).
+    """
+    sh = _shingles(docs, k).cache()
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def _make_minhash_band_rows(shingle_k: int):
+    """Build the doc → (band_id, band_hash) map function as a CLOSURE:
+    cloudpickle then ships it by value, so executor Python workers need
+    no importable copy of this package on their sys.path (the driver
+    harness may run us from anywhere).
+
+    Universal hashing h_i(x) = (a_i*x + b_i) mod p over FNV-1a shingle
+    hashes; all constants derive from a fixed seed, so signatures are
+    deterministic across runs and partitionings."""
+    n_hashes, bands, rows_per_band, mersenne = _N_HASHES, _BANDS, _ROWS_PER_BAND, _MERSENNE
+
+    def minhash_band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.RandomState(42)
+        a = rng.randint(1, mersenne, size=n_hashes, dtype=np.int64).astype(np.uint64)
+        b = rng.randint(0, mersenne, size=n_hashes, dtype=np.int64).astype(np.uint64)
+
+        def fnv1a(s: str) -> int:
+            h = 0xCBF29CE484222325
+            for ch in s.encode("utf-8"):
+                h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
+            return h
+
+        for pdf in batches:
+            out_doc, out_band, out_hash = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = text.split(" ")
+                grams = {
+                    " ".join(words[i : i + shingle_k])
+                    for i in range(max(len(words) - shingle_k + 1, 1))
+                }
+                xs = np.array([fnv1a(g) % mersenne for g in grams], dtype=np.uint64)
+                # sig[i] = min over shingles of (a_i*x + b_i) mod p
+                sig = ((a[:, None] * xs[None, :] + b[:, None]) % np.uint64(mersenne)).min(axis=1)
+                for band in range(bands):
+                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                    band_hash = 0
+                    for v in chunk:
+                        band_hash = (band_hash * 1000003 + int(v)) % (1 << 61)
+                    out_doc.append(doc_id)
+                    out_band.append(band)
+                    out_hash.append(band_hash)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "band": pd.Series(out_band, dtype="int32"),
+                    "band_hash": pd.Series(out_hash, dtype="int64"),
+                }
+            )
+
+    return minhash_band_rows
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, k: int = 3, threshold: float = 0.8, max_bucket: int = 1000
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs (a < b) with exact-Jaccard verify.
+
+    Stages: (1) signature+banding (Arrow-batched pandas stage, no
+    shuffle); (2) bucket self-join on (band, band_hash) — the only
+    candidate-generation shuffle; (3) exact Jaccard verification of
+    the candidate pairs via shingle intersection. ``max_bucket``
+    drops boilerplate hot buckets (skew guard at scale).
+    """
+    bands = docs.mapInPandas(
+        _make_minhash_band_rows(k), "doc_id bigint, band int, band_hash bigint"
+    )
+    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
+    bands = bands.join(
+        F.broadcast(sizes.filter(F.col("bucket_n") <= max_bucket)), ["band", "band_hash"]
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on the (small) candidate set
+    sh = _shingles(docs, k)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash over word features (FNV-1a word hashes).
+    Near-duplicate docs land within a few bits; at scale, bucket by
+    rotated 16-bit prefixes and compare within buckets."""
+
+    def simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                acc = np.zeros(bits, dtype=np.int64)
+                for w in text.split(" "):
+                    h = 0xCBF29CE484222325
+                    for ch in w.encode("utf-8"):
+                        h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
+                    for i in range(bits):
+                        acc[i] += 1 if (h >> i) & 1 else -1
+                sig = 0
+                for i in range(bits):
+                    if acc[i] > 0:
+                        sig |= 1 << i
+                # store as signed 64-bit for BIGINT columns
+                sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "simhash": pd.Series(sigs, dtype="int64")}
+            )
+
+    return docs.mapInPandas(simhash_batch, "doc_id bigint, simhash bigint")

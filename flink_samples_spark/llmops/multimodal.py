@@ -1,0 +1,100 @@
+"""Multimodal column handling (SURVEY.md §2.11).
+
+Images/audio/video ride through the engine as opaque ``binary``
+columns plus typed metadata — Spark shuffles, joins, and aggregates
+BinaryType natively, so the pipeline shape (schema, partitioning,
+Arrow batch transfer) is identical to production; only the codec call
+is stubbed (no image/audio libraries in this container).
+
+The decode seam is :func:`decode_features`: a ``mapInPandas`` stage
+whose real implementation would call PIL/torchaudio per Arrow batch.
+Here it is either (a) a deterministic fake featureizer (byte stats)
+used by tests, or (b) ``NotImplementedError`` when a real codec is
+requested — clearly marked so nobody mistakes the stub for a codec.
+
+Scale notes: binary payloads dominate row size — keep
+``spark.sql.files.maxPartitionBytes`` small enough that a partition
+of payloads fits executor memory, and project payload columns away
+before any wide shuffle (the helpers here carry (id, features)
+forward, never the bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, byte_sum bigint, byte_mean double, head_hash bigint"
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: materialize a binary column from text (the
+    driver tables ship no image bytes). Production: read real bytes
+    via ``spark.read.format('binaryFile')`` or a parquet binary col."""
+    return docs.withColumn("payload", F.encode(F.col("text"), "UTF-8")).withColumn(
+        "media_type", F.lit("text/plain")
+    )
+
+
+def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Per-payload feature extraction over Arrow batches.
+
+    ``codec='fake'``: deterministic byte statistics (real plumbing,
+    fake features). Any other codec raises — the real decoder is NOT
+    implemented in this environment.
+    """
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: real media decoding is stubbed in this environment; "
+            "plug PIL/ffmpeg/torchaudio into _featurize_batches here"
+        )
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, byte_sum, byte_mean, head_hash = [], [], [], []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                n_bytes.append(len(arr))
+                s = int(arr.sum())
+                byte_sum.append(s)
+                byte_mean.append(float(s) / len(arr) if len(arr) else 0.0)
+                h = 0
+                for byte in arr[:16]:
+                    h = (h * 131 + int(byte)) % (1 << 61)
+                head_hash.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n_bytes, dtype="int64"),
+                    "byte_sum": pd.Series(byte_sum, dtype="int64"),
+                    "byte_mean": pd.Series(byte_mean, dtype="float64"),
+                    "head_hash": pd.Series(head_hash, dtype="int64"),
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+def multimodal_passthrough(embeddings: DataFrame) -> DataFrame:
+    """Array<float> payloads through shuffle + agg intact: group by
+    label, carry vector stats — proves nested types survive the
+    exchange with Arrow/Tungsten untouched."""
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    per_row = embeddings.select(
+        "label",
+        F.size("embedding").alias("n_dims"),
+        F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x).alias("vec_sum"),
+    )
+    return per_row.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("n_dims").alias("min_dims"),
+        F.max("n_dims").alias("max_dims"),
+        F.round(F.sum("vec_sum"), 4).alias("total_sum"),
+    )

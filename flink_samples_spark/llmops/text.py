@@ -1,0 +1,120 @@
+"""Text-analysis operators for LLM data pipelines (SURVEY.md §2.11).
+
+All hot paths are JVM-side built-ins (regexp/split/length — inside
+whole-stage codegen); the only Python is the language-ID trigram
+scorer, which is an Arrow-batched pandas UDF. Every operator is a
+narrow map over ``documents`` — no shuffle — so at 100 TB these run
+at scan speed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: letter runs, digit runs, or single non-space
+# symbols — the shape GPT-style pre-tokenizers produce. No backslash
+# classes: the pattern embeds verbatim in both Spark SQL and DuckDB
+# string literals.
+TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny stopword profiles for the heuristic language scorer.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "es": ("el", "la", "de", "que", "y", "un"),
+    "fr": ("le", "la", "et", "les", "des", "un"),
+}
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document word/char stats + per-language rollup inputs."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars_obs"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    return docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias("n_bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic quality signals: length band, punctuation ratio,
+    stopword ratio — the standard pretraining quality filters, all
+    codegen'd (no Python)."""
+    n_chars = F.length("text")
+    n_punct = F.length("text") - F.length(
+        F.regexp_replace(F.col("text"), "[.,;:!?]", "")
+    )
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    return docs.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_obs"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
+        (
+            (n_chars >= 100)
+            & (n_chars <= 20000)
+            & (n_stop.cast("double") / n_words >= 0.05)
+        ).cast("int").alias("keep"),
+    )
+
+
+def document_fingerprint(docs: DataFrame) -> DataFrame:
+    """Canonical-content fingerprint: md5 over lowercased,
+    punctuation-stripped, space-normalized text. Stable across
+    engines (md5 is standardized), so exact-dup detection can join on
+    it at any scale."""
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+    )
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of stopword-profile hit rates.
+    Deterministic (ties broken by profile order), Arrow-batched.
+
+    Rows-only check by design: the scoring table lives in Python, not
+    SQL; tests assert determinism + label coverage instead.
+    """
+    profiles = list(_LANG_PROFILES.items())
+
+    def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tokens = pdf["text"].str.lower().str.split(" ")
+            best_lang, best_score = [], []
+            for toks in tokens:
+                ts = set(toks or ())
+                scores = [(sum(1 for w in ws if w in ts), lang) for lang, ws in profiles]
+                hit, lang = max(scores, key=lambda p: p[0])
+                best_lang.append(lang if hit > 0 else "unk")
+                best_score.append(hit)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "lang_pred": best_lang,
+                    "lang_hits": pd.Series(best_score, dtype="int64"),
+                }
+            )
+
+    return docs.mapInPandas(score_batch, "doc_id bigint, lang_pred string, lang_hits bigint")

@@ -1,5 +1,242 @@
-"""Tier-X catalog: LLM-data-pipeline operators (SURVEY.md §2.11)."""
+"""Tier-X catalog: LLM-data-pipeline operators (SURVEY.md §2.11).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity
+search, text analysis, and multimodal passthrough over the driver's
+``documents`` / ``embeddings`` tables.
+
+Oracle notes:
+- q_dedup_ngram and q_dedup_near share ONE spec — "pairs with word
+  3-gram Jaccard ≥ 0.8" — and one exact SQL oracle. The LSH variant
+  is parameterized (128 hashes, 32 bands × 4 rows) so its miss
+  probability at J=0.8 is < 5e-8: statistically indistinguishable
+  from exact, while scaling as bucket-joins instead of all-pairs.
+- Jaccard is a ratio of exact integers → bit-identical everywhere.
+- Cosine dots fold left-to-right in DOUBLE on both engines.
+- SimHash and language-ID use Python-side hash tables → rows-only
+  checks (determinism asserted in tests/test_llmops.py).
+"""
 
 from __future__ import annotations
 
-# Populated in the next build step.
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_samples_spark.llmops.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from flink_samples_spark.llmops.multimodal import (
+    attach_binary_payload,
+    decode_features,
+    multimodal_passthrough,
+)
+from flink_samples_spark.llmops.similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from flink_samples_spark.llmops.text import (
+    TOKEN_RE,
+    document_fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_counts,
+)
+from flink_samples_spark.plans.registry import query
+from flink_samples_spark.sources.readers import load_table
+
+# Canonical fingerprint in DuckDB — must mirror llmops.text.document_fingerprint.
+_FP_SQL = "md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+
+# Exact word-3-gram Jaccard pairs ≥ 0.8 — shared oracle for both the
+# exact and the LSH implementations.
+_JACCARD_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+      FROM words
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+"""
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT {_FP_SQL} AS fingerprint,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY fingerprint
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+@query("q_dedup_ngram", oracle=_JACCARD_ORACLE)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+
+
+@query("q_dedup_near", oracle=_JACCARD_ORACLE)
+def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, k=3, threshold=0.8)
+
+
+@query("q_dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_signatures(docs)
+
+
+@query(
+    "q_fingerprint",
+    oracle=f"SELECT doc_id, {_FP_SQL} AS fingerprint FROM documents",
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return document_fingerprint(docs)
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(str_split(text, ' ')) AS INT) AS n_words,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_stats(docs)
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(str_split_regex(text, '\\s+')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs)
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars_obs,
+           round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           round(CAST(len(list_filter(str_split(text, ' '),
+                 w -> list_contains(['the','and','of','to','a','in','is'], lower(w)))) AS DOUBLE)
+                 / len(str_split(text, ' ')), 6) AS stopword_ratio,
+           CAST(length(text) >= 100 AND length(text) <= 20000
+                AND CAST(len(list_filter(str_split(text, ' '),
+                    w -> list_contains(['the','and','of','to','a','in','is'], lower(w)))) AS DOUBLE)
+                    / len(str_split(text, ' ')) >= 0.05 AS INT) AS keep
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs)
+
+
+@query("q_lang_id")
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return language_id(docs)
+
+
+@query(
+    "q_sim_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings
+    ), scored AS (
+      SELECT query_id, vec_id,
+             round(list_inner_product(qe, ce)
+                   / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(ce, ce))),
+                   6) AS cos
+      FROM c CROSS JOIN q WHERE vec_id <> query_id
+    )
+    SELECT query_id, vec_id, cos, rn FROM (
+      SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos DESC, vec_id) AS BIGINT) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_cosine_topk(queries, emb, k=3)
+
+
+# Approximate variant — recall < 1 by construction, so rows-only here;
+# tests/test_llmops.py measures recall against the brute-force baseline.
+@query("q_sim_topk_lsh")
+def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_bucketed_topk(queries, emb, k=3)
+
+
+@query(
+    "q_multimodal_passthrough",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(len(embedding)) AS INT) AS min_dims,
+           CAST(MAX(len(embedding)) AS INT) AS max_dims,
+           round(SUM(list_sum(CAST(embedding AS DOUBLE[]))), 4) AS total_sum
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_multimodal_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return multimodal_passthrough(emb)
+
+
+# Binary decode plumbing with the stubbed codec: deterministic byte
+# stats are SQL-checkable because the payload is encode(text).
+@query(
+    "q_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_features(attach_binary_payload(docs), codec="fake")
+    return feats.select("doc_id", "n_bytes")

@@ -1,0 +1,79 @@
+"""Property / tolerance tests for the rows-only tier-X operators
+(the ones whose checks the oracle harness records as rows-only)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_samples_spark.llmops.dedup import simhash_signatures
+from flink_samples_spark.llmops.multimodal import attach_binary_payload, decode_features
+from flink_samples_spark.llmops.similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from flink_samples_spark.llmops.text import language_id
+from flink_samples_spark.sources.readers import load_table
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simhash_signatures(docs.repartition(7)).collect()}
+    assert a == b  # partitioning-invariant signatures
+
+
+def test_simhash_near_dup_close(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [(0, base), (1, base.replace("today", "tonight")), (2, "completely different words here entirely")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs).collect()}
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(sigs[0], sigs[1]) < ham(sigs[0], sigs[2])
+
+
+def test_lang_id_deterministic_and_covering(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = language_id(docs)
+    assert out.count() == docs.count()
+    preds = {r.lang_pred for r in out.select("lang_pred").distinct().collect()}
+    assert preds <= {"en", "de", "es", "fr", "unk"}
+    again = language_id(docs.repartition(5))
+    assert out.subtract(again).count() == 0 and again.subtract(out).count() == 0
+
+
+def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_cosine_topk(queries, emb, k=3)
+    # Random embeddings are LSH's worst case (neighbors barely beat the
+    # noise floor); 16 tables × 6 planes gives ~0.7 recall here.
+    approx = lsh_bucketed_topk(queries, emb, k=3, n_planes=6, n_tables=16)
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_partkey").alias("n")).collect()
+    }
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n <= 0.15
+
+
+def test_decode_features_deterministic_and_stub_gated(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = attach_binary_payload(docs)
+    a = sorted(decode_features(media).collect())
+    b = sorted(decode_features(media.repartition(3)).collect())
+    assert a == b
+    with pytest.raises(NotImplementedError):
+        decode_features(media, codec="jpeg")
