@@ -1,0 +1,109 @@
+"""Streaming source constructors (SURVEY.md §2.1, §2.9).
+
+Reference parity:
+- ``NumberSequenceSource(0, Long.MAX_VALUE)`` (DataStreamJob.java:45-49)
+  → :func:`rate_stream`: the rate source's ``value`` column IS a
+  monotonically increasing bigint.
+- datagen table source, 100 rows/s, random STRING f0 + event_time
+  (StreamingFlinkSQL.java:14-22) → :func:`datagen_stream`.
+- custom PojoSource, 200-1000 rec/s with 10% of records stamped
+  1-10 s late (CassandraPojoSinkStreaming.java:51-56,109-148) →
+  :func:`rate_stream` + synthetic lateness (every 10th record
+  shifted back 1-10 s, matching the reference's profile); for
+  deterministic tests, :func:`file_replay_stream` replays parquet
+  files one per micro-batch.
+
+The reference attaches event time OUT-OF-BAND
+(``collectWithTimestamp``, CassandraPojoSinkStreaming.java:131-135);
+Spark's model makes it an explicit ``ts`` column that
+``withWatermark`` references — the central model translation
+(SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Unbounded number sequence: columns (timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+
+
+def datagen_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Random-string + event-time datagen (f0 STRING, event_time
+    TIMESTAMP), the reference's SQL source table shape."""
+    return rate_stream(spark, rows_per_second).select(
+        F.expr("uuid()").alias("f0"),
+        F.col("timestamp").alias("event_time"),
+    )
+
+
+def pojo_stream_with_lateness(
+    spark: SparkSession, rows_per_second: int = 500
+) -> DataFrame:
+    """Pojo(id) stream with the reference's lateness profile: every
+    10th record's event time is shifted 1-10 s into the past
+    (deterministically from the id, vs. the reference's Random)."""
+    base = rate_stream(spark, rows_per_second)
+    late_secs = F.when(
+        F.col("value") % 10 == 9, (F.col("value") % 9 + 1).cast("double")
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        F.col("value").alias("id"),
+        (F.col("timestamp") - F.make_interval(secs=late_secs)).alias("ts"),
+    )
+
+
+def write_replay_files(
+    df, out_dir: str | None = None, n_files: int = 10, order_col: str = "ts"
+) -> str:
+    """Materialize a batch DataFrame as N single-file parquet chunks in
+    event-time order — one micro-batch each under
+    ``maxFilesPerTrigger=1``. Deterministic harness for
+    watermark/late-data/restart tests (SURVEY.md §5.3)."""
+    out_dir = out_dir or tempfile.mkdtemp(prefix="replay_")
+    os.makedirs(out_dir, exist_ok=True)
+    pdf = df.orderBy(order_col).toPandas()
+    n = len(pdf)
+    per = max(n // n_files, 1)
+    for i in range(n_files):
+        lo = i * per
+        hi = n if i == n_files - 1 else (i + 1) * per
+        if lo >= n:
+            break
+        chunk = pdf.iloc[lo:hi]
+        path = os.path.join(out_dir, f"chunk_{i:05d}.parquet")
+        # µs timestamps so the declared TimestampType stream schema
+        # matches (the engine reads parquet NANOS as int64 instead).
+        chunk.to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        # file mtime ordering == replay order
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return out_dir
+
+
+def file_replay_stream(
+    spark: SparkSession, replay_dir: str, schema, files_per_trigger: int = 1
+) -> DataFrame:
+    """Deterministic micro-batch replay of :func:`write_replay_files`
+    output."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(replay_dir)
+    )
+
+
+def cleanup_replay(replay_dir: str) -> None:
+    shutil.rmtree(replay_dir, ignore_errors=True)

@@ -1,0 +1,242 @@
+"""Streaming semantics tests (SURVEY.md §5.3): deterministic
+file-replay micro-batches assert watermark/late-data behavior, batch↔
+stream equivalence, exactly-once restart, and streaming dedup —
+the behaviors of the reference's streaming jobs
+(CassandraPojoSinkStreaming.java, StreamingFlinkSQL.java)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_samples_spark.operators.time_windows import tumbling_window_agg
+from flink_samples_spark.sources.readers import load_table
+from flink_samples_spark.streaming.jobs import (
+    session_count_stream,
+    stream_dedup,
+    windowed_sum_stream,
+)
+from flink_samples_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+from flink_samples_spark.streaming.sources import file_replay_stream, rate_stream
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
+SENTINEL_TS = BASE + dt.timedelta(hours=6)
+
+
+def _write_chunk(dirpath: str, name: str, rows, seq: int) -> None:
+    import pandas as pd
+
+    path = os.path.join(dirpath, f"{name}.parquet")
+    # µs timestamps: the engine session reads parquet NANOS as int64
+    # (nanosAsLong), which would break the declared stream schema.
+    pd.DataFrame({"id": [r[0] for r in rows], "ts": [r[1] for r in rows]}).to_parquet(
+        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+
+def _run_available_now(stream_df, sink_dir: str, cp_dir: str) -> None:
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(sink_dir))
+        .option("checkpointLocation", cp_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+@pytest.fixture()
+def tmpdirs():
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, tmpdirs):
+    """Ordered replay of real events + sentinel flush: streaming
+    tumbling sum == batch tumbling sum (exclude the sentinel window)."""
+    replay, sink, cp = tmpdirs
+    events = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_id").alias("id"), "ts")
+        .orderBy("ts")
+        .toPandas()
+    )
+    # sentinel must lie beyond ALL data so the final watermark flushes
+    # every real window (events span ~30 days)
+    sentinel = events["ts"].max().to_pydatetime() + dt.timedelta(days=2)
+    n = len(events)
+    per = n // 5
+    for i in range(5):
+        chunk = events.iloc[i * per : n if i == 4 else (i + 1) * per]
+        _write_chunk(replay, f"c{i:03d}", list(zip(chunk["id"], chunk["ts"])), i)
+    _write_chunk(replay, "c999", [(-1, sentinel)], 99)
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    out = windowed_sum_stream(stream, ts_col="ts", size="1 hour", watermark="11 seconds")
+    _run_available_now(out, sink, cp)
+
+    got = {
+        (r.window_start, r.window_end): r.sum_id
+        for r in read_sink(spark, sink).collect()
+        if r.window_start < sentinel
+    }
+    batch_df = spark.createDataFrame(events)
+    expected = {
+        (r.window_start, r.window_end): r.sum_id
+        for r in tumbling_window_agg(
+            batch_df, "ts", "1 hour", aggs=[F.sum("id").alias("sum_id")]
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_late_data_within_bound_accepted_beyond_dropped(spark, tmpdirs):
+    """Reference lateness contract (CassandraPojoSinkStreaming.java:
+    54-56,64-65): rows later than the watermark bound are dropped,
+    rows within it are accepted."""
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    # The watermark a batch filters with reflects event-time stats
+    # from up to TWO batches earlier (observed: stats of batch N enter
+    # the filter at batch N+2), so the drop probe sits two full
+    # batches after the window it targets.
+    _write_chunk(replay, "c000", [(i, s(i)) for i in range(10)], 0)
+    _write_chunk(replay, "c001", [(100 + i, s(60 + i)) for i in range(10)], 1)
+    _write_chunk(replay, "c002", [(200 + i, s(90 + i)) for i in range(10)], 2)
+    # by now the filter watermark is ≥ 58s regardless of lag:
+    # ts=5s (window [0,10) long closed) → DROPPED;
+    # ts=92s (window [90,100) still open) → KEPT
+    _write_chunk(replay, "c003", [(1000, s(5)), (1001, s(92))], 3)
+    _write_chunk(replay, "c004", [(-1, SENTINEL_TS)], 4)
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    out = windowed_sum_stream(
+        stream,
+        ts_col="ts",
+        size="10 seconds",
+        watermark="11 seconds",
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    _run_available_now(out, sink, cp)
+    got = {
+        r.window_start: r.n
+        for r in read_sink(spark, sink).collect()
+        if r.window_start < SENTINEL_TS
+    }
+    assert got[s(0)] == 10  # late row 1000 (ts=5s) dropped
+    assert got[s(60)] == 10
+    assert got[s(90)] == 11  # late row 1001 (ts=92s) accepted
+
+
+def test_checkpoint_restart_exactly_once(spark, tmpdirs):
+    """Restart from checkpoint must not duplicate sink contents
+    (parity with exactly-once checkpointing,
+    CassandraPojoSinkStreaming.java:84-104)."""
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    _write_chunk(replay, "c000", [(i, s(i)) for i in range(10)], 0)
+    _write_chunk(replay, "c001", [(10 + i, s(10 + i)) for i in range(10)], 1)
+
+    def run():
+        stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+        out = windowed_sum_stream(
+            stream, ts_col="ts", size="10 seconds", watermark="11 seconds"
+        )
+        _run_available_now(out, sink, cp)
+
+    run()  # first run: consumes both files
+    # new data arrives; restart with the SAME checkpoint
+    _write_chunk(replay, "c002", [(100 + i, s(100 + i)) for i in range(10)], 2)
+    _write_chunk(replay, "c003", [(-1, SENTINEL_TS)], 3)
+    run()  # second run: must process only the new files
+    run()  # third run: no new data — sink unchanged (idempotent)
+
+    rows = [r for r in read_sink(spark, sink).collect() if r.window_start < SENTINEL_TS]
+    windows = [r.window_start for r in rows]
+    assert len(windows) == len(set(windows)), "duplicated windows after restart"
+    got = {r.window_start: r.sum_id for r in rows}
+    assert got[s(0)] == sum(range(10))
+    assert got[s(10)] == sum(range(10, 20))
+    assert got[s(100)] == sum(range(100, 110))
+
+
+def test_session_window_stream_matches_batch_shape(spark, tmpdirs):
+    """Flagship job in streaming mode (StreamingFlinkSQL.java:36-43):
+    session windows emit on watermark passage with the sink schema
+    (window_start, window_end, total)."""
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    # two sessions: [0..2] (3 events, gaps <5s) and [30..31] (2 events)
+    _write_chunk(replay, "c000", [(0, s(0)), (1, s(2)), (2, s(4))], 0)
+    _write_chunk(replay, "c001", [(3, s(30)), (4, s(31))], 1)
+    _write_chunk(replay, "c002", [(-1, SENTINEL_TS)], 2)
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    out = session_count_stream(stream, ts_col="ts", gap="5 seconds", watermark="1 second")
+    _run_available_now(out, sink, cp)
+    got = {
+        (r.window_start, r.window_end): r.total
+        for r in read_sink(spark, sink).collect()
+        if r.window_start < SENTINEL_TS
+    }
+    assert got == {(s(0), s(9)): 3, (s(30), s(36)): 2}
+
+
+def test_stream_dedup_within_watermark(spark, tmpdirs):
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    _write_chunk(replay, "c000", [(1, s(0)), (2, s(1)), (1, s(2))], 0)  # dup id=1
+    _write_chunk(replay, "c001", [(2, s(3)), (3, s(4))], 1)  # dup id=2
+    _write_chunk(replay, "c002", [(-1, SENTINEL_TS)], 2)
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    out = stream_dedup(stream, ["id"], "ts", "60 seconds")
+    _run_available_now(out, sink, cp)
+    ids = sorted(r.id for r in read_sink(spark, sink).collect() if r.id >= 0)
+    assert ids == [1, 2, 3]
+
+
+def test_rate_source_throughput_floor(spark):
+    """BASELINE streaming floor: sustain ≥1,000 rec/s (the reference's
+    max configured rate). Rate source at 20k rows/s for ~3 s of data,
+    processed via availableNow-style bounded run."""
+    import time
+
+    sink_rows = {"n": 0}
+
+    def count_batch(df, _bid):
+        sink_rows["n"] += df.count()
+
+    q = (
+        rate_stream(spark, rows_per_second=20000)
+        .writeStream.outputMode("append")
+        .foreachBatch(count_batch)
+        .start()
+    )
+    t0 = time.time()
+    try:
+        while time.time() - t0 < 6 and sink_rows["n"] < 3000:
+            time.sleep(0.25)
+    finally:
+        q.stop()
+    elapsed = time.time() - t0
+    assert sink_rows["n"] >= 1000 * min(elapsed, 3) / 3, (
+        f"only {sink_rows['n']} rows in {elapsed:.1f}s"
+    )
