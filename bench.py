@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is materialized with a noop sink (full execution, zero
+driver-transfer cost), timed after one warm-up of the session (JVM +
+parquet footer caches), single run per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_samples_spark.plans import QUERIES  # noqa: E402
+from flink_samples_spark.session import get_spark  # noqa: E402
+
+# One headline per operator family (SURVEY.md §2) — the set the
+# driver records against BASELINE.md.
+HEADLINE = [
+    "q_session_window",        # flagship (reference's own query)
+    "q_session_window_keyed",  # keyed session path
+    "q_tumbling_window",       # reference's windowed reduce
+    "q_sliding_window",
+    "q_scan_parquet",          # raw scan throughput
+    "q_filter",                # pushdown path
+    "q_agg_multi",             # TPC-H Q1 shape
+    "q_agg_rollup",
+    "q_join_broadcast",
+    "q_join_smj",              # big x big shuffle join
+    "q_join_star",             # 5-way star
+    "q_win_rank",              # analytic window
+    "q_topk_per_group",
+    "q_udtf",                  # Arrow UDF path
+    "q_dedup_exact",
+    "q_dedup_near",            # MinHash LSH
+    "q_sim_topk",              # brute-force ANN baseline
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="fss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up pass: JVM codegen, Python worker pool, parquet footers.
+    # No DataFrame/result caching — only engine infrastructure warms;
+    # the timed pass re-plans and re-executes every query in full.
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = QUERIES[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (noop-materialized, local)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from flink_samples_spark.utils import parallelize_narrow
+
 
 # UDFs are built inside each constructor: pandas_udf resolves its DDL
 # return type against the active SparkSession, so module-import-time
@@ -71,7 +73,9 @@ def words_udtf(docs: DataFrame) -> DataFrame:
             out = words.explode("word")[["doc_id", "lang", "word"]]
             yield out
 
-    return docs.mapInPandas(explode_words, "doc_id bigint, lang string, word string")
+    return parallelize_narrow(docs).mapInPandas(
+        explode_words, "doc_id bigint, lang string, word string"
+    )
 
 
 # --- per-group transform via applyInPandas -------------------------------

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_samples_spark.llmops.text import document_fingerprint
+from flink_samples_spark.utils import parallelize_narrow
 
 _MERSENNE = (1 << 61) - 1
 _N_HASHES = 128
@@ -59,6 +60,20 @@ def _shingles(docs: DataFrame, k: int) -> DataFrame:
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
     return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+
+
+def _shingle_hashes(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, array<long> shingle xxhash64) — hashing stays JVM-side
+    (codegen'd xxhash64), so the Python minhash stage is pure numpy."""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    )
+    return docs.select(
+        "doc_id", F.transform(grams, lambda g: F.xxhash64(g)).alias("shingle_hashes")
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
@@ -95,15 +110,16 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> 
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
-def _make_minhash_band_rows(shingle_k: int):
-    """Build the doc → (band_id, band_hash) map function as a CLOSURE:
-    cloudpickle then ships it by value, so executor Python workers need
-    no importable copy of this package on their sys.path (the driver
-    harness may run us from anywhere).
+def _make_minhash_band_rows():
+    """Build the (doc_id, shingle_hashes) → (band_id, band_hash) map
+    function as a CLOSURE: cloudpickle ships it by value, so executor
+    Python workers need no importable copy of this package on their
+    sys.path (the driver harness may run us from anywhere).
 
-    Universal hashing h_i(x) = (a_i*x + b_i) mod p over FNV-1a shingle
-    hashes; all constants derive from a fixed seed, so signatures are
-    deterministic across runs and partitionings."""
+    Input shingle hashes are JVM xxhash64 (see _shingle_hashes); here
+    is only vectorized numpy: sig[i] = min over shingles of
+    (a_i*x + b_i) mod p with seed-fixed constants, then per-band
+    polynomial rollup — deterministic across runs and partitionings."""
     n_hashes, bands, rows_per_band, mersenne = _N_HASHES, _BANDS, _ROWS_PER_BAND, _MERSENNE
 
     def minhash_band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,38 +129,28 @@ def _make_minhash_band_rows(shingle_k: int):
         rng = np.random.RandomState(42)
         a = rng.randint(1, mersenne, size=n_hashes, dtype=np.int64).astype(np.uint64)
         b = rng.randint(0, mersenne, size=n_hashes, dtype=np.int64).astype(np.uint64)
-
-        def fnv1a(s: str) -> int:
-            h = 0xCBF29CE484222325
-            for ch in s.encode("utf-8"):
-                h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
-            return h
+        # per-band polynomial weights for the rollup (base 1000003)
+        poly = np.array(
+            [pow(1000003, rows_per_band - 1 - i, 1 << 61) for i in range(rows_per_band)],
+            dtype=np.uint64,
+        )
 
         for pdf in batches:
-            out_doc, out_band, out_hash = [], [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = text.split(" ")
-                grams = {
-                    " ".join(words[i : i + shingle_k])
-                    for i in range(max(len(words) - shingle_k + 1, 1))
-                }
-                xs = np.array([fnv1a(g) % mersenne for g in grams], dtype=np.uint64)
-                # sig[i] = min over shingles of (a_i*x + b_i) mod p
+            n_docs = len(pdf)
+            out_doc = np.empty(n_docs * bands, dtype=np.int64)
+            out_band = np.empty(n_docs * bands, dtype=np.int32)
+            out_hash = np.empty(n_docs * bands, dtype=np.int64)
+            for j, (doc_id, hs) in enumerate(zip(pdf["doc_id"], pdf["shingle_hashes"])):
+                xs = np.asarray(hs, dtype=np.int64).astype(np.uint64) % np.uint64(mersenne)
                 sig = ((a[:, None] * xs[None, :] + b[:, None]) % np.uint64(mersenne)).min(axis=1)
-                for band in range(bands):
-                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    band_hash = 0
-                    for v in chunk:
-                        band_hash = (band_hash * 1000003 + int(v)) % (1 << 61)
-                    out_doc.append(doc_id)
-                    out_band.append(band)
-                    out_hash.append(band_hash)
+                chunks = sig.reshape(bands, rows_per_band)
+                bh = (chunks * poly[None, :] % np.uint64(1 << 61)).sum(axis=1) % np.uint64(1 << 61)
+                lo, hi = j * bands, (j + 1) * bands
+                out_doc[lo:hi] = doc_id
+                out_band[lo:hi] = np.arange(bands, dtype=np.int32)
+                out_hash[lo:hi] = bh.astype(np.int64)
             yield pd.DataFrame(
-                {
-                    "doc_id": pd.Series(out_doc, dtype="int64"),
-                    "band": pd.Series(out_band, dtype="int32"),
-                    "band_hash": pd.Series(out_hash, dtype="int64"),
-                }
+                {"doc_id": out_doc, "band": out_band, "band_hash": out_hash}
             )
 
     return minhash_band_rows
@@ -161,8 +167,8 @@ def minhash_lsh_pairs(
     the candidate pairs via shingle intersection. ``max_bucket``
     drops boilerplate hot buckets (skew guard at scale).
     """
-    bands = docs.mapInPandas(
-        _make_minhash_band_rows(k), "doc_id bigint, band int, band_hash bigint"
+    bands = parallelize_narrow(_shingle_hashes(docs, k)).mapInPandas(
+        _make_minhash_band_rows(), "doc_id bigint, band int, band_hash bigint"
     )
     sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
     bands = bands.join(
@@ -208,29 +214,36 @@ def minhash_lsh_pairs(
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
-    """64-bit SimHash over word features (FNV-1a word hashes).
-    Near-duplicate docs land within a few bits; at scale, bucket by
-    rotated 16-bit prefixes and compare within buckets."""
+    """64-bit SimHash over word features. Word hashing is JVM
+    xxhash64 (codegen); the Python stage is vectorized numpy bit
+    counting. Near-duplicate docs land within a few bits; at scale,
+    bucket by rotated 16-bit prefixes and compare within buckets."""
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), lambda w: F.xxhash64(w)).alias("word_hashes"),
+    )
 
     def simhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
         for pdf in batches:
             sigs = []
-            for text in pdf["text"]:
-                acc = np.zeros(bits, dtype=np.int64)
-                for w in text.split(" "):
-                    h = 0xCBF29CE484222325
-                    for ch in w.encode("utf-8"):
-                        h = ((h ^ ch) * 0x100000001B3) % (1 << 64)
-                    for i in range(bits):
-                        acc[i] += 1 if (h >> i) & 1 else -1
+            for hs in pdf["word_hashes"]:
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                # bit matrix (n_words × bits) → ±1 sums → sign bits
+                bit_votes = (
+                    (h[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & np.uint64(1)
+                ).astype(np.int64)
+                acc = (2 * bit_votes - 1).sum(axis=0)
                 sig = 0
-                for i in range(bits):
-                    if acc[i] > 0:
-                        sig |= 1 << i
-                # store as signed 64-bit for BIGINT columns
+                for i in np.nonzero(acc > 0)[0]:
+                    sig |= 1 << int(i)
                 sigs.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "simhash": pd.Series(sigs, dtype="int64")}
             )
 
-    return docs.mapInPandas(simhash_batch, "doc_id bigint, simhash bigint")
+    return parallelize_narrow(hashed).mapInPandas(
+        simhash_batch, "doc_id bigint, simhash bigint"
+    )

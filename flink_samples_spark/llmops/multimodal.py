@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_samples_spark.utils import parallelize_narrow
+
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, byte_sum bigint, byte_mean double, head_hash bigint"
 )
@@ -79,7 +81,9 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(featurize, FEATURE_SCHEMA)
+    return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+        featurize, FEATURE_SCHEMA
+    )
 
 
 def multimodal_passthrough(embeddings: DataFrame) -> DataFrame:

@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_samples_spark.utils import parallelize_narrow
+
 # BPE-ish tokenizer: letter runs, digit runs, or single non-space
 # symbols — the shape GPT-style pre-tokenizers produce. No backslash
 # classes: the pattern embeds verbatim in both Spark SQL and DuckDB
@@ -117,4 +119,6 @@ def language_id(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.mapInPandas(score_batch, "doc_id bigint, lang_pred string, lang_hits bigint")
+    return parallelize_narrow(docs).mapInPandas(
+        score_batch, "doc_id bigint, lang_pred string, lang_hits bigint"
+    )
