@@ -1,0 +1,71 @@
+"""Batch + streaming sink constructors (SURVEY.md §2.1).
+
+Reference parity:
+- row-format file sink with a custom Encoder lambda
+  (DataStreamJob.java:51-59, writes ``String.valueOf(element)`` lines)
+  → :func:`write_text_lines` (and the columnar upgrades
+  :func:`write_parquet` / :func:`write_json_lines`; Spark's writers
+  format rows without user encoder code).
+- print sink (CassandraPojoSource.java:64) → :func:`print_sink`.
+- blackhole sink (StreamingFlinkSQL.java:25-32) → :func:`noop_sink`.
+- streaming row-format file sink → :func:`streaming_file_sink`
+  (parquet/json/csv with checkpoint, exactly-once file commits via
+  the sink's metadata log).
+
+Scale notes: ``partition_by`` maps the reference's ``@PartitionKey``
+storage concern (CassandraPojoSource.java:74) to directory
+partitioning; writers inherit the DataFrame's partitioning — no
+repartition is forced here, callers control file counts via
+``coalesce``/``repartition`` upstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] = (),
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Row-format sink: one encoded line per row (the reference's
+    Encoder writes String.valueOf + newline; here: CSV-style concat of
+    all columns, no user encoder needed)."""
+    line = F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
+    df.select(line.alias("value")).write.mode(mode).text(path)
+
+
+def print_sink(df: DataFrame, n: int = 20) -> None:
+    df.show(n, truncate=False)
+
+
+def noop_sink(df: DataFrame) -> None:
+    """Blackhole: full execution, discarded output (bench harness)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def streaming_file_sink(df: DataFrame, path: str, checkpoint: str, fmt: str = "parquet"):
+    """Unbounded → files with exactly-once commit protocol."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .start()
+    )

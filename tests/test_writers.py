@@ -1,0 +1,73 @@
+"""Round-trip tests for the file sinks (reference's row-format file
+sink family, DataStreamJob.java:51-59)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_samples_spark.sources.readers import load_table, read_json_lines, scan_parquet
+from flink_samples_spark.sources.writers import (
+    write_json_lines,
+    write_parquet,
+    write_text_lines,
+)
+
+
+@pytest.fixture()
+def outdir():
+    d = tempfile.mkdtemp(prefix="sink_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_parquet_roundtrip_partitioned(spark, sf_dir, outdir):
+    src = load_table(spark, sf_dir, "orders")
+    write_parquet(src, outdir, partition_by=["o_orderstatus"])
+    back = scan_parquet(spark, outdir)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    # directory partitioning actually prunes: the filter lands in
+    # PartitionFilters (not a data filter), and values round-trip
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain()
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert pruned.count() == src.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_json_lines_roundtrip(spark, sf_dir, outdir):
+    src = load_table(spark, sf_dir, "nation")
+    write_json_lines(src, outdir)
+    back = spark.read.json(outdir)
+    assert back.count() == src.count()
+
+
+def test_text_lines_rowformat(spark, outdir):
+    df = spark.range(5).select(F.col("id"))
+    write_text_lines(df, outdir)
+    lines = sorted(r.value for r in spark.read.text(outdir).collect())
+    assert lines == ["0", "1", "2", "3", "4"]
+
+
+def test_jsonlines_gzip_read(spark, tmp_path):
+    """Reference ships gzipped json-lines (input_big.json.gz); gzip is
+    transparent to the reader."""
+    import gzip, json, os
+
+    p = str(tmp_path / "rows.json.gz")
+    with gzip.open(p, "wt") as f:
+        for i in range(10):
+            f.write(json.dumps({"my_field1": i, "my_field2": i * 2, "my_field3": f"test{i}"}) + "\n")
+    df = read_json_lines(spark, p)
+    assert df.count() == 10
+    assert df.schema.simpleString() == "struct<my_field1:bigint,my_field2:bigint,my_field3:string>"
