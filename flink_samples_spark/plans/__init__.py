@@ -6,5 +6,6 @@ from flink_samples_spark.plans import catalog_relational  # noqa: F401
 from flink_samples_spark.plans import catalog_functions  # noqa: F401
 from flink_samples_spark.plans import catalog_llmops  # noqa: F401
 from flink_samples_spark.plans import catalog_sql  # noqa: F401
+from flink_samples_spark.plans import catalog_streaming  # noqa: F401
 
 __all__ = ["ORACLES", "QUERIES", "query"]

@@ -1,0 +1,158 @@
+"""Streaming queries as driver-checkable catalog entries.
+
+Each callable runs a REAL Structured Streaming pipeline (file-replay
+source → watermarked stateful op → idempotent sink) bounded by
+``Trigger.AvailableNow``, then returns the sink contents as a batch
+DataFrame. This puts the reference's streaming semantics
+(StreamingFlinkSQL.java, CassandraPojoSinkStreaming.java) under the
+driver's oracle gate, not just pytest.
+
+The replayed stream is the ``events`` table split into event-time-
+ordered micro-batch files, so results are deterministic run-to-run.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_samples_spark.plans.registry import query
+from flink_samples_spark.sources.readers import load_table
+from flink_samples_spark.streaming.jobs import stream_dedup, windowed_sum_stream
+from flink_samples_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+from flink_samples_spark.streaming.sources import file_replay_stream, write_replay_files
+
+_REPLAY_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _run_streaming(spark: SparkSession, sf_dir: str, build, post) -> DataFrame:
+    """Replay events through ``build(stream) -> DataFrame``, collect
+    the sink, return an in-memory batch DataFrame (the temp dirs are
+    deleted before returning, so the result must not reference them).
+    ``post(df, max_ts)`` filters the sentinel's contribution out."""
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        write_replay_files(events, replay, n_files=8, order_col="ts")
+        # sentinel beyond all data: flushes every window/state on the
+        # final watermark advance
+        max_ts = events.agg(F.max("ts")).first()[0]
+        sent = spark.createDataFrame(
+            [(-1, max_ts, -1, 0.0)], "event_id long, ts timestamp, user_id long, value double"
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+        path = os.path.join(replay, "chunk_99999.parquet")
+        sent.toPandas().to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_700_000_099, 1_700_000_099))
+
+        stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA)
+        out = build(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = post(read_sink(spark, sink), max_ts).toPandas()
+        # drop the idempotent sink's partition column — not part of the
+        # logical result
+        result = result[[c for c in result.columns if c != "batch"]]
+        return spark.createDataFrame(result, schema=out.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+# Streaming dedup with the watermark horizon wider than the data span:
+# exactly global DISTINCT, so it carries a strict SQL oracle.
+@query("q_stream_dedup", oracle="SELECT DISTINCT user_id FROM events")
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(stream: DataFrame) -> DataFrame:
+        return stream_dedup(stream, ["user_id"], "ts", "60 days").select("user_id")
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("user_id") != -1)
+    )
+
+
+# The reference's windowed-sum job end-to-end in streaming mode; with
+# event-time-ordered replay nothing is late, so the streamed result
+# equals the batch tumbling aggregation — a strict oracle again.
+@query(
+    "q_stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+           CAST(SUM(event_id) AS BIGINT) AS sum_id
+    FROM events
+    GROUP BY time_bucket(INTERVAL '1 hour', ts)
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build(stream: DataFrame) -> DataFrame:
+        return windowed_sum_stream(
+            stream,
+            ts_col="ts",
+            size="1 hour",
+            watermark="11 seconds",
+            aggs=[F.sum("event_id").alias("sum_id")],
+        )
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, mx: df.filter(F.col("window_start") <= mx)
+    )
+
+
+# Late-data pipeline (rows-only): replay UNORDERED by event time (split
+# on event_id), so genuinely late rows cross the 11 s bound and drop —
+# pytest asserts the exact drop/keep semantics; here the driver records
+# the row count of surviving windows.
+@query("q_late_data")
+def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        write_replay_files(events, replay, n_files=8, order_col="event_id")
+        stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA)
+        out = windowed_sum_stream(
+            stream,
+            ts_col="ts",
+            size="1 hour",
+            watermark="11 seconds",
+            aggs=[F.count(F.lit(1)).alias("n")],
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = read_sink(spark, sink).toPandas()
+        result = result[[c for c in result.columns if c != "batch"]]
+        return spark.createDataFrame(result, schema=out.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
