@@ -4,7 +4,12 @@ from flink_samples_spark.llmops.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from flink_samples_spark.llmops.similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from flink_samples_spark.llmops.similarity import (
+    brute_force_cosine_topk,
+    cosine_pairs,
+    ivf_cosine_topk,
+    lsh_bucketed_topk,
+)
 from flink_samples_spark.llmops.text import (
     document_fingerprint,
     language_id,
@@ -15,8 +20,10 @@ from flink_samples_spark.llmops.text import (
 
 __all__ = [
     "brute_force_cosine_topk",
+    "cosine_pairs",
     "document_fingerprint",
     "exact_dedup",
+    "ivf_cosine_topk",
     "language_id",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",

@@ -167,8 +167,14 @@ def minhash_lsh_pairs(
     the candidate pairs via shingle intersection. ``max_bucket``
     drops boilerplate hot buckets (skew guard at scale).
     """
-    bands = parallelize_narrow(_shingle_hashes(docs, k)).mapInPandas(
-        _make_minhash_band_rows(), "doc_id bigint, band int, band_hash bigint"
+    # cache: the band table feeds the bucket-size guard AND both sides
+    # of the self-join — uncached, the Python minhash stage would run
+    # 4×. Size is docs × n_bands rows of 3 ints (tiny even at scale;
+    # Spark spills or recomputes gracefully if not).
+    bands = (
+        parallelize_narrow(_shingle_hashes(docs, k))
+        .mapInPandas(_make_minhash_band_rows(), "doc_id bigint, band int, band_hash bigint")
+        .cache()
     )
     sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
     bands = bands.join(
@@ -185,8 +191,9 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on the (small) candidate set
-    sh = _shingles(docs, k)
+    # exact verification on the (small) candidate set; shingles feed
+    # three consumers (counts + both join sides) → cache
+    sh = _shingles(docs, k).cache()
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))

@@ -32,7 +32,12 @@ from flink_samples_spark.llmops.multimodal import (
     decode_features,
     multimodal_passthrough,
 )
-from flink_samples_spark.llmops.similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from flink_samples_spark.llmops.similarity import (
+    brute_force_cosine_topk,
+    cosine_pairs,
+    ivf_cosine_topk,
+    lsh_bucketed_topk,
+)
 from flink_samples_spark.llmops.text import (
     TOKEN_RE,
     document_fingerprint,
@@ -201,13 +206,40 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_cosine_topk(queries, emb, k=3)
 
 
-# Approximate variant — recall < 1 by construction, so rows-only here;
+# Approximate variants — recall < 1 by construction, so rows-only here;
 # tests/test_llmops.py measures recall against the brute-force baseline.
 @query("q_sim_topk_lsh")
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return lsh_bucketed_topk(queries, emb, k=3)
+
+
+@query("q_sim_topk_ivf")
+def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_cosine_topk(queries, emb, k=3)
+
+
+# Embedding-cosine near-dup pairs, exact all-pairs with exact oracle
+# (double-fold cosine on both sides → bit-identical before ROUND).
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_inner_product(a.e, b.e)
+                 / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))),
+                 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.e, b.e)
+          / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.3
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs(emb, threshold=0.3)
 
 
 @query(

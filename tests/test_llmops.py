@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from flink_samples_spark.llmops.dedup import simhash_signatures
 from flink_samples_spark.llmops.multimodal import attach_binary_payload, decode_features
-from flink_samples_spark.llmops.similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from flink_samples_spark.llmops.similarity import (
+    brute_force_cosine_topk,
+    ivf_cosine_topk,
+    lsh_bucketed_topk,
+)
 from flink_samples_spark.llmops.text import language_id
 from flink_samples_spark.sources.readers import load_table
 
@@ -51,6 +55,19 @@ def test_lsh_topk_recall_vs_brute_force(spark, sf_dir):
     approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
     recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
     assert recall >= 0.5, f"LSH recall {recall:.2f} too low"
+
+
+def test_ivf_topk_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_cosine_topk(queries, emb, k=3)
+    approx = ivf_cosine_topk(queries, emb, k=3, n_cells=8, n_probe=4)
+    exact_pairs = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_pairs = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # probing half the cells: labels cluster the vectors, so IVF should
+    # land most true neighbors
+    assert recall >= 0.6, f"IVF recall {recall:.2f} too low"
 
 
 def test_approx_count_distinct_tolerance(spark, sf_dir):
