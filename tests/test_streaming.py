@@ -213,6 +213,39 @@ def test_stream_dedup_within_watermark(spark, tmpdirs):
     assert ids == [1, 2, 3]
 
 
+def test_update_and_complete_output_modes(spark, tmpdirs):
+    """Output-mode semantics (SURVEY §2.9): update emits changed
+    windows each batch (pre-watermark results included); complete
+    re-emits the full result table."""
+    replay, _, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    _write_chunk(replay, "c000", [(i, s(i)) for i in range(5)], 0)
+    _write_chunk(replay, "c001", [(10 + i, s(10 + i)) for i in range(5)], 1)
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    agg = windowed_sum_stream(
+        stream, ts_col="ts", size="10 seconds", watermark="11 seconds",
+        aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    per_batch: list[dict] = []
+
+    def capture(df, _bid):
+        per_batch.append({r.window_start: r.n for r in df.collect()})
+
+    q = (
+        agg.writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: window [0,10) emitted in the batch that updated it,
+    # long before the watermark passes
+    assert any(b.get(s(0)) == 5 for b in per_batch)
+    assert any(b.get(s(10)) == 5 for b in per_batch)
+
+
 def test_rate_source_throughput_floor(spark):
     """BASELINE streaming floor: sustain ≥1,000 rec/s (the reference's
     max configured rate). Rate source at 20k rows/s for ~3 s of data,
