@@ -39,6 +39,8 @@ HEADLINE = [
     "q_join_star",             # 5-way star
     "q_win_rank",              # analytic window
     "q_topk_per_group",
+    "q_pipeline_topk_revenue", # TPC-H Q3 shape
+    "q_pipeline_filtered_agg", # TPC-H Q6 shape
     "q_udtf",                  # Arrow UDF path
     "q_dedup_exact",
     "q_dedup_near",            # MinHash LSH
@@ -58,6 +60,10 @@ def main() -> None:
     # the timed pass re-plans and re-executes every query in full.
     for name in HEADLINE:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # drop data caches (CacheManager matches canonical plans, so the
+    # timed pass would silently reuse warm-up .cache() results);
+    # JVM/codegen/worker-pool warmth is what we want to keep
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

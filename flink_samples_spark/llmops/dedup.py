@@ -63,17 +63,35 @@ def _shingles(docs: DataFrame, k: int) -> DataFrame:
 
 
 def _shingle_hashes(docs: DataFrame, k: int) -> DataFrame:
-    """(doc_id, array<long> shingle xxhash64) — hashing stays JVM-side
-    (codegen'd xxhash64), so the Python minhash stage is pure numpy."""
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    grams = F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    """(doc_id, array<long> distinct shingle hashes), all JVM-side.
+
+    Each word is xxhash64'd once; a k-gram's hash is xxhash64 over its
+    k word hashes (pure JVM, no string building). O(words·k) instead
+    of the O(words²) that building k-gram STRINGS via slice-copies
+    costs; the hash→k-gram mapping is injective modulo 2⁻⁶⁴
+    collisions, so Jaccard over these sets equals Jaccard over string
+    shingles. Truncated grams (docs shorter than k words) get a
+    sentinel in the missing positions."""
+    # The word-hash array is materialized in its OWN projection: if it
+    # were an inline expression, Catalyst would substitute the whole
+    # transform at every element access inside the gram lambda —
+    # re-hashing all words per access (measured 11× slower).
+    with_wh = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), lambda w: F.xxhash64(w)).alias("wh"),
     )
-    return docs.select(
-        "doc_id", F.transform(grams, lambda g: F.xxhash64(g)).alias("shingle_hashes")
-    )
+    wh = F.col("wh")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(wh) - (k - 1), F.lit(1)))
+
+    def gram_hash(i):
+        parts = [
+            F.coalesce(F.try_element_at(wh, i + F.lit(j)), F.lit(-8191991))
+            for j in range(k)
+        ]
+        return F.xxhash64(*parts)
+
+    grams = F.array_distinct(F.transform(idx, gram_hash))
+    return with_wh.select("doc_id", grams.alias("shingle_hashes"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> DataFrame:
@@ -167,15 +185,16 @@ def minhash_lsh_pairs(
     the candidate pairs via shingle intersection. ``max_bucket``
     drops boilerplate hot buckets (skew guard at scale).
     """
+    # cache the hashed-shingle arrays: they feed the banding stage AND
+    # both sides of the verification join (per-doc array of longs —
+    # ~2 KB/doc; Spark recomputes gracefully on eviction)
+    hashed = parallelize_narrow(_shingle_hashes(docs, k)).cache()
     # cache: the band table feeds the bucket-size guard AND both sides
     # of the self-join — uncached, the Python minhash stage would run
-    # 4×. Size is docs × n_bands rows of 3 ints (tiny even at scale;
-    # Spark spills or recomputes gracefully if not).
-    bands = (
-        parallelize_narrow(_shingle_hashes(docs, k))
-        .mapInPandas(_make_minhash_band_rows(), "doc_id bigint, band int, band_hash bigint")
-        .cache()
-    )
+    # 4×. Size is docs × n_bands rows of 3 ints (tiny even at scale).
+    bands = hashed.mapInPandas(
+        _make_minhash_band_rows(), "doc_id bigint, band int, band_hash bigint"
+    ).cache()
     sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
     bands = bands.join(
         F.broadcast(sizes.filter(F.col("bucket_n") <= max_bucket)), ["band", "band_hash"]
@@ -191,31 +210,22 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on the (small) candidate set; shingles feed
-    # three consumers (counts + both join sides) → cache
-    sh = _shingles(docs, k).cache()
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle"))
-    inter = (
-        candidates.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
-            ),
-        )
+    # exact verification: join each candidate PAIR to its two hashed
+    # shingle arrays and intersect in the JVM (array_intersect is a
+    # hash-set O(n+m)) — no shingle-explode self-join, so the LSH path
+    # never pays the exact algorithm's all-pairs cost
+    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
+    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
+    paired = candidates.join(ha, "doc_a").join(hb, "doc_b")
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = paired.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            n_inter.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - n_inter),
+            6,
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 

@@ -199,6 +199,49 @@ def test_session_window_stream_matches_batch_shape(spark, tmpdirs):
     assert got == {(s(0), s(9)): 3, (s(30), s(36)): 2}
 
 
+def test_keyed_session_window_stream(spark, tmpdirs):
+    """Keyed streaming session windows (the scale path — no constant
+    key): per-user sessions merge and emit independently."""
+    import pandas as pd
+
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    rows0 = [(1, s(0)), (1, s(3)), (2, s(1))]
+    rows1 = [(2, s(20)), (1, s(40))]
+    rows2 = [(-1, SENTINEL_TS)]
+    for i, rows in enumerate([rows0, rows1, rows2]):
+        p = os.path.join(replay, f"c{i:03d}.parquet")
+        pd.DataFrame({"user_id": [r[0] for r in rows], "ts": [r[1] for r in rows]}).to_parquet(
+            p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(p, (1_700_000_000 + i,) * 2)
+
+    from flink_samples_spark.operators.time_windows import session_window_agg
+
+    stream = file_replay_stream(spark, replay, schema)
+    out = session_window_agg(
+        stream.withWatermark("ts", "1 second"), "ts", "5 seconds", keys=["user_id"]
+    )
+    _run_available_now(out, sink, cp)
+    got = {
+        (r.user_id, r.window_start, r.window_end): r.total
+        for r in read_sink(spark, sink).collect()
+        if r.user_id >= 0
+    }
+    assert got == {
+        (1, s(0), s(8)): 2,   # user 1: events at 0,3 merge (gap 3 ≤ 5)
+        (2, s(1), s(6)): 1,
+        (2, s(20), s(25)): 1,
+        (1, s(40), s(45)): 1,
+    }
+
+
 def test_stream_dedup_within_watermark(spark, tmpdirs):
     replay, sink, cp = tmpdirs
     s = lambda sec: BASE + dt.timedelta(seconds=sec)
