@@ -1,0 +1,93 @@
+"""Physical-plan regression tests: the scale properties the engine
+relies on (pushdown, pruning, broadcast, two-phase agg, shuffle
+count) must not silently regress. These assert plan SHAPE, not
+timings — the properties that decide whether a query survives a
+100× scale-up."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from flink_samples_spark.plans import QUERIES
+
+
+def plan_of(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+_NAMES = [
+    "q_filter",
+    "q_join_broadcast",
+    "q_join_smj",
+    "q_join_star",
+    "q_agg_multi",
+    "q_pipeline_filtered_agg",
+    "q_session_window_keyed",
+    "q_topk",
+]
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    """simple mode: each node once (for counting); formatted mode:
+    full scan details (for pushdown/pruning assertions)."""
+    return {
+        name: plan_of(QUERIES[name](spark, sf_dir), mode="simple") for name in _NAMES
+    }
+
+
+@pytest.fixture(scope="module")
+def fplans(spark, sf_dir):
+    return {
+        name: plan_of(QUERIES[name](spark, sf_dir), mode="formatted") for name in _NAMES
+    }
+
+
+def test_filter_pushdown_reaches_scan(fplans):
+    p = fplans["q_filter"]
+    assert "PushedFilters: [" in p
+    # the BETWEEN, IN, LIKE and timestamp predicates all push down
+    for frag in ["GreaterThanOrEqual(l_quantity", "In(l_returnflag", "StringStartsWith(l_linestatus"]:
+        assert frag in p, f"missing pushed filter {frag}"
+
+
+def test_column_pruning(fplans):
+    p = fplans["q_pipeline_filtered_agg"]
+    # 4-column ReadSchema from an 11-column table
+    read = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read and "l_discount" in read
+    assert "l_returnflag" not in read and "l_partkey" not in read
+
+
+def test_dim_joins_broadcast(plans):
+    assert "BroadcastHashJoin" in plans["q_join_broadcast"]
+    # star join: every dim broadcast — 4 broadcast joins, no SMJ
+    assert plans["q_join_star"].count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plans["q_join_star"]
+
+
+def test_bigxbig_is_sort_merge(plans):
+    assert "SortMergeJoin" in plans["q_join_smj"]
+
+
+def test_aggs_are_two_phase(plans):
+    # partial before the exchange, final after
+    assert "partial_count" in plans["q_agg_multi"] or "partial_sum" in plans["q_agg_multi"]
+    assert plans["q_agg_multi"].count("HashAggregate") >= 2
+
+
+def test_single_shuffle_for_keyed_session_window(plans):
+    # one hash exchange on the session key, nothing else
+    p = plans["q_session_window_keyed"]
+    assert p.count("Exchange hashpartitioning") <= 1 or p.count("(Exchange") <= 1
+
+
+def test_topk_avoids_global_sort(plans):
+    assert "TakeOrderedAndProject" in plans["q_topk"]
+    assert "Sort " not in plans["q_topk"].split("TakeOrderedAndProject")[0]
