@@ -207,6 +207,61 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand, 2) AS brand_x2,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a,
+           left(p_type, 3) AS type3,
+           right(p_type, 3) AS type_last3
+    FROM part
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_x2"),
+        F.instr("p_name", "a").alias("first_a"),
+        F.substring("p_type", 1, 3).alias("type3"),
+        F.substring(F.col("p_type"), -3, 3).alias("type_last3"),
+    )
+
+
+@query(
+    "q_fn_date2",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_last_day,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    """,
+)
+def q_fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.col("o_orderdate"), 3).cast("timestamp").alias("plus_3m"),
+        F.last_day("o_orderdate").cast("string").alias("month_last_day"),
+        # Spark dayofweek: 1=Sunday; DuckDB dayofweek: 0=Sunday
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
 # --------------------------------------------------------------- §2.10 ----
 @query(
     "q_udf_scalar",

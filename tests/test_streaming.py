@@ -256,6 +256,29 @@ def test_stream_dedup_within_watermark(spark, tmpdirs):
     assert ids == [1, 2, 3]
 
 
+def test_session_merges_across_micro_batches(spark, tmpdirs):
+    """A session whose events arrive in DIFFERENT micro-batches must
+    merge into one window (MergingSessions state path), including a
+    merge that bridges two previously-separate sessions."""
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    # batch 0: events at 0s and 10s — two separate sessions (gap 5s)
+    _write_chunk(replay, "c000", [(0, s(0)), (1, s(10))], 0)
+    # batch 1: event at 5s bridges them → ONE session [0, 15)
+    _write_chunk(replay, "c001", [(2, s(5))], 1)
+    _write_chunk(replay, "c002", [(-1, SENTINEL_TS)], 2)
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    out = session_count_stream(stream, ts_col="ts", gap="5 seconds", watermark="1 hour")
+    _run_available_now(out, sink, cp)
+    got = {
+        (r.window_start, r.window_end): r.total
+        for r in read_sink(spark, sink).collect()
+        if r.window_start < SENTINEL_TS
+    }
+    assert got == {(s(0), s(15)): 3}
+
+
 def test_update_and_complete_output_modes(spark, tmpdirs):
     """Output-mode semantics (SURVEY §2.9): update emits changed
     windows each batch (pre-watermark results included); complete
