@@ -121,6 +121,44 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Custom stateful operator (applyInPandasWithState sessionizer) under a
+# STRICT oracle: ordered replay + sentinel flush makes its output equal
+# the batch gaps-and-islands SQL for 1-hour per-user sessions.
+@query(
+    "q_stream_custom_sessionizer",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    )
+    SELECT user_id,
+           MIN(ts) AS window_start,
+           MAX(ts) + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS total,
+           round(SUM(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q_stream_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.stateful import sessionize_with_state
+
+    def build(stream: DataFrame) -> DataFrame:
+        return sessionize_with_state(
+            stream, gap_seconds=3600, watermark="10 seconds"
+        )
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("user_id") != -1)
+    )
+
+
 # Late-data pipeline (rows-only): replay UNORDERED by event time (split
 # on event_id), so genuinely late rows cross the 11 s bound and drop —
 # pytest asserts the exact drop/keep semantics; here the driver records

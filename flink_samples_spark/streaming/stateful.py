@@ -1,0 +1,105 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY.md §2.9/§2.10 — the escape hatch for semantics the built-in
+window operators can't express).
+
+The demo operator is a per-key session aggregator with a custom
+emission payload (count + min/max event time + sum) — the same
+semantics as ``session_window_agg`` (so tests can differentially
+check it) but computed with user-managed state: one state entry per
+key holding the open session, finalized when the watermark passes
+session end + gap.
+
+Scale notes: state is per-key (one open session each), evicted on
+timeout — bounded like the built-in operator. The pandas function
+receives Arrow batches per key; no driver involvement.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "user_id bigint, window_start timestamp, window_end timestamp, "
+    "total bigint, sum_value double"
+)
+STATE_SCHEMA = "start long, last long, total long, sum_value double"
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    gap_seconds: int = 5,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Custom sessionizer: groupBy(key).applyInPandasWithState with
+    event-time timeout. Emits one row per closed session."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        rows = []
+
+        def close(start_us: int, last_us: int, total: int, sv: float) -> None:
+            rows.append(
+                {
+                    "user_id": key[0],
+                    "window_start": pd.Timestamp(start_us, unit="us"),
+                    "window_end": pd.Timestamp(last_us + gap_us, unit="us"),
+                    "total": total,
+                    "sum_value": round(sv, 6),
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, total, sv = state.get
+                close(start, last, total, sv)
+                state.remove()
+        else:
+            ts_list, v_list = [], []
+            for pdf in batches:
+                ts_list.extend(int(t.value // 1000) for t in pdf[ts_col])
+                v_list.extend(float(v) for v in pdf[value_col])
+            order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+            if state.exists:
+                start, last, total, sv = state.get
+            else:
+                start, last, total, sv = None, None, 0, 0.0
+            for i in order:
+                t, v = ts_list[i], v_list[i]
+                if start is None:
+                    start, last, total, sv = t, t, 1, v
+                elif t - last <= gap_us:
+                    last, total, sv = max(last, t), total + 1, sv + v
+                else:
+                    close(start, last, total, sv)
+                    start, last, total, sv = t, t, 1, v
+            if start is not None:
+                state.update((start, last, total, sv))
+                # finalize when the event-time watermark passes session
+                # end + gap (same horizon as the built-in operator)
+                state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,90 @@
+"""Differential test: the custom applyInPandasWithState sessionizer
+must produce the same sessions as the built-in session_window
+operator on the same replayed stream."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_samples_spark.operators.time_windows import session_window_agg
+from flink_samples_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+from flink_samples_spark.streaming.sources import file_replay_stream
+from flink_samples_spark.streaming.stateful import sessionize_with_state
+
+BASE = dt.datetime(2024, 1, 1, 10, 0, 0)
+SENT = BASE + dt.timedelta(hours=2)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def tmpdirs():
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    yield dirs
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_custom_sessionizer_matches_builtin(spark, tmpdirs):
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: sessions [0..4], [30..32]; user 2: [1..8]
+        [(1, s(0), 1.0), (2, s(1), 2.0), (1, s(2), 3.0)],
+        [(1, s(4), 4.0), (2, s(5), 5.0), (2, s(8), 6.0)],
+        [(1, s(30), 7.0), (1, s(32), 8.0)],
+        [(-1, SENT, 0.0)],
+    ]
+    for i, chunk in enumerate(rows):
+        p = os.path.join(replay, f"c{i:03d}.parquet")
+        pd.DataFrame(
+            {"user_id": [r[0] for r in chunk], "ts": [r[1] for r in chunk],
+             "value": [r[2] for r in chunk]}
+        ).to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (1_700_000_000 + i,) * 2)
+
+    stream = file_replay_stream(spark, replay, SCHEMA)
+    out = sessionize_with_state(stream, gap_seconds=5, watermark="1 second")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.window_start, r.window_end): (r.total, round(r.sum_value, 6))
+        for r in read_sink(spark, sink).collect()
+        if r.user_id >= 0
+    }
+
+    # built-in operator on the same data (batch mode)
+    flat = [r for chunk in rows for r in chunk if r[0] >= 0]
+    batch = spark.createDataFrame(flat, SCHEMA)
+    expected = {
+        (r.user_id, r.window_start, r.window_end): (r.total, round(r.sum_value, 6))
+        for r in session_window_agg(
+            batch,
+            "ts",
+            "5 seconds",
+            keys=["user_id"],
+            aggs=[F.count(F.lit(1)).alias("total"), F.sum("value").alias("sum_value")],
+        ).collect()
+    }
+    assert got == expected
