@@ -548,6 +548,70 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("c_custkey", "c_nationkey", "c_acctbal", "rn")
 
 
+@query(
+    "q_agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 2) AS qty_F,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END), 2) AS qty_O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per l_linestatus value. Values list given
+    explicitly — at scale, never let pivot() scan for distinct values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+    )
+
+
+@query(
+    "q_fn_explode",
+    oracle="""
+    SELECT vec_id,
+           CAST(pos.i - 1 AS INT) AS pos,
+           embedding[pos.i] AS dim_value
+    FROM embeddings, LATERAL (SELECT unnest(range(1, 9)) AS i) pos
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of the first 8 embedding dims (1→N lateral)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sliced = e.select("vec_id", F.slice("embedding", 1, 8).alias("head"))
+    return sliced.select(
+        "vec_id", F.posexplode("head").alias("pos", "dim_value")
+    )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH l AS (SELECT c_custkey, nullif(c_nationkey, 0) AS nk FROM customer),
+         r AS (SELECT s_suppkey, nullif(s_nationkey, 0) AS nk FROM supplier)
+    SELECT l.c_custkey, r.s_suppkey
+    FROM l JOIN r ON l.nk IS NOT DISTINCT FROM r.nk
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of disappearing."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nk")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nk")
+    )
+    return c.join(s, c["nk"].eqNullSafe(s["nk"])).select("c_custkey", "s_suppkey")
+
+
 # Composite pipelines (filter → join → agg → top-k), TPC-H shapes ---------
 @query(
     "q_pipeline_topk_revenue",
