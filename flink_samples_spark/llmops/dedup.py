@@ -184,6 +184,12 @@ def minhash_lsh_pairs(
     candidate-generation shuffle; (3) exact Jaccard verification of
     the candidate pairs via shingle intersection. ``max_bucket``
     drops boilerplate hot buckets (skew guard at scale).
+
+    Caching contract: intermediate tables are ``.cache()``d because
+    they feed multiple consumers; entries persist for the session
+    (LRU-evicted under pressure). Long-lived sessions timing repeated
+    runs should ``spark.catalog.clearCache()`` between them (bench.py
+    does).
     """
     # cache the hashed-shingle arrays: they feed the banding stage AND
     # both sides of the verification join (per-doc array of longs —

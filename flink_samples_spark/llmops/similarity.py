@@ -100,10 +100,12 @@ def ivf_cosine_topk(
     tests."""
     import numpy as np
 
-    sample = np.array(
-        [r.embedding for r in corpus.select("embedding").limit(kmeans_sample).collect()],
-        dtype=np.float64,
+    # orderBy before limit: a bare limit().collect() follows partition
+    # layout, which is not deterministic across repartitionings
+    sample_rows = (
+        corpus.select("vec_id", "embedding").orderBy("vec_id").limit(kmeans_sample).collect()
     )
+    sample = np.array([r.embedding for r in sample_rows], dtype=np.float64)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)]
@@ -176,7 +178,13 @@ def lsh_bucketed_topk(
     """
     import numpy as np
 
-    dim = len(corpus.select("embedding").first()[0])
+    first = corpus.select("embedding").first()
+    if first is None:  # empty corpus → empty result, same schema
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id bigint, vec_id bigint, cos double, rn bigint"
+        )
+    dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
 

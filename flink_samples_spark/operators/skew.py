@@ -65,7 +65,17 @@ def salted_broadcast_replicate_join(
     The big side never shuffles by ``key`` alone (hot keys spread over
     ``n_salts`` reducers); the small side grows ×n_salts, which is the
     explicit price of the skew insurance.
+
+    Only ``inner`` and ``left`` are valid: each big row carries exactly
+    one salt, so big-side semantics are preserved — but the replicated
+    small side would emit one unmatched row PER SALT under
+    ``right``/``full``.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_broadcast_replicate_join supports how='inner'/'left', got {how!r}: "
+            "the replicated small side would duplicate unmatched rows under outer modes"
+        )
     big_s = big.withColumn("__salt", _row_salt(big, n_salts))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -70,7 +70,9 @@ def _run_streaming(spark: SparkSession, sf_dir: str, build, post) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming replay did not finish within 300s")
         result = post(read_sink(spark, sink), max_ts).toPandas()
         # drop the idempotent sink's partition column — not part of the
         # logical result
@@ -187,7 +189,9 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming replay did not finish within 300s")
         result = read_sink(spark, sink).toPandas()
         result = result[[c for c in result.columns if c != "batch"]]
         return spark.createDataFrame(result, schema=out.schema)

@@ -88,7 +88,16 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
     for c in _ns_timestamp_cols(path):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # floor division, not `div` (which truncates toward zero and
+        # would diverge from DuckDB by 1µs on pre-1970 sub-µs values)
+        df = df.withColumn(
+            c,
+            F.timestamp_micros(
+                F.expr(
+                    f"`{c}` div 1000 + CASE WHEN `{c}` % 1000 < 0 THEN -1 ELSE 0 END"
+                )
+            ),
+        )
     return df
 
 

@@ -55,8 +55,9 @@ def pojo_stream_with_lateness(
     10th record's event time is shifted 1-10 s into the past
     (deterministically from the id, vs. the reference's Random)."""
     base = rate_stream(spark, rows_per_second)
+    # % 10 + 1 spans the full documented 1-10 s range
     late_secs = F.when(
-        F.col("value") % 10 == 9, (F.col("value") % 9 + 1).cast("double")
+        F.col("value") % 10 == 9, (F.col("value") % 10 + 1).cast("double")
     ).otherwise(F.lit(0.0))
     return base.select(
         F.col("value").alias("id"),

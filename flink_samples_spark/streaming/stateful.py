@@ -4,10 +4,15 @@ window operators can't express).
 
 The demo operator is a per-key session aggregator with a custom
 emission payload (count + min/max event time + sum) — the same
-semantics as ``session_window_agg`` (so tests can differentially
-check it) but computed with user-managed state: one state entry per
-key holding the open session, finalized when the watermark passes
-session end + gap.
+semantics as ``session_window_agg`` for per-key time-ordered arrival
+(so tests can differentially check it) but computed with
+user-managed state: one state entry per key holding the open
+session, extended on both sides by in-gap events and finalized when
+the watermark passes session end + gap. One approximation: an event
+older than the open session by more than the gap emits as a
+singleton session immediately (single-open-session state can't hold
+two; the built-in operator could still merge it with other equally
+late stragglers).
 
 Scale notes: state is per-key (one open session each), evicted on
 timeout — bounded like the built-in operator. The pandas function
@@ -79,8 +84,21 @@ def sessionize_with_state(
                 t, v = ts_list[i], v_list[i]
                 if start is None:
                     start, last, total, sv = t, t, 1, v
-                elif t - last <= gap_us:
-                    last, total, sv = max(last, t), total + 1, sv + v
+                elif t < start - gap_us:
+                    # out-of-order event older than the open session by
+                    # more than the gap: a separate earlier session.
+                    # Single-open-session state can't hold both — emit
+                    # it as a singleton now (approximation vs the
+                    # built-in operator, which could still merge it
+                    # with other equally-late stragglers; exact only
+                    # for per-key ordered arrival)
+                    close(t, t, 1, v)
+                elif t <= last + gap_us:
+                    # within the session's reach on either side: merge,
+                    # extending BACKWARD too (t may precede start)
+                    start = min(start, t)
+                    last = max(last, t)
+                    total, sv = total + 1, sv + v
                 else:
                     close(start, last, total, sv)
                     start, last, total, sv = t, t, 1, v

@@ -58,6 +58,9 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, name: str) -> Non
             for i, (x, y) in enumerate(zip(av.tolist(), bv.tolist())):
                 if x is None and y is None:
                     continue
+                assert x is not None and y is not None, (
+                    f"{name}: col {c} row {i}: null on one side only ({x!r} vs {y!r})"
+                )
                 xf, yf = float(x), float(y)
                 if math.isnan(xf) and math.isnan(yf):
                     continue

@@ -40,6 +40,60 @@ def tmpdirs():
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_custom_sessionizer_out_of_order_extends_backward(spark, tmpdirs):
+    """An in-watermark event OLDER than the open session must extend
+    window_start backward (and an event older than start-gap emits as
+    its own session rather than polluting the open one)."""
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    batches = [
+        [(1, s(100), 1.0)],          # open session at 100
+        [(1, s(97), 2.0)],           # 3s older, within gap → start=97
+        [(1, s(80), 3.0)],           # 17s older than start → own session
+        [(-1, SENT, 0.0)],
+    ]
+    for i, chunk in enumerate(batches):
+        p = os.path.join(replay, f"c{i:03d}.parquet")
+        pd.DataFrame(
+            {"user_id": [r[0] for r in chunk], "ts": [r[1] for r in chunk],
+             "value": [r[2] for r in chunk]}
+        ).to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (1_700_000_000 + i,) * 2)
+
+    stream = file_replay_stream(spark, replay, SCHEMA)
+    # watermark wide enough that nothing is dropped as late
+    out = sessionize_with_state(stream, gap_seconds=5, watermark="1 hour")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r.window_start, r.window_end): (r.total, r.sum_value)
+        for r in read_sink(spark, sink).collect()
+        if r.user_id >= 0
+    }
+    assert got == {
+        (s(97), s(105)): (2, 3.0),  # backward-extended session
+        (s(80), s(85)): (1, 3.0),   # far-older straggler as own session
+    }
+
+
+def test_salted_join_rejects_outer_modes(spark, sf_dir):
+    import pytest as _pytest
+
+    from flink_samples_spark.operators.skew import salted_broadcast_replicate_join
+    from flink_samples_spark.sources.readers import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = load_table(spark, sf_dir, "part")
+    with _pytest.raises(ValueError):
+        salted_broadcast_replicate_join(li, part, "p_partkey", how="full")
+
+
 def test_custom_sessionizer_matches_builtin(spark, tmpdirs):
     replay, sink, cp = tmpdirs
     s = lambda sec: BASE + dt.timedelta(seconds=sec)

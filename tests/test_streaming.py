@@ -57,7 +57,7 @@ def _run_available_now(stream_df, sink_dir: str, cp_dir: str) -> None:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
 
 
 @pytest.fixture()
