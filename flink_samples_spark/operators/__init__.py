@@ -18,6 +18,7 @@ from flink_samples_spark.operators.analytic import (
 )
 from flink_samples_spark.operators.joins import (
     anti_join,
+    as_of_join,
     broadcast_join,
     range_join,
     semi_join,
@@ -32,6 +33,7 @@ from flink_samples_spark.operators.time_windows import (
 
 __all__ = [
     "anti_join",
+    "as_of_join",
     "approx_count_distinct_agg",
     "broadcast_join",
     "count_distinct_agg",

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from flink_samples_spark.operators import (
     anti_join,
+    as_of_join,
     approx_count_distinct_agg,
     broadcast_join,
     cube_agg,
@@ -632,6 +633,43 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.nullif(F.col("s_nationkey"), F.lit(0)).alias("nk")
     )
     return c.join(s, c["nk"].eqNullSafe(s["nk"])).select("c_custkey", "s_suppkey")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts AS asof_ts, max(value) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.click_ts, p.asof_ts, p.p_value
+    FROM clicks c
+    ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.click_ts >= p.asof_ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Flink temporal table join / DuckDB ASOF JOIN): each
+    click matched to the same user's most recent purchase at-or-before
+    it. Union + running-last implementation: one shuffle, no range
+    explosion (operators.joins.as_of_join)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    return as_of_join(
+        clicks, purch, "user_id", left_ts="click_ts", right_ts="ts",
+        payload=["p_value"],
+    ).select("event_id", "user_id", "click_ts", "asof_ts", "p_value")
 
 
 # Composite pipelines (filter → join → agg → top-k), TPC-H shapes ---------

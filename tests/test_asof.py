@@ -1,0 +1,127 @@
+"""as_of_join semantics: direction, ties, tolerance, outer nulls, and
+the single-shuffle plan property that makes it viable at scale."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+
+from flink_samples_spark.operators import as_of_join
+from tests.test_plans import plan_of
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def _ts(sec):
+    return BASE + dt.timedelta(seconds=sec)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2, 2],
+                "ts": [_ts(5), _ts(10), _ts(20), _ts(7), _ts(100)],
+                "lv": [10.0, 20.0, 30.0, 40.0, 50.0],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1, 2],
+                "ts": [_ts(4), _ts(10), _ts(15), _ts(50)],
+                "rv": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    return left, right
+
+
+def _collect(df):
+    return {
+        (r.k, r.ts): (r.asof_ts, r.rv)
+        for r in df.orderBy("k", "ts").collect()
+    }
+
+
+def test_backward_with_exact_tie(frames):
+    left, right = frames
+    got = _collect(as_of_join(left, right, "k"))
+    assert got == {
+        (1, _ts(5)): (_ts(4), 1.0),
+        (1, _ts(10)): (_ts(10), 2.0),   # equal ts matches (>= semantics)
+        (1, _ts(20)): (_ts(15), 3.0),
+        (2, _ts(7)): (None, None),      # no prior right row → outer null
+        (2, _ts(100)): (_ts(50), 4.0),
+    }
+
+
+def test_forward(frames):
+    left, right = frames
+    got = _collect(as_of_join(left, right, "k", direction="forward"))
+    assert got == {
+        (1, _ts(5)): (_ts(10), 2.0),
+        (1, _ts(10)): (_ts(10), 2.0),   # equal ts matches forward too
+        (1, _ts(20)): (None, None),
+        (2, _ts(7)): (_ts(50), 4.0),
+        (2, _ts(100)): (None, None),
+    }
+
+
+def test_tolerance(frames):
+    left, right = frames
+    got = _collect(as_of_join(left, right, "k", tolerance_seconds=5))
+    # (1,20)→match at 15 is exactly 5s: kept; (2,100)→match at 50 is 50s: nulled
+    assert got[(1, _ts(20))] == (_ts(15), 3.0)
+    assert got[(2, _ts(100))] == (None, None)
+
+
+def test_matches_pandas_merge_asof(spark, sf_dir):
+    from flink_samples_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(ev.event_type == "click").select(
+        "event_id", "user_id", ev.ts.alias("click_ts")
+    )
+    purch = (
+        ev.filter(ev.event_type == "purchase")
+        .groupBy("user_id", "ts")
+        .agg({"value": "max"})
+        .withColumnRenamed("max(value)", "p_value")
+    )
+    got = (
+        as_of_join(clicks, purch, "user_id", left_ts="click_ts", right_ts="ts")
+        .toPandas()
+        .sort_values(["event_id"], ignore_index=True)
+    )
+    want = pd.merge_asof(
+        clicks.toPandas().sort_values("click_ts"),
+        purch.toPandas().sort_values("ts").rename(columns={"ts": "asof_ts"}),
+        left_on="click_ts",
+        right_on="asof_ts",
+        by="user_id",
+        direction="backward",
+    ).sort_values(["event_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "asof_ts", "p_value"]],
+        want[["event_id", "user_id", "asof_ts", "p_value"]],
+    )
+
+
+def test_single_shuffle_plan(frames):
+    left, right = frames
+    p = plan_of(as_of_join(left, right, "k"), mode="simple")
+    # one Exchange per input branch feeding the union is allowed, but no
+    # extra shuffle after the window; crucially no nested-loop join
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert p.count("Window") == 1
+
+
+def test_payload_collision_raises(frames):
+    left, right = frames
+    with pytest.raises(ValueError):
+        as_of_join(left, right.withColumnRenamed("rv", "lv"), "k")
