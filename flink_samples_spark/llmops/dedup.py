@@ -153,22 +153,59 @@ def _make_minhash_band_rows():
             dtype=np.uint64,
         )
 
+        M = np.uint64(mersenne)
+        MASK61 = np.uint64((1 << 61) - 1)
+
+        def mod_mersenne(x):
+            # exact x % (2^61-1) via shift/mask — no uint64 division
+            # (the division is ~10× the cost of the multiply it follows)
+            r = (x & M) + (x >> np.uint64(61))
+            r[r >= M] -= M
+            return r
+
+        # Docs are processed in flat-concatenated chunks with
+        # minimum.reduceat for the per-doc signature min — one numpy
+        # kernel per ~64 docs instead of one Python iteration per doc.
+        # The chunk cap keeps the (n_hashes × Σshingles) intermediate
+        # ~8 MB: big enough to amortize loop overhead, small enough to
+        # stay cache-resident (a batch-sized matrix measured 8× SLOWER
+        # than the per-doc loop purely from memory traffic).
+        max_flat = 8_000
+
         for pdf in batches:
             n_docs = len(pdf)
-            out_doc = np.empty(n_docs * bands, dtype=np.int64)
-            out_band = np.empty(n_docs * bands, dtype=np.int32)
-            out_hash = np.empty(n_docs * bands, dtype=np.int64)
-            for j, (doc_id, hs) in enumerate(zip(pdf["doc_id"], pdf["shingle_hashes"])):
-                xs = np.asarray(hs, dtype=np.int64).astype(np.uint64) % np.uint64(mersenne)
-                sig = ((a[:, None] * xs[None, :] + b[:, None]) % np.uint64(mersenne)).min(axis=1)
-                chunks = sig.reshape(bands, rows_per_band)
-                bh = (chunks * poly[None, :] % np.uint64(1 << 61)).sum(axis=1) % np.uint64(1 << 61)
-                lo, hi = j * bands, (j + 1) * bands
-                out_doc[lo:hi] = doc_id
-                out_band[lo:hi] = np.arange(bands, dtype=np.int32)
-                out_hash[lo:hi] = bh.astype(np.int64)
+            if n_docs == 0:
+                continue
+            lens = np.fromiter(
+                (len(h) for h in pdf["shingle_hashes"]), dtype=np.int64, count=n_docs
+            )
+            flat = mod_mersenne(
+                np.concatenate(
+                    [np.asarray(h, dtype=np.int64) for h in pdf["shingle_hashes"]]
+                ).astype(np.uint64)
+            )
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            sig = np.empty((n_hashes, n_docs), dtype=np.uint64)
+            d0 = 0
+            while d0 < n_docs:
+                d1 = d0 + 1
+                while d1 < n_docs and ends[d1] - starts[d0] <= max_flat:
+                    d1 += 1
+                seg = flat[starts[d0] : ends[d1 - 1]]
+                m = mod_mersenne(a[:, None] * seg[None, :] + b[:, None])
+                offs = (starts[d0:d1] - starts[d0]).astype(np.intp)
+                sig[:, d0:d1] = np.minimum.reduceat(m, offs, axis=1)
+                d0 = d1
+            # per-band polynomial rollup, vectorized over all docs
+            chunks = sig.reshape(bands, rows_per_band, n_docs)
+            bh = ((chunks * poly[None, :, None]) & MASK61).sum(axis=1) & MASK61
             yield pd.DataFrame(
-                {"doc_id": out_doc, "band": out_band, "band_hash": out_hash}
+                {
+                    "doc_id": np.repeat(np.asarray(pdf["doc_id"], dtype=np.int64), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "band_hash": bh.T.reshape(-1).astype(np.int64),
+                }
             )
 
     return minhash_band_rows
@@ -180,40 +217,45 @@ def minhash_lsh_pairs(
     """MinHash+LSH near-dup pairs (a < b) with exact-Jaccard verify.
 
     Stages: (1) signature+banding (Arrow-batched pandas stage, no
-    shuffle); (2) bucket self-join on (band, band_hash) — the only
-    candidate-generation shuffle; (3) exact Jaccard verification of
-    the candidate pairs via shingle intersection. ``max_bucket``
-    drops boilerplate hot buckets (skew guard at scale).
+    shuffle); (2) ONE groupBy shuffle on (band, band_hash) gathering
+    each bucket's doc list, with in-bucket pairs expanded JVM-side
+    (no self-join, no second branch over the band table, no broadcast
+    for the size guard — ``F.size`` filters hot boilerplate buckets
+    for free); (3) exact Jaccard verification of the candidate pairs
+    via shingle intersection. ``max_bucket`` bounds the blow-up of
+    any one bucket (≤ max_bucket²/2 pairs from one grouped row).
 
-    Caching contract: intermediate tables are ``.cache()``d because
-    they feed multiple consumers; entries persist for the session
-    (LRU-evicted under pressure). Long-lived sessions timing repeated
-    runs should ``spark.catalog.clearCache()`` between them (bench.py
-    does).
+    Caching contract: ``hashed`` is ``.cache()``d because it feeds
+    the banding stage and both sides of the verification join;
+    entries persist for the session (LRU-evicted under pressure).
+    Long-lived sessions timing repeated runs should
+    ``spark.catalog.clearCache()`` between them (bench.py does).
     """
     # cache the hashed-shingle arrays: they feed the banding stage AND
     # both sides of the verification join (per-doc array of longs —
     # ~2 KB/doc; Spark recomputes gracefully on eviction)
     hashed = parallelize_narrow(_shingle_hashes(docs, k)).cache()
-    # cache: the band table feeds the bucket-size guard AND both sides
-    # of the self-join — uncached, the Python minhash stage would run
-    # 4×. Size is docs × n_bands rows of 3 ints (tiny even at scale).
     bands = hashed.mapInPandas(
         _make_minhash_band_rows(), "doc_id bigint, band int, band_hash bigint"
-    ).cache()
-    sizes = bands.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("bucket_n"))
-    bands = bands.join(
-        F.broadcast(sizes.filter(F.col("bucket_n") <= max_bucket)), ["band", "band_hash"]
     )
-    l, r = bands.alias("l"), bands.alias("r")
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    )
+    # all (a<b) pairs of the sorted bucket array, pure codegen: for
+    # element i, pair it with every later element
+    ds = F.col("ds")
+    pair_arrays = F.transform(
+        ds,
+        lambda x, i: F.transform(
+            F.slice(ds, i + F.lit(2), F.size(ds)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    )
     candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_hash") == F.col("r.band_hash"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
     # exact verification: join each candidate PAIR to its two hashed

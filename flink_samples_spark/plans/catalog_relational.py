@@ -961,3 +961,71 @@ def q_pipeline_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q_pipeline_promo_share",
+    oracle="""
+    SELECT ROUND(
+             100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+                               THEN l.l_extendedprice * (1 - l.l_discount)
+                               ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4
+           ) AS promo_share
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-09-01 00:00:00'
+    """,
+)
+def q_pipeline_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast part
+    join — promo revenue as a share of total. One broadcast, one
+    global agg, no big-side shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0.0)))
+                / F.sum(net),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+@query(
+    "q_dedup_latest",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, user_id, event_type, ts, value,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style keep-latest dedup: one surviving row per
+    (user_id, event_type) — the newest by event time, event_id as the
+    deterministic tie-break. The batch mirror of streaming
+    dropDuplicates upserts; at scale this is one shuffle on the key
+    and a per-partition top-1 (no full sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return topk_per_group(
+        ev.select("event_id", "user_id", "event_type", "ts", "value"),
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        1,
+    ).drop("rn")

@@ -198,3 +198,82 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+_REPLAY_SCHEMA_TYPED = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+# Stream-stream interval join under a STRICT oracle: an INNER interval
+# join emits exactly the matching pairs once both rows arrive, so a
+# complete ordered replay equals the batch SQL join — no flush
+# sentinel needed (the sentinel exists for window/state FINALIZATION,
+# which inner joins don't have).
+@query(
+    "q_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.jobs import interval_join_stream
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        write_replay_files(events, replay, n_files=8, order_col="ts")
+        stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA_TYPED)
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        purch = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        # watermark wider than the table's event-time span: nothing is
+        # ever dropped during replay, so the result is exact (a
+        # production deployment would use the real lateness bound and
+        # get bounded state in exchange)
+        out = interval_join_stream(
+            clicks,
+            purch,
+            key="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            upper="1 hour",
+            watermark="61 days",
+        ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming replay did not finish within 300s")
+        result = read_sink(spark, sink).toPandas()
+        result = result[[c for c in result.columns if c != "batch"]]
+        return spark.createDataFrame(result, schema=out.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

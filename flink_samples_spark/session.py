@@ -66,7 +66,12 @@ def get_spark(
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Single-JVM local mode: the "driver" heap IS the executor heap
+        # for all local[N] threads. 8g GC-thrashes once a whole bench
+        # suite's shuffles+broadcasts accumulate (measured 4× suite
+        # slowdown); 24g keeps full-suite timings equal to
+        # queries-in-isolation. Real clusters size executors instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -82,3 +82,37 @@ def stream_dedup(events: DataFrame, keys: Sequence[str], ts_col: str, watermark:
     entry per key and evicts when the watermark passes — bounded
     memory at any scale (vs. unbounded dropDuplicates state)."""
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(keys))
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    upper: str,
+    lower: str = "0 seconds",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream interval join: pairs (l, r) with matching ``key``
+    and ``r[right_ts]`` in ``[l[left_ts] + lower, l[left_ts] + upper]``
+    — the DataStream ``intervalJoin`` capability of the reference's
+    engine (its planner jar ships the SQL interval join; pom.xml:
+    135-140).
+
+    Both sides carry the same watermark; Spark's state store keeps
+    each row only until the watermark passes its join-window end (the
+    time-range condition is what makes the state BOUNDED — an
+    unconstrained stream-stream join would buffer both streams
+    forever). Inner join ⇒ matches emit as soon as both rows have
+    arrived, no watermark-flush latency. Caller renames non-key
+    columns to distinct names; the duplicate key column from the
+    right side is dropped."""
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower}"))
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond, "inner").drop(r[key])

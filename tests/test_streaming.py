@@ -339,3 +339,53 @@ def test_rate_source_throughput_floor(spark):
     assert sink_rows["n"] >= 1000 * min(elapsed, 3) / 3, (
         f"only {sink_rows['n']} rows in {elapsed:.1f}s"
     )
+
+
+def test_interval_join_across_batches(spark, tmpdirs):
+    """Stream-stream interval join must pair rows that arrive in
+    DIFFERENT micro-batches (buffered in join state) and respect the
+    [0, upper] bound on the right side's event time."""
+    import pandas as pd
+
+    from flink_samples_spark.streaming.jobs import interval_join_stream
+
+    replay, sink, cp = tmpdirs
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("side", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    batches = [
+        # batch 0: two left rows, no matches yet
+        [(1, "L", s(0)), (2, "L", s(100))],
+        # batch 1: right rows — r10 matches l1 (10s after), r95 is
+        # BEFORE l2 so must NOT match l2 (lower bound 0), r160 matches
+        # l2 (60s after); r2000 matches nothing (past both uppers)
+        [(10, "R", s(10)), (95, "R", s(95)), (160, "R", s(160)), (999, "R", s(2000))],
+    ]
+    for i, chunk in enumerate(batches):
+        path = os.path.join(replay, f"c{i:03d}.parquet")
+        pd.DataFrame(
+            {"id": [r[0] for r in chunk], "side": [r[1] for r in chunk],
+             "ts": [r[2] for r in chunk]}
+        ).to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(path, (1_700_000_000 + i,) * 2)
+
+    stream = file_replay_stream(spark, replay, schema)
+    # constant key: every row joins on the same group
+    left = stream.filter(F.col("side") == "L").select(
+        F.lit(1).alias("k"), F.col("id").alias("l_id"), F.col("ts").alias("l_ts")
+    )
+    right = stream.filter(F.col("side") == "R").select(
+        F.lit(1).alias("k"), F.col("id").alias("r_id"), F.col("ts").alias("r_ts")
+    )
+    out = interval_join_stream(
+        left, right, key="k", left_ts="l_ts", right_ts="r_ts",
+        upper="2 minutes", watermark="1 hour",
+    ).select("l_id", "r_id")
+    _run_available_now(out, sink, cp)
+    got = {(r.l_id, r.r_id) for r in read_sink(spark, sink).collect()}
+    assert got == {(1, 10), (1, 95), (2, 160)}
