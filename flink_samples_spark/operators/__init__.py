@@ -25,6 +25,11 @@ from flink_samples_spark.operators.joins import (
     sort_merge_join,
     star_join,
 )
+from flink_samples_spark.operators.sampling import (
+    hash_sample,
+    reservoir_per_group,
+    stratified_sample,
+)
 from flink_samples_spark.operators.time_windows import (
     session_window_agg,
     sliding_window_agg,
@@ -32,6 +37,9 @@ from flink_samples_spark.operators.time_windows import (
 )
 
 __all__ = [
+    "stratified_sample",
+    "reservoir_per_group",
+    "hash_sample",
     "anti_join",
     "as_of_join",
     "approx_count_distinct_agg",

@@ -1,0 +1,80 @@
+"""Sampling operators for training-data pipelines (SURVEY.md §2.11
+tier X — no reference site; a 100 TB corpus is curated by sampling).
+
+Three tiers:
+
+- :func:`hash_sample` — DETERMINISTIC Bernoulli sampling by key hash
+  (Knuth multiplicative). The same key always makes the same
+  in/out decision, independent of partitioning, executor count, or
+  row order — the property that makes a sample reproducible across
+  reruns and joinable against itself (sample the docs table and the
+  embeddings table with the same key → consistent pairing). Pure
+  int64 arithmetic, so it is expressible in ANSI SQL and
+  oracle-checkable (unlike ``rand(seed)``, whose stream is
+  partition-dependent and engine-specific).
+- :func:`stratified_sample` — per-stratum fractions via
+  ``sampleBy`` (seeded, Spark-deterministic) for class rebalancing.
+- :func:`reservoir_per_group` — exact k rows per group for bounded
+  per-class caps: deterministic rank over the same multiplicative
+  hash, one shuffle, per-partition top-k heaps (no full sort).
+
+Scale notes: all three are single-pass, shuffle-free except
+``reservoir_per_group`` (one shuffle on the group key). None of them
+collect to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_samples_spark.operators.analytic import topk_per_group
+
+# Knuth's multiplicative constant (2^32 / phi). Odd, hence coprime
+# with 2^31: key*K mod 2^31 is a bijection on [0, 2^31), so the
+# scrambled value is uniform when keys are distinct. The 31-bit
+# domain (not 32) keeps the product under 2^63 — ANSI-mode Spark and
+# DuckDB both reject int64 overflow.
+_KNUTH = 2654435761
+
+
+def _hash_unit(key: Column, salt: int) -> Column:
+    """Deterministic uniform-ish value in [0, 1) from an integer key.
+    int64 arithmetic only ((2^31-1) * K < 2^63), identical in any
+    ANSI SQL engine."""
+    masked = F.pmod(key.cast("bigint") + F.lit(salt), F.lit(1 << 31))
+    scrambled = F.pmod(masked * F.lit(_KNUTH), F.lit(1 << 31))
+    return scrambled / F.lit(float(1 << 31))
+
+
+def hash_sample(df: DataFrame, key: str, fraction: float, salt: int = 0) -> DataFrame:
+    """Keep rows whose hashed ``key`` lands under ``fraction``.
+    Reproducible: membership depends only on (key, salt, fraction);
+    different ``salt`` values give independent samples."""
+    return df.filter(_hash_unit(F.col(key), salt) < fraction)
+
+
+def stratified_sample(
+    df: DataFrame, stratum: str, fractions: dict, seed: int = 42
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (class rebalancing): keep
+    ``fractions[v]`` of rows with ``stratum == v`` (strata absent
+    from the dict are dropped, matching ``sampleBy``)."""
+    return df.sampleBy(stratum, fractions, seed=seed)
+
+
+def reservoir_per_group(
+    df: DataFrame, group_by: Sequence[str], key: str, k: int, salt: int = 0
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen uniformly by
+    deterministic hash rank — the distributed form of per-class
+    reservoir sampling (caps any one class of a skewed corpus)."""
+    out = topk_per_group(
+        df,
+        list(group_by),
+        [_hash_unit(F.col(key), salt), F.col(key)],
+        k,
+    )
+    return out.drop("rn")

@@ -272,3 +272,66 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = decode_features(attach_binary_payload(docs), codec="fake")
     return feats.select("doc_id", "n_bytes")
+
+
+# Sampling tier (operators.sampling): corpus curation at 100 TB is
+# sampling work. The hash sampler's in/out decision is pure int64
+# arithmetic, so both engines compute it identically — full oracle.
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648
+          / 2147483648.0 < 0.3
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.3).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "q_sample_reservoir",
+    oracle="""
+    WITH h AS (
+      SELECT event_id, user_id, event_type,
+             ((event_id % 2147483648) * 2654435761) % 2147483648
+             / 2147483648.0 AS hu
+      FROM events
+    )
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY hu, event_id) AS rn
+      FROM h
+    ) WHERE rn <= 5
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 5 uniformly-chosen rows per event_type, deterministic
+    by hash rank (per-class caps for skewed corpora)."""
+    from flink_samples_spark.operators import reservoir_per_group
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return reservoir_per_group(ev, ["event_type"], "event_id", 5)
+
+
+# sampleBy's per-row coin flips are Spark-internal (seeded XORShift),
+# so no cross-engine oracle exists; the driver records row counts and
+# pytest bounds the per-stratum rates.
+@query("q_sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    return stratified_sample(docs, "lang", fracs).select(
+        "doc_id", "lang", "source"
+    )

@@ -1029,3 +1029,69 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("ts").desc(), F.col("event_id").desc()],
         1,
     ).drop("rn")
+
+
+@query(
+    "q_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+           ROUND(var_samp(l_quantity), 4)         AS var_qty,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qty_price,
+           ROUND(corr(l_discount, l_extendedprice), 6)       AS corr_disc_price,
+           -- Spark's skewness/kurtosis are POPULATION moments;
+           -- DuckDB's skewness is sample G1 (convert) and
+           -- kurtosis_pop is population excess (direct)
+           ROUND(skewness(l_quantity)
+                 * (COUNT(*) - 2)
+                 / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 4) AS skew_qty,
+           ROUND(kurtosis_pop(l_quantity), 4)     AS kurt_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: stddev/variance/covariance/
+    correlation/skewness/kurtosis — single-pass co-moment
+    accumulators, same two-phase partial→final shape as sum/avg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+    )
+
+
+@query(
+    "q_agg_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) + 1 AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY CAST(floor(o_totalprice / 25000) AS BIGINT) + 1
+    ORDER BY bucket
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via width_bucket + groupBy — the
+    distributed histogram build (each executor bins locally, partial
+    counts merge)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(500000), F.lit(20)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

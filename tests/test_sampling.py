@@ -1,0 +1,76 @@
+"""Sampling operator semantics: determinism, per-stratum rates,
+reservoir exactness, salt independence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_samples_spark.operators import (
+    hash_sample,
+    reservoir_per_group,
+    stratified_sample,
+)
+from flink_samples_spark.sources.readers import load_table
+
+
+def test_hash_sample_reproducible_and_partition_invariant(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and len(a) > 0
+    # nested property: the 0.1 sample is a subset of the 0.3 sample
+    # (same hash, lower threshold) — lets pipelines grow a sample
+    # without resampling everything
+    c = {r.doc_id for r in hash_sample(docs, "doc_id", 0.1).select("doc_id").collect()}
+    assert c <= a
+
+
+def test_hash_sample_salts_are_independent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt=0).select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.5, salt=101).select("doc_id").collect()}
+    overlap = len(a & b) / max(len(a), 1)
+    # independent 50% samples overlap ~50%; identical ones 100%
+    assert 0.25 < overlap < 0.75
+    assert 0.3 * n < len(a) < 0.7 * n
+
+
+def test_stratified_sample_rates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fracs = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = stratified_sample(docs, "lang", fracs, seed=42)
+    got = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {
+        r.lang: r.n
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    # strata not in the dict are dropped entirely
+    assert set(got) <= set(fracs)
+    for lang, frac in fracs.items():
+        rate = got.get(lang, 0) / base[lang]
+        assert abs(rate - frac) < 0.25, f"{lang}: rate {rate} vs {frac}"
+    # seeded: rerun is identical
+    again = stratified_sample(docs, "lang", fracs, seed=42)
+    assert {r.doc_id for r in out.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
+
+
+def test_reservoir_exact_k_per_group(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    out = reservoir_per_group(ev, ["event_type"], "event_id", 5)
+    sizes = {r.event_type: r.n for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    base = {r.event_type: r.n for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    for et, n in base.items():
+        assert sizes[et] == min(5, n)
+    # deterministic across partitionings
+    again = reservoir_per_group(ev.repartition(9), ["event_type"], "event_id", 5)
+    assert {(r.event_id, r.event_type) for r in out.collect()} == {
+        (r.event_id, r.event_type) for r in again.collect()
+    }
