@@ -312,3 +312,46 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     return parallelize_narrow(hashed).mapInPandas(
         simhash_batch, "doc_id bigint, simhash bigint"
     )
+
+
+def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs → dedup groups:
+    (doc_id, group_id) with group_id = min doc_id in the component.
+    The step that turns pairwise similarity into an actionable keep/
+    drop decision (keep group_id, drop the rest).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds. Near-dup clusters are shallow
+    (diameter ≲ 5 even for big boilerplate families), so the loop is
+    a handful of self-terminating Spark jobs; each round is one join
+    + one groupBy (shuffle on node id), with ``localCheckpoint``
+    cutting the lineage so plans stay O(1) per round. Convergence is
+    detected by the monotone label-sum invariant (strictly decreases
+    until fixpoint) — one cheap agg per round, no full diff. For
+    graphs with genuinely deep chains, switch to the large-star/
+    small-star doubling variant (O(log d) rounds); not needed for
+    dedup workloads.
+    """
+    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = fwd.union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        prop = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            prop.union(labels).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        s = labels.agg(F.sum("label")).first()[0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("group_id"))

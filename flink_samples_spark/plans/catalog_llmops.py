@@ -335,3 +335,50 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "lang", fracs).select(
         "doc_id", "lang", "source"
     )
+
+
+# Connected components over the near-dup pair graph — the iterative
+# min-label loop on the Spark side, a recursive transitive-closure
+# CTE on the oracle side (tractable because near-dup clusters are
+# tiny at test scale).
+@query(
+    "q_dedup_groups",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+      FROM words
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), walk(node, label) AS (
+        SELECT src, src FROM edges
+      UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS group_id
+    FROM walk GROUP BY node
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (MinHash LSH, exact-verified) → transitive dedup
+    groups via iterative min-label connected components."""
+    from flink_samples_spark.llmops.dedup import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_components(minhash_lsh_pairs(docs, k=3, threshold=0.8))

@@ -94,3 +94,27 @@ def test_decode_features_deterministic_and_stub_gated(spark, sf_dir):
     assert a == b
     with pytest.raises(NotImplementedError):
         decode_features(media, codec="jpeg")
+
+
+def test_dedup_components_chain_and_determinism(spark):
+    """Min-label CC must propagate across multi-hop chains (diameter >
+    1), not just direct pairs; result is partition-invariant."""
+    import random
+
+    from flink_samples_spark.llmops.dedup import dedup_components
+
+    # chain 10-11-...-19 (diameter 9, forces several iterations) +
+    # star around 50 + singleton pair
+    pairs = [(i, i + 1) for i in range(10, 19)]
+    pairs += [(50, x) for x in (51, 52, 53)]
+    pairs += [(70, 71)]
+    random.Random(3).shuffle(pairs)
+    pdf = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    got = {
+        (r.doc_id, r.group_id)
+        for r in dedup_components(pdf.repartition(5)).collect()
+    }
+    want = {(i, 10) for i in range(10, 20)}
+    want |= {(x, 50) for x in (50, 51, 52, 53)}
+    want |= {(70, 70), (71, 70)}
+    assert got == want
