@@ -138,3 +138,44 @@ def q_sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE): generate the month calendar
+# spanning the order history and left-join order counts onto it —
+# months with zero orders survive (the series is generated, not
+# derived from the data).
+@query(
+    "q_sql_recursive",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+    )
+    SELECT m AS month_start,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM months
+    LEFT JOIN orders
+      ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+    GROUP BY m
+    """,
+)
+def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _view(spark, sf_dir, "orders", "sql_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < TIMESTAMP '2001-07-01 00:00:00'
+        )
+        SELECT m AS month_start,
+               COUNT(o_orderkey) AS n_orders
+        FROM months
+        LEFT JOIN sql_orders
+          ON date_trunc('month', o_orderdate) = m
+        GROUP BY m
+        """
+    )

@@ -91,3 +91,42 @@ def test_single_shuffle_for_keyed_session_window(plans):
 def test_topk_avoids_global_sort(plans):
     assert "TakeOrderedAndProject" in plans["q_topk"]
     assert "Sort " not in plans["q_topk"].split("TakeOrderedAndProject")[0]
+
+
+# ---- catalog-wide plan audit ------------------------------------------
+# Build (don't execute) every batch query's physical plan and reject
+# the two classic scale killers: row-at-a-time Python UDFs
+# (BatchEvalPython — everything here must be Arrow-vectorized) and
+# unintended cartesian products. Streaming catalog entries execute a
+# full replay when CALLED, so they are excluded (their plans are
+# covered by the streaming tests).
+_EXECUTING = {
+    "q_stream_dedup", "q_stream_tumbling", "q_stream_custom_sessionizer",
+    "q_stream_join", "q_late_data",
+    # iterative: runs jobs during construction (plan-audited via its
+    # component pieces)
+    "q_dedup_groups",
+    # driver-side kmeans sample during construction
+    "q_sim_topk_ivf",
+}
+# pair-scoring queries broadcast one side under a non-equi condition:
+# BroadcastNestedLoopJoin is their intended physical shape
+_NESTED_LOOP_OK = {
+    "q_join_range", "q_dedup_embedding", "q_sim_topk", "q_sim_topk_lsh",
+    "q_join_asof",  # range-free, but flags nothing: listed for clarity
+}
+
+
+def test_catalog_plans_have_no_scale_killers(spark, sf_dir):
+    bad = []
+    for name, fn in sorted(QUERIES.items()):
+        if name in _EXECUTING:
+            continue
+        p = plan_of(fn(spark, sf_dir), mode="simple")
+        if "BatchEvalPython" in p:
+            bad.append((name, "row-at-a-time Python UDF"))
+        if "CartesianProduct" in p:
+            bad.append((name, "cartesian product"))
+        if "BroadcastNestedLoopJoin" in p and name not in _NESTED_LOOP_OK:
+            bad.append((name, "unintended nested-loop join"))
+    assert not bad, f"scale killers in plans: {bad}"
