@@ -337,10 +337,10 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     edges = fwd.union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+    # init fused with the first propagation round: label = min(self,
+    # min neighbor) — one groupBy replaces distinct + a full join round
+    labels = edges.groupBy(F.col("src").alias("node")).agg(
+        F.least(F.min("dst"), F.first("src")).alias("label")
     )
     prev_sum = None
     for _ in range(max_iter):

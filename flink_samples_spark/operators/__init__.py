@@ -30,6 +30,7 @@ from flink_samples_spark.operators.sampling import (
     reservoir_per_group,
     stratified_sample,
 )
+from flink_samples_spark.operators.timeseries import resample_interpolate
 from flink_samples_spark.operators.time_windows import (
     session_window_agg,
     sliding_window_agg,
@@ -37,6 +38,7 @@ from flink_samples_spark.operators.time_windows import (
 )
 
 __all__ = [
+    "resample_interpolate",
     "stratified_sample",
     "reservoir_per_group",
     "hash_sample",

@@ -1,0 +1,95 @@
+"""Time-series resampling (SURVEY.md §2.11 tier X): fixed-interval
+bucketing with per-key gap fill and linear interpolation — the
+hypertable-style rollup a metrics/time-series workload needs.
+
+Plan shape (scale notes): one groupBy shuffle for the bucket
+aggregate; the per-key spine is generated JVM-side with
+``sequence()`` + ``explode`` (no driver loop, no cross join — each
+key's array is its own span only); gap values come from two windows
+over the SAME (key, bucket) ordering, so Catalyst runs them in one
+Window operator pass after one shuffle. Interpolation arithmetic is
+plain double math on whole-second epochs — deterministic across
+engines, so the operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Bucket ``value_col`` to ``interval_seconds`` (per-bucket
+    ``agg`` ∈ avg/max/min/sum), generate every bucket between each
+    key's first and last, and linearly interpolate interior gaps.
+
+    Cross-engine note: avg/sum accumulate doubles in engine-specific
+    order, so a rounded result can straddle a rounding boundary by
+    1 ulp — use max/min when the output must hash-match another
+    engine bit-for-bit (they select a raw input value, no
+    accumulation).
+
+    Output: (key, bucket, value, filled) — ``filled`` marks
+    interpolated rows."""
+    ivl = F.lit(int(interval_seconds))
+    bucket = F.timestamp_seconds(
+        (F.floor(F.col(ts_col).cast("double") / ivl) * ivl).cast("bigint")
+    )
+    agg_fn = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[agg]
+    agg_col = agg_fn(value_col)
+    if agg in ("avg", "sum"):
+        agg_col = F.round(agg_col, 6)
+    bucketed = df.groupBy(F.col(key), bucket.alias("bucket")).agg(agg_col.alias("v"))
+    spine = (
+        bucketed.groupBy(key)
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            key,
+            F.explode(
+                F.sequence(
+                    F.col("mn"),
+                    F.col("mx"),
+                    F.expr(f"INTERVAL {int(interval_seconds)} SECONDS"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    j = spine.join(bucketed, [key, "bucket"], "left")
+    w_prev = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy(key)
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_t = F.when(F.col("v").isNotNull(), F.col("bucket"))
+    prev_v = F.last("v", ignorenulls=True).over(w_prev)
+    prev_t = F.last(known_t, ignorenulls=True).over(w_prev)
+    next_v = F.first("v", ignorenulls=True).over(w_next)
+    next_t = F.first(known_t, ignorenulls=True).over(w_next)
+    # ((next-prev) * dt) / span — grouped exactly like SQL's left-to-
+    # right `a * b / c`. NO rounding: IEEE ops on identical operands
+    # in identical order are bit-exact across engines, while round()
+    # implementations (BigDecimal vs scaled-FP) disagree by 1 ulp on
+    # boundary values — the unrounded double is the more portable one
+    interp = (
+        prev_v
+        + ((next_v - prev_v) * (F.col("bucket").cast("double") - prev_t.cast("double")))
+        / (next_t.cast("double") - prev_t.cast("double"))
+    )
+    return j.select(
+        key,
+        "bucket",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias("value"),
+        F.col("v").isNull().alias("filled"),
+    )

@@ -382,3 +382,57 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dedup_components(minhash_lsh_pairs(docs, k=3, threshold=0.8))
+
+
+# Hypertable-style resample: hourly per-user buckets, gaps linearly
+# interpolated. The bucket aggregate is MAX — it selects a raw input
+# double (no accumulation order), so both engines interpolate
+# identical values; avg is the API default but accumulates in
+# engine-specific order (1-ulp straddle risk under value-hashing).
+@query(
+    "q_ts_resample",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+             to_timestamp(floor(epoch(ts) / 3600) * 3600) AS bucket,
+             max(value) AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(bucket) AS mn, max(bucket) AS mx
+      FROM agg GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM span
+    ), j AS (
+      SELECT s.user_id, s.bucket, a.v
+      FROM spine s LEFT JOIN agg a
+        ON a.user_id = s.user_id AND a.bucket = s.bucket
+    ), filled AS (
+      SELECT user_id, bucket, v,
+             last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER w_prev AS prev_t,
+             first_value(v IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN v IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER w_next AS next_t
+      FROM j
+      WINDOW w_prev AS (PARTITION BY user_id ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY user_id ORDER BY bucket
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(bucket AS TIMESTAMP) AS bucket,
+           CASE WHEN v IS NOT NULL THEN v
+                ELSE prev_v + (next_v - prev_v)
+                     * (epoch(bucket) - epoch(prev_t))
+                     / (epoch(next_t) - epoch(prev_t)) END AS value,
+           v IS NULL AS filled
+    FROM filled
+    """,
+)
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import resample_interpolate
+
+    ev = load_table(spark, sf_dir, "events")
+    return resample_interpolate(ev, "user_id", "ts", "value", 3600, agg="max")
