@@ -74,3 +74,38 @@ def test_reservoir_exact_k_per_group(spark, sf_dir):
     assert {(r.event_id, r.event_type) for r in out.collect()} == {
         (r.event_id, r.event_type) for r in again.collect()
     }
+
+
+def test_resample_interpolate_gap_semantics(spark):
+    """Crafted gaps: interior missing buckets are linearly
+    interpolated and flagged; present buckets pass through; each key's
+    spine spans exactly its own [first, last] bucket."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flink_samples_spark.operators import resample_interpolate
+
+    base = dt.datetime(2024, 1, 1)
+    h = lambda n: base + dt.timedelta(hours=n)
+    rows = [
+        # key 1: buckets 0, 3 → gaps at 1, 2 interpolated 10→40
+        (1, h(0), 10.0),
+        (1, h(3), 40.0),
+        # key 2: single bucket → no gaps
+        (2, h(5), 7.0),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["k", "ts", "v"])
+    )
+    out = {
+        (r.k, r.bucket): (r.value, r.filled)
+        for r in resample_interpolate(df, "k", "ts", "v", 3600).collect()
+    }
+    assert out == {
+        (1, h(0)): (10.0, False),
+        (1, h(1)): (20.0, True),
+        (1, h(2)): (30.0, True),
+        (1, h(3)): (40.0, False),
+        (2, h(5)): (7.0, False),
+    }
