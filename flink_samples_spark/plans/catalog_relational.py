@@ -1127,3 +1127,18 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("o_totalprice", 2).over(wfull).alias("second_price"),
     )
+
+
+# approx_percentile's sketch is engine-internal → rows-only for the
+# driver; tests/test_properties.py bounds its error against the exact
+# percentile.
+@query("q_agg_approx_quantile")
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (approx_percentile) — the 100 TB
+    path where exact percentile's per-group sort is unaffordable.
+    accuracy=10000 → ~0.01% rank error, constant memory per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95"),
+    )

@@ -79,3 +79,23 @@ def test_set_ops_match_python_sets(spark, a, b):
     assert {r.v for r in da.intersect(db).collect()} == (set(a) & set(b))
     assert {r.v for r in da.subtract(db).collect()} == (set(a) - set(b))
     assert {r.v for r in da.unionByName(db).distinct().collect()} == (set(a) | set(b))
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """Sketch accuracy: approx p50/p95 within 1% (relative) of the
+    exact interpolated percentile per group."""
+    from flink_samples_spark.plans import QUERIES
+
+    approx = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in QUERIES["q_agg_approx_quantile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: (r.p50, r.p95)
+        for r in QUERIES["q_agg_percentile"](spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (a50, a95) in approx.items():
+        e50, e95 = exact[flag]
+        assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
+        assert abs(a95 - e95) / e95 < 0.01, (flag, a95, e95)
