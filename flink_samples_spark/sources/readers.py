@@ -134,3 +134,20 @@ def read_json_lines(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV source with an explicit DDL schema (schema inference scans
+    the data twice and guesses — at 100 TB always declare). Without
+    ``schema``, falls back to inference for ad-hoc exploration."""
+    r = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        r = r.schema(schema)
+    else:
+        r = r.option("inferSchema", "true")
+    return r.csv(path)

@@ -69,3 +69,13 @@ def streaming_file_sink(df: DataFrame, path: str, checkpoint: str, fmt: str = "p
         .outputMode("append")
         .start()
     )
+
+
+def write_csv(
+    df: DataFrame, path: str, mode: str = "overwrite", header: bool = True
+) -> None:
+    """CSV row-format sink (the reference's row-format file sink
+    family, FileSink.forRowFormat — DataStreamJob.java writes
+    row-formatted output files). Timestamps serialize ISO-8601;
+    readers recover types via an explicit schema."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)

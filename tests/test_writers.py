@@ -3,6 +3,7 @@ sink family, DataStreamJob.java:51-59)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -71,3 +72,25 @@ def test_jsonlines_gzip_read(spark, tmp_path):
     df = read_json_lines(spark, p)
     assert df.count() == 10
     assert df.schema.simpleString() == "struct<my_field1:bigint,my_field2:bigint,my_field3:string>"
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, outdir):
+    """CSV writer → schema'd reader: values and types survive the
+    text round-trip (timestamps included)."""
+    from flink_samples_spark.sources.readers import load_table, read_csv
+    from flink_samples_spark.sources.writers import write_csv
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    path = os.path.join(outdir, "orders_csv")
+    write_csv(o, path)
+    back = read_csv(
+        spark,
+        path,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double, o_orderdate timestamp_ntz",
+    )
+    assert back.schema.simpleString() == o.schema.simpleString()
+    a = sorted(o.collect())
+    b = sorted(back.collect())
+    assert a == b
