@@ -19,6 +19,7 @@ from flink_samples_spark.operators.analytic import (
 from flink_samples_spark.operators.joins import (
     anti_join,
     as_of_join,
+    banded_range_join,
     broadcast_join,
     range_join,
     semi_join,
@@ -38,6 +39,7 @@ from flink_samples_spark.operators.time_windows import (
 )
 
 __all__ = [
+    "banded_range_join",
     "resample_interpolate",
     "stratified_sample",
     "reservoir_per_group",

@@ -162,3 +162,48 @@ def as_of_join(
             *[F.when(within, F.col(c)).alias(c) for c in fill_cols],
         )
     return out.drop("__tag")
+
+
+def banded_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_point: str,
+    delta_seconds: float,
+) -> DataFrame:
+    """Pairs (l, r) with ``|l.left_point - r.right_point| ≤ delta``
+    (timestamp columns) — WITHOUT a nested-loop join.
+
+    The banding rewrite this module's docstring promises: bucket the
+    time axis at ``delta`` width; a right row can only match left
+    rows in its own or an adjacent bucket, so replicating each right
+    row to the (≤2 distinct) buckets its ``±delta`` window overlaps
+    turns the range condition into an EQUI-join on bucket + a
+    residual filter. Physical plan: shuffle/broadcast hash join —
+    O(n) state instead of the O(n·m) scan a
+    BroadcastNestedLoopJoin pays. Replication factor is exactly the
+    windows-per-bucket overlap (≤2 here), independent of data size:
+    the plan survives 100 TB where the nested loop cannot.
+
+    Each right row lands in each overlapped bucket ONCE
+    (array_distinct), and a left row has exactly one bucket, so no
+    pair-dedup pass is needed.
+    """
+    w = float(delta_seconds)
+    lb = F.floor(F.col(left_point).cast("double") / F.lit(w)).alias("__bucket")
+    r_lo = F.floor((F.col(right_point).cast("double") - w) / F.lit(w))
+    r_hi = F.floor((F.col(right_point).cast("double") + w) / F.lit(w))
+    l = left.select("*", lb)
+    r = right.select(
+        "*",
+        F.explode(F.array_distinct(F.array(r_lo, r_hi, F.floor(F.col(right_point).cast("double") / F.lit(w))))).alias(
+            "__bucket"
+        ),
+    )
+    out = l.join(r, "__bucket").filter(
+        F.abs(
+            F.col(left_point).cast("double") - F.col(right_point).cast("double")
+        )
+        <= w
+    )
+    return out.drop("__bucket")

@@ -1234,3 +1234,27 @@ def q_pipeline_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
+
+
+@query(
+    "q_join_band",
+    oracle="""
+    SELECT a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON abs(epoch(a.ts) - epoch(b.ts)) <= 1.0
+     AND a.event_id < b.event_id
+    """,
+)
+def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (co-occurrence within ±1 s, NO equi key)
+    executed as an equi-join via the banding rewrite — the plan a
+    nested loop can't deliver at scale (operators.joins.
+    banded_range_join; the plan-audit test asserts no
+    BroadcastNestedLoopJoin)."""
+    from flink_samples_spark.operators import banded_range_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    a = ev.select(F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a"))
+    b = ev.select(F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
+    out = banded_range_join(a, b, "ts_a", "ts_b", 1.0)
+    return out.filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
