@@ -93,3 +93,23 @@ def zscore_applyinpandas(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         zscore, "event_id bigint, user_id bigint, z double"
     )
+
+
+def priority_label_arrow_udf(orders: DataFrame) -> DataFrame:
+    """Spark 4 Arrow-optimized Python UDF (``useArrow=True``): scalar
+    Python logic without the row-at-a-time pickle path — batches move
+    as Arrow arrays (ArrowEvalPython in the plan, not the
+    BatchEvalPython the plan-audit test bans). Still slower than
+    built-ins or pandas_udf for numeric work; the right tool when the
+    logic is genuinely per-value Python (string munging, lookups)."""
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def label(status: str, price: float) -> str:
+        tier = "big" if price >= 200000 else "small"
+        return f"{status.lower()}:{tier}"
+
+    return orders.select(
+        "o_orderkey",
+        label("o_orderstatus", "o_totalprice").alias("order_label"),
+    )

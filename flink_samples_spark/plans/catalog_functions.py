@@ -317,3 +317,20 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return zscore_applyinpandas(ev)
+
+
+@query(
+    "q_udf_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           lower(o_orderstatus) || ':' ||
+           CASE WHEN o_totalprice >= 200000 THEN 'big' ELSE 'small' END
+             AS order_label
+    FROM orders
+    """,
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.functions.udfs import priority_label_arrow_udf
+
+    o = load_table(spark, sf_dir, "orders")
+    return priority_label_arrow_udf(o)
