@@ -1258,3 +1258,29 @@ def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = ev.select(F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b"))
     out = banded_range_join(a, b, "ts_a", "ts_b", 1.0)
     return out.filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the DataFrame API (Spark 4
+    ``groupingSets``) — one pass over the fact table expands to the
+    declared grouping combinations (same partial→final shape as
+    rollup/cube, not one scan per set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
