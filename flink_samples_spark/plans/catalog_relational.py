@@ -1284,3 +1284,39 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("l_quantity"), 2).alias("qty"),
     )
+
+
+@query(
+    "q_join_asof_fwd",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts AS asof_ts, max(value) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.click_ts, p.asof_ts, p.p_value
+    FROM clicks c
+    ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.click_ts <= p.asof_ts
+    """,
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the same user's FIRST
+    purchase at-or-after it (attribution direction). Same union +
+    running-first plan, one shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    return as_of_join(
+        clicks, purch, "user_id", left_ts="click_ts", right_ts="ts",
+        payload=["p_value"], direction="forward",
+    ).select("event_id", "user_id", "click_ts", "asof_ts", "p_value")
