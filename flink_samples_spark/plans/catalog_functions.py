@@ -334,3 +334,31 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return priority_label_arrow_udf(o)
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(l_orderkey & 255 AS BIGINT)  AS k_and,
+           CAST(l_orderkey | 4096 AS BIGINT) AS k_or,
+           CAST(xor(l_orderkey, CAST(l_linenumber AS BIGINT)) AS BIGINT) AS k_xor,
+           CAST(CAST(l_linenumber AS BIGINT) << 4 AS BIGINT) AS ln_shl,
+           CAST(l_orderkey >> 3 AS BIGINT)   AS k_shr,
+           CAST(bit_count(l_orderkey) AS INT) AS k_bits
+    FROM lineitem
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function family (&, |, ^, shifts, popcount) — the bit
+    twiddling partition/bucket/bloom logic is built from."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.expr("l_orderkey & 255").alias("k_and"),
+        F.expr("l_orderkey | 4096").alias("k_or"),
+        F.expr("l_orderkey ^ CAST(l_linenumber AS BIGINT)").alias("k_xor"),
+        F.expr("shiftleft(CAST(l_linenumber AS BIGINT), 4)").alias("ln_shl"),
+        F.expr("shiftright(l_orderkey, 3)").alias("k_shr"),
+        F.bit_count("l_orderkey").alias("k_bits"),
+    )
