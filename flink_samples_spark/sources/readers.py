@@ -151,3 +151,9 @@ def read_csv(
     else:
         r = r.option("inferSchema", "true")
     return r.csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC columnar source (vectorized reader + pushdown are Spark
+    defaults, as with parquet)."""
+    return spark.read.orc(path)

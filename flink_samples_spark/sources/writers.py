@@ -79,3 +79,9 @@ def write_csv(
     row-formatted output files). Timestamps serialize ISO-8601;
     readers recover types via an explicit schema."""
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC columnar sink — same predicate-pushdown/column-pruning
+    story as parquet for deployments standardized on ORC."""
+    df.write.mode(mode).orc(path)

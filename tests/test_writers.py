@@ -94,3 +94,26 @@ def test_csv_roundtrip_with_schema(spark, sf_dir, outdir):
     a = sorted(o.collect())
     b = sorted(back.collect())
     assert a == b
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, outdir):
+    """ORC round-trip preserves values; filters push to the ORC scan."""
+    import contextlib
+    import io
+
+    from flink_samples_spark.sources.readers import load_table, read_orc
+    from flink_samples_spark.sources.writers import write_orc
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = os.path.join(outdir, "orders_orc")
+    write_orc(o, path)
+    back = read_orc(spark, path)
+    assert sorted(o.collect()) == sorted(back.collect())
+    filtered = back.filter(F.col("o_totalprice") > 300000)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        filtered.explain(mode="formatted")
+    assert "PushedFilters: [" in buf.getvalue()
+    assert "GreaterThan(o_totalprice" in buf.getvalue()
