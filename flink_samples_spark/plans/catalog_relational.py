@@ -1320,3 +1320,24 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purch, "user_id", left_ts="click_ts", right_ts="ts",
         payload=["p_value"], direction="forward",
     ).select("event_id", "user_id", "click_ts", "asof_ts", "p_value")
+
+
+# Mergeable distinct-count sketches (Spark 4 datasketches HLL): the
+# 100 TB pattern where per-partition/per-day sketches are stored and
+# UNIONED later instead of re-scanning raw data. Estimates are
+# implementation-specific → rows-only for the driver; pytest bounds
+# the error against exact COUNT DISTINCT.
+@query("q_agg_hll_sketch")
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag HLL sketches of the supplier set, unioned into a
+    global estimate — sketch build, merge, and estimate in one plan
+    (hll_sketch_agg → hll_union_agg → hll_sketch_estimate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_suppkey", F.lit(14)).alias("sk")
+    )
+    return per_flag.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
+            "approx_suppliers"
+        )
+    )

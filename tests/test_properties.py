@@ -99,3 +99,19 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         e50, e95 = exact[flag]
         assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
         assert abs(a95 - e95) / e95 < 0.01, (flag, a95, e95)
+
+
+def test_hll_sketch_union_estimate_accuracy(spark, sf_dir):
+    """Union of per-group HLL sketches estimates the GLOBAL distinct
+    count within HLL's error bound (lgK=14 → ~1% rse; allow 3%)."""
+    from flink_samples_spark.plans import QUERIES
+    from flink_samples_spark.sources.readers import load_table
+
+    est = QUERIES["q_agg_hll_sketch"](spark, sf_dir).first()[0]
+    exact = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) / exact < 0.03, (est, exact)
