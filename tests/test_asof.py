@@ -125,3 +125,36 @@ def test_payload_collision_raises(frames):
     left, right = frames
     with pytest.raises(ValueError):
         as_of_join(left, right.withColumnRenamed("rv", "lv"), "k")
+
+
+def test_banded_range_join_boundaries(spark):
+    """Pairs at EXACTLY the band width are kept (<=), pairs one µs
+    past are dropped, and matches across a bucket edge are found."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from flink_samples_spark.operators import banded_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    s = lambda sec: base + dt.timedelta(seconds=sec)
+    left = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3], "ts_a": [s(10.0), s(20.0), s(99.5)]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_b": [10, 11, 12, 13],
+                # 10: exactly +1.0 from l1 (kept); 11: +1.000001 from l1
+                # (dropped); 12: crosses the floor(t/1.0) bucket edge
+                # from l3 (99.5 → 100.2, different buckets, kept);
+                # 13: far away (dropped)
+                "ts_b": [s(11.0), s(11.000001), s(100.2), s(50.0)],
+            }
+        )
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in banded_range_join(left, right, "ts_a", "ts_b", 1.0).collect()
+    }
+    assert got == {(1, 10), (3, 12)}
