@@ -142,3 +142,53 @@ def test_custom_sessionizer_matches_builtin(spark, tmpdirs):
         ).collect()
     }
     assert got == expected
+
+
+def test_custom_sessionizer_checkpoint_restart(spark, tmpdirs):
+    """The custom stateful operator must survive a stop/restart: an
+    OPEN session checkpointed in run 1 is extended by run-2 data (not
+    restarted), and already-emitted sessions are not re-emitted."""
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+
+    def write(chunk, rows, seq):
+        p = os.path.join(replay, f"{chunk}.parquet")
+        pd.DataFrame(
+            {"user_id": [r[0] for r in rows], "ts": [r[1] for r in rows],
+             "value": [r[2] for r in rows]}
+        ).to_parquet(p, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+        os.utime(p, (1_700_000_000 + seq,) * 2)
+
+    def run():
+        stream = file_replay_stream(spark, replay, SCHEMA)
+        out = sessionize_with_state(stream, gap_seconds=5, watermark="10 seconds")
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    # run 1: user 1 session closed by a later event's watermark; user 2
+    # session still OPEN (nothing past its gap yet)
+    write("c000", [(1, s(0), 1.0), (1, s(2), 1.0)], 0)
+    write("c001", [(2, s(100), 5.0)], 1)
+    run()
+    # run 2 (same checkpoint): user 2's open session is EXTENDED
+    # in-gap, then the sentinel's watermark flushes everything
+    write("c002", [(2, s(103), 7.0)], 2)
+    write("c003", [(-1, SENT, 0.0)], 3)
+    run()
+
+    got = {}
+    for r in read_sink(spark, sink).collect():
+        if r.user_id >= 0:
+            key = (r.user_id, r.window_start)
+            assert key not in got, f"duplicate emission for {key}"
+            got[key] = (r.total, r.sum_value, r.window_end)
+    assert got == {
+        (1, s(0)): (2, 2.0, s(7)),
+        (2, s(100)): (2, 12.0, s(108)),  # extended ACROSS the restart
+    }
