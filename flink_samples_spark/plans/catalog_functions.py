@@ -362,3 +362,68 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(l_orderkey, 3)").alias("k_shr"),
         F.bit_count("l_orderkey").alias("k_bits"),
     )
+
+
+# ANSI-safe arithmetic: Spark 4 runs ANSI mode (overflow/div-0 THROW);
+# the try_ family returns NULL instead — the survival kit for dirty
+# data at scale. The oracle spells out the same null semantics.
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(l_quantity / (l_linenumber - 1) AS DOUBLE)
+           END AS qty_per_prev,
+           CASE WHEN l_quantity BETWEEN -128 AND 127
+                THEN CAST(l_quantity AS TINYINT) ELSE NULL
+           END AS qty_i8,
+           CASE WHEN l_shipdate IS NULL THEN NULL
+                ELSE CAST(l_shipdate AS DATE) END AS ship_day
+    FROM lineitem
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_quantity"), F.col("l_linenumber") - 1).alias(
+            "qty_per_prev"
+        ),
+        F.col("l_quantity").try_cast("tinyint").alias("qty_i8"),
+        F.col("l_shipdate").try_cast("date").alias("ship_day"),
+    )
+
+
+@query(
+    "q_fn_array2",
+    oracle="""
+    SELECT vec_id,
+           list_sort(CAST(embedding[1:4] AS DOUBLE[])) AS head_sorted,
+           CAST(list_position(list_transform(embedding, x -> x > 0),
+                              true) AS INT) AS first_pos_idx,
+           list_contains(list_transform(embedding, x -> x > 0.25),
+                         true) AS has_big,
+           round(list_sum(CAST(list_reverse(
+                 CAST(embedding[1:3] AS DOUBLE[])) AS DOUBLE[])), 4)
+             AS rev_head_sum
+    FROM embeddings
+    """,
+)
+def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    dbl_head = F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double"))
+    rev3 = F.reverse(F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")))
+    return e.select(
+        "vec_id",
+        F.sort_array(dbl_head).alias("head_sorted"),
+        F.array_position(
+            F.transform("embedding", lambda x: x > 0), F.lit(True)
+        ).cast("int").alias("first_pos_idx"),
+        F.array_contains(
+            F.transform("embedding", lambda x: x > 0.25), F.lit(True)
+        ).alias("has_big"),
+        F.round(
+            F.aggregate(rev3, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("rev_head_sum"),
+    )
