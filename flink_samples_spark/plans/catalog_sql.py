@@ -179,3 +179,31 @@ def q_sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@query(
+    "q_sql_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rnk FROM (
+      SELECT o_custkey, o_orderkey,
+             rank() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders
+    ) WHERE rnk <= 2
+    """,
+)
+def q_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window through the SQL parser (OVER + partition +
+    multi-key ordering + rank filter) — the SQL twin of the
+    DataFrame-API top-k-per-group."""
+    _view(spark, sf_dir, "orders", "sql_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, rnk FROM (
+          SELECT o_custkey, o_orderkey,
+                 rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM sql_orders
+        ) WHERE rnk <= 2
+        """
+    )
