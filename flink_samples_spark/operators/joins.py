@@ -117,6 +117,12 @@ def as_of_join(
     clash = (set(rpay) | {matched_ts_col}) & set(left.columns)
     if clash:
         raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+    internal = {"__ts", "__tag"} & (set(left.columns) | set(right.columns))
+    if internal:
+        raise ValueError(
+            f"inputs may not contain the internal columns {sorted(internal)}: "
+            "rename them before as_of_join"
+        )
 
     r = (
         right.filter(F.col(right_ts).isNotNull())

@@ -70,7 +70,14 @@ def reservoir_per_group(
 ) -> DataFrame:
     """Exactly min(k, |group|) rows per group, chosen uniformly by
     deterministic hash rank — the distributed form of per-class
-    reservoir sampling (caps any one class of a skewed corpus)."""
+    reservoir sampling (caps any one class of a skewed corpus).
+
+    ``key`` must be unique within each group for the selection to be
+    fully deterministic: rows sharing a ``key`` value tie on the whole
+    (hash, key) ordering, and which of them ranks inside the top-k then
+    depends on partition/sort order. With a unique key (the usual
+    document-id case) the output is a pure function of (key, salt, k).
+    """
     out = topk_per_group(
         df,
         list(group_by),

@@ -320,12 +320,32 @@ def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# HLL++ sketch — no exact oracle; the pytest suite asserts ≤5% relative
-# error vs exact COUNT(DISTINCT), the driver records rows-only.
-@query("q_agg_approx_distinct")
+# HLL++ sketch, made oracle-checkable by construction: the query emits
+# a within-tolerance BOOLEAN comparing approx_count_distinct (rsd=0.05)
+# against the exact count in the SAME plan, and the oracle asserts the
+# invariant (`TRUE`) rather than the estimate.  Tolerance is 4×rsd
+# (≈4σ, miss probability ~6e-5) with a small absolute floor for tiny
+# groups.
+@query(
+    "q_agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag, TRUE AS within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return approx_count_distinct_agg(li, ["l_returnflag"], "l_partkey", "approx_parts")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.05).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    tol = F.greatest(F.col("exact_parts") * F.lit(0.20), F.lit(4.0))
+    return agg.select(
+        "l_returnflag",
+        (F.abs(F.col("approx_parts") - F.col("exact_parts")) <= tol).alias(
+            "within_tol"
+        ),
+    )
 
 
 @query(
@@ -1132,15 +1152,33 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_percentile's sketch is engine-internal → rows-only for the
 # driver; tests/test_properties.py bounds its error against the exact
 # percentile.
-@query("q_agg_approx_quantile")
+@query(
+    "q_agg_approx_quantile",
+    oracle="""
+    SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p95_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (approx_percentile) — the 100 TB
     path where exact percentile's per-group sort is unaffordable.
-    accuracy=10000 → ~0.01% rank error, constant memory per group."""
+    accuracy=10000 → ~0.01% rank error, constant memory per group.
+
+    Oracle-checkable by construction: the sketch value and the exact
+    interpolated percentile are computed in the SAME aggregate, and the
+    query emits within-1%-relative booleans; the oracle asserts the
+    invariant (`TRUE`)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
         F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("p95"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e50"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("e95"),
+    )
+    return agg.select(
+        "l_returnflag",
+        (F.abs(F.col("p50") - F.col("e50")) / F.col("e50") < 0.01).alias("p50_ok"),
+        (F.abs(F.col("p95") - F.col("e95")) / F.col("e95") < 0.01).alias("p95_ok"),
     )
 
 
@@ -1327,17 +1365,35 @@ def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
 # UNIONED later instead of re-scanning raw data. Estimates are
 # implementation-specific → rows-only for the driver; pytest bounds
 # the error against exact COUNT DISTINCT.
-@query("q_agg_hll_sketch")
+@query("q_agg_hll_sketch", oracle="SELECT TRUE AS within_tol")
 def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-returnflag HLL sketches of the supplier set, unioned into a
     global estimate — sketch build, merge, and estimate in one plan
-    (hll_sketch_agg → hll_union_agg → hll_sketch_estimate)."""
+    (hll_sketch_agg → hll_union_agg → hll_sketch_estimate).
+
+    Oracle-checkable by construction: the union estimate is joined
+    (broadcast, constant key → single-row hash join) against the exact
+    global COUNT DISTINCT and emitted as a within-5%-relative boolean
+    (lgConfigK=14 → ~0.8% rse, so 5% is >6σ); the oracle asserts the
+    invariant (`TRUE`)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_flag = li.groupBy("l_returnflag").agg(
         F.hll_sketch_agg("l_suppkey", F.lit(14)).alias("sk")
     )
-    return per_flag.agg(
+    est = per_flag.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias(
             "approx_suppliers"
         )
+    ).withColumn("k", F.lit(1))
+    exact = (
+        li.agg(F.countDistinct("l_suppkey").alias("exact_suppliers"))
+        .withColumn("k", F.lit(1))
+    )
+    joined = est.join(F.broadcast(exact), "k")
+    return joined.select(
+        (
+            F.abs(F.col("approx_suppliers") - F.col("exact_suppliers"))
+            / F.col("exact_suppliers")
+            < 0.05
+        ).alias("within_tol")
     )

@@ -101,6 +101,63 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     return df
 
 
+# Spark Cassandra Connector's DSv2 format name (public, from the
+# spark-cassandra-connector project). The jar is NOT present in this
+# sandbox; the seam exists so a user coming from the reference's
+# Cassandra source (CassandraPojoSource.java:57-63) can point the same
+# constructor at a live cluster by flipping ``fmt``.
+CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+
+
+class SourceSpec:
+    """Format-parameterized bounded source (default parquet).
+
+    The reference's bounded source is a Cassandra POJO scan
+    (``CassandraPojoSource.java:57-63``, ``select * from test.pojo``
+    split by 15 MiB); this sandbox has no Cassandra, so the default
+    format is a parquet scan with the same split-by-bytes behavior
+    (``spark.sql.files.maxPartitionBytes``) plus predicate/column
+    pushdown. ``SourceSpec("cassandra", keyspace=..., table=...)``
+    plumbs the connector options; loading it without the connector
+    jar raises a clear error instead of a raw JVM stack.
+    """
+
+    def __init__(self, fmt: str = "parquet", path: str | None = None, **options: str):
+        self.fmt = fmt
+        self.path = path
+        self.options = dict(options)
+
+    def reader_options(self) -> dict[str, str]:
+        """The exact option map handed to the DataFrameReader —
+        unit-testable without a live cluster."""
+        if self.fmt == "cassandra":
+            missing = {"keyspace", "table"} - set(self.options)
+            if missing:
+                raise ValueError(f"cassandra source needs options: {sorted(missing)}")
+        return dict(self.options)
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        opts = self.reader_options()
+        if self.fmt == "parquet":
+            if not self.path:
+                raise ValueError("parquet source needs a path")
+            return scan_parquet(spark, self.path)
+        if self.fmt == "cassandra":
+            try:
+                return (
+                    spark.read.format(CASSANDRA_FORMAT).options(**opts).load()
+                )
+            except Exception as ex:  # pragma: no cover - jar absent here
+                raise RuntimeError(
+                    "Cassandra connector jar (com.datastax.spark:"
+                    "spark-cassandra-connector) is not on the classpath in "
+                    "this sandbox; add it via spark.jars.packages to read "
+                    f"{opts.get('keyspace')}.{opts.get('table')} live"
+                ) from ex
+        reader = spark.read.format(self.fmt).options(**opts)
+        return reader.load(self.path) if self.path else reader.load()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return scan_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
 

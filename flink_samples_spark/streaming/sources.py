@@ -55,9 +55,12 @@ def pojo_stream_with_lateness(
     10th record's event time is shifted 1-10 s into the past
     (deterministically from the id, vs. the reference's Random)."""
     base = rate_stream(spark, rows_per_second)
-    # % 10 + 1 spans the full documented 1-10 s range
+    # which records are late: every 10th (value % 10 == 9); how late:
+    # the NEXT digit up (value div 10 % 10 + 1) spans the full 1-10 s
+    # range independently of the selection digit
     late_secs = F.when(
-        F.col("value") % 10 == 9, (F.col("value") % 10 + 1).cast("double")
+        F.col("value") % 10 == 9,
+        (F.expr("value div 10") % 10 + 1).cast("double"),
     ).otherwise(F.lit(0.0))
     return base.select(
         F.col("value").alias("id"),
@@ -74,6 +77,15 @@ def write_replay_files(
     watermark/late-data/restart tests (SURVEY.md §5.3)."""
     out_dir = out_dir or tempfile.mkdtemp(prefix="replay_")
     os.makedirs(out_dir, exist_ok=True)
+    # Test harness only: materializes on the driver. Refuse big inputs
+    # rather than dying slowly — at scale, write sorted chunks with
+    # Spark itself (df.repartitionByRange(order_col).write...).
+    n_rows = df.count()
+    if n_rows > 5_000_000:
+        raise ValueError(
+            f"write_replay_files is a driver-side test harness; got {n_rows} "
+            "rows (>5M). Use a Spark-native sorted write for large replays."
+        )
     pdf = df.orderBy(order_col).toPandas()
     n = len(pdf)
     per = max(n // n_files, 1)

@@ -114,6 +114,10 @@ _EXECUTING = {
 _NESTED_LOOP_OK = {
     "q_join_range", "q_dedup_embedding", "q_sim_topk", "q_sim_topk_lsh",
     "q_join_asof",  # range-free, but flags nothing: listed for clarity
+    # single-row × single-row combine (approx vs exact global distinct):
+    # the constant join key folds away, leaving a 1×1 broadcast nested
+    # loop — O(1) at any scale
+    "q_agg_hll_sketch",
 }
 
 

@@ -1,0 +1,90 @@
+"""Driver-window allocation tests.
+
+The driver's CORRECTNESS gate hash-checks exactly the first 50 entries
+of ``__spark_entry__.queries()`` in iteration order (verified round 1).
+These tests pin the contract: the priority list fills all 50 slots with
+oracle-backed queries and covers every SURVEY §2 operator family, so
+no family can silently fall out of the driver's window again.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+from flink_samples_spark.plans import (
+    DRIVER_PRIORITY,
+    ORACLES,
+    QUERIES,
+    ordered_oracles,
+    ordered_queries,
+)
+
+WINDOW = 50
+
+# ≥1 representative per SURVEY §2 family that MUST sit inside the
+# driver's 50-slot window.
+FAMILY_REPRESENTATIVES = {
+    "2.1 sources": {"q_scan_parquet", "q_source_range", "q_scan_json"},
+    "2.2 projections/filters": {"q_project", "q_filter"},
+    "2.3 joins": {"q_join_broadcast", "q_join_smj"},
+    "2.4 aggregations": {"q_agg_count_group", "q_agg_approx_distinct"},
+    "2.5 analytic windows": {"q_win_rank", "q_win_laglead"},
+    "2.6 top-k": {"q_topk", "q_topk_per_group"},
+    "2.7 set ops": {"q_union_all", "q_except"},
+    "2.8 scalar functions": {
+        "q_fn_string",
+        "q_fn_date",
+        "q_fn_math",
+        "q_fn_null",
+        "q_fn_array",
+        "q_fn_map",
+        "q_fn_json",
+    },
+    "2.9 time windows": {"q_session_window", "q_tumbling_window"},
+    "2.9 real streaming": {"q_stream_dedup", "q_stream_tumbling"},
+    "2.10 UDFs": {"q_udf_scalar", "q_udaf", "q_udtf"},
+    "tier X": {"q_dedup_exact", "q_dedup_near", "q_sim_topk", "q_text_stats"},
+    "SQL entry": {"q_sql_session_window"},
+}
+
+
+def test_priority_fills_the_window_exactly():
+    assert len(DRIVER_PRIORITY) == WINDOW
+    assert len(set(DRIVER_PRIORITY)) == WINDOW, "duplicates in DRIVER_PRIORITY"
+
+
+def test_priority_names_are_registered_and_oracle_backed():
+    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    assert not missing, f"priority names not registered: {missing}"
+    # A rows-only query in the window wastes a slot (shows as err:
+    # no_oracle in CORRECTNESS): every slot must carry an oracle.
+    no_oracle = [n for n in DRIVER_PRIORITY if n not in ORACLES]
+    assert not no_oracle, f"priority names without oracle: {no_oracle}"
+
+
+def test_window_covers_every_family():
+    window = set(DRIVER_PRIORITY)
+    uncovered = {
+        fam: reps for fam, reps in FAMILY_REPRESENTATIVES.items() if not reps & window
+    }
+    assert not uncovered, f"families with no slot in the driver window: {uncovered}"
+
+
+def test_ordered_queries_puts_priority_first_and_loses_nothing():
+    ordered = ordered_queries()
+    assert list(ordered)[:WINDOW] == list(DRIVER_PRIORITY)
+    assert set(ordered) == set(QUERIES)
+    assert set(ordered_oracles()) == set(ORACLES)
+
+
+def test_spark_entry_exposes_priority_order():
+    """__spark_entry__.queries() — the dict the driver actually
+    iterates — must lead with DRIVER_PRIORITY."""
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "__spark_entry__.py")
+    spec = importlib.util.spec_from_file_location("spark_entry_under_test", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert list(mod.queries())[:WINDOW] == list(DRIVER_PRIORITY)
+    oracles = mod.oracle_sql()
+    assert all(n in oracles for n in DRIVER_PRIORITY)

@@ -1,0 +1,134 @@
+"""Cassandra format seam (readers.SourceSpec / sinks.idempotent_sink)
+and the live job-runner CLI (run_job), per the reference's bounded
+Cassandra source (CassandraPojoSource.java:57-63), streaming sink
+(CassandraPojoSinkStreaming.java:70-79), and run-forever entry points
+(DataStreamJob.java:45-60). No live Cassandra exists in this sandbox:
+the seam tests exercise the OPTION PLUMBING and the clear-error path;
+the runner tests start and stop each live job within seconds.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from flink_samples_spark.sources.readers import SourceSpec, scan_parquet
+from flink_samples_spark.streaming.sinks import (
+    idempotent_parquet_sink,
+    idempotent_sink,
+    read_sink,
+)
+
+
+# ------------------------------------------------------------- seam ----
+def test_sourcespec_parquet_default_matches_scan(spark, sf_dir):
+    path = os.path.join(sf_dir, "nation.parquet")
+    spec = SourceSpec(path=path)
+    assert spec.fmt == "parquet"
+    got = spec.load(spark)
+    assert got.count() == scan_parquet(spark, path).count()
+    assert got.columns == scan_parquet(spark, path).columns
+
+
+def test_sourcespec_cassandra_option_plumbing():
+    spec = SourceSpec("cassandra", keyspace="test", table="pojo")
+    assert spec.reader_options() == {"keyspace": "test", "table": "pojo"}
+    # extra connector knobs pass through untouched
+    spec2 = SourceSpec(
+        "cassandra",
+        keyspace="test",
+        table="pojo",
+        **{"spark.cassandra.input.split.sizeInMB": "15"},
+    )
+    assert spec2.reader_options()["spark.cassandra.input.split.sizeInMB"] == "15"
+
+
+def test_sourcespec_cassandra_requires_keyspace_and_table():
+    with pytest.raises(ValueError, match="keyspace"):
+        SourceSpec("cassandra", table="pojo").reader_options()
+    with pytest.raises(ValueError, match="table"):
+        SourceSpec("cassandra", keyspace="test").reader_options()
+
+
+def test_sourcespec_cassandra_without_jar_raises_clear_error(spark):
+    spec = SourceSpec("cassandra", keyspace="test", table="pojo")
+    with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
+        spec.load(spark)
+
+
+def test_sourcespec_parquet_requires_path(spark):
+    with pytest.raises(ValueError, match="path"):
+        SourceSpec().load(spark)
+
+
+def test_idempotent_sink_parquet_matches_legacy(spark, tmp_path):
+    df = spark.range(10).toDF("id")
+    legacy_dir, new_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    idempotent_parquet_sink(legacy_dir)(df, 0)
+    idempotent_sink(new_dir)(df, 0)
+    # replay of the same batch id overwrites, not duplicates
+    idempotent_sink(new_dir)(df, 0)
+    assert read_sink(spark, new_dir).count() == read_sink(spark, legacy_dir).count() == 10
+
+
+def test_idempotent_sink_cassandra_plumbing_and_error(spark):
+    with pytest.raises(ValueError, match="keyspace"):
+        idempotent_sink("pojo", fmt="cassandra")
+    fn = idempotent_sink(
+        "pojo",
+        fmt="cassandra",
+        keyspace="test",
+        **{"spark.cassandra.output.ttl": "60"},
+    )
+    with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
+        fn(spark.range(3).toDF("id"), 0)
+
+
+# ----------------------------------------------------------- runner ----
+@pytest.mark.parametrize("job", ["number_sequence", "session_count", "windowed_sum"])
+def test_run_job_starts_live_and_stops(spark, job, tmp_path):
+    from flink_samples_spark import run_job
+
+    q = run_job.start(job, spark=spark, sink="noop", out=str(tmp_path / job), rate=200)
+    try:
+        deadline = time.time() + 25
+        while time.time() < deadline and q.recentProgress == [] and q.exception() is None:
+            time.sleep(0.5)
+        assert q.exception() is None, q.exception()
+        assert q.isActive
+    finally:
+        q.stop()
+
+
+def test_run_job_parquet_sink_accumulates(spark, tmp_path):
+    from flink_samples_spark import run_job
+
+    out = str(tmp_path / "ns")
+    q = run_job.start("number_sequence", spark=spark, sink="parquet", out=out, rate=500)
+    try:
+        deadline = time.time() + 25
+        sink_dir = os.path.join(out, "data")
+        rows = 0
+        while time.time() < deadline:
+            time.sleep(1.0)
+            if os.path.isdir(sink_dir):
+                try:
+                    rows = read_sink(spark, sink_dir).count()
+                except Exception:
+                    rows = 0
+                if rows > 0:
+                    break
+        assert q.exception() is None, q.exception()
+        assert rows > 0, "live rate job wrote no rows within 25 s"
+    finally:
+        q.stop()
+
+
+def test_run_job_cli_duration_smoke(spark):
+    """The __main__ path: bounded --duration run returns 0."""
+    from flink_samples_spark import run_job
+
+    rc = run_job.main(["number_sequence", "--sink", "noop", "--duration", "5"])
+    assert rc == 0
