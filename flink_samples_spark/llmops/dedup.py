@@ -211,10 +211,115 @@ def _make_minhash_band_rows():
     return minhash_band_rows
 
 
+def _make_oph_band_rows():
+    """One-permutation MinHash (OPH) banding stage as a closure (see
+    :func:`_make_minhash_band_rows` for the pickling contract).
+
+    Instead of ``n_hashes`` independent permutations (128 multiply+mod
+    per shingle), OPH hashes each shingle ONCE and partitions the hash
+    space into ``n_hashes`` bins; the signature is the per-bin minimum
+    (Li, Owen & Zhang 2012). Empty bins (a doc with S shingles leaves
+    ~128·e^(-S/128) bins empty) are filled by circular
+    nearest-filled-bin borrowing with a distance-salted value
+    (densification à la Shrivastava & Li 2014), keeping collision
+    probability ≈ Jaccard for every bin. Cost per shingle drops from
+    O(n_hashes) to O(1) — the kernel that dominates signature time at
+    scale — at slightly higher signature variance; the downstream
+    exact-Jaccard verification step is unchanged, so precision is
+    identical and only recall is at stake (checked against the exact
+    operator in tests/test_llmops.py).
+    """
+    n_hashes, bands, rows_per_band, mersenne = _N_HASHES, _BANDS, _ROWS_PER_BAND, _MERSENNE
+
+    def oph_band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        M = np.uint64(mersenne)
+        MASK61 = np.uint64((1 << 61) - 1)
+        NBINS = np.uint64(n_hashes)
+        EMPTY = np.uint64(mersenne)  # sentinel > any reduced value
+        # distance salt for densified (borrowed) values — decorrelates
+        # bins borrowing from the same source at different distances
+        DSALT = np.uint64(0x9E3779B97F4A7C15 % mersenne)
+        poly = np.array(
+            [pow(1000003, rows_per_band - 1 - i, 1 << 61) for i in range(rows_per_band)],
+            dtype=np.uint64,
+        )
+
+        def mod_mersenne(x):
+            r = (x & M) + (x >> np.uint64(61))
+            r[r >= M] -= M
+            return r
+
+        for pdf in batches:
+            n_docs = len(pdf)
+            if n_docs == 0:
+                continue
+            lens = np.fromiter(
+                (len(h) for h in pdf["shingle_hashes"]), dtype=np.int64, count=n_docs
+            )
+            flat = np.concatenate(
+                [np.asarray(h, dtype=np.int64) for h in pdf["shingle_hashes"]]
+            ).astype(np.uint64)
+            # ONE hash evaluation per shingle: bin from the top bits
+            # (independent of the value bits used for the min)
+            vals = mod_mersenne(flat)
+            bins = (flat >> np.uint64(64 - 7)) % NBINS  # 2^7 = 128 bins
+            doc_idx = np.repeat(np.arange(n_docs, dtype=np.uint64), lens)
+            key = doc_idx * NBINS + bins
+            # per-(doc, bin) minimum via one sort + reduceat — O(S log S)
+            # with a tiny constant, vs the k-perm path's O(S · n_hashes)
+            order = np.argsort(key, kind="stable")
+            ks, vs = key[order], vals[order]
+            starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+            mins = np.minimum.reduceat(vs, starts)
+            sig = np.full(n_docs * n_hashes, EMPTY, dtype=np.uint64)
+            sig[ks[starts].astype(np.intp)] = mins
+            sig = sig.reshape(n_docs, n_hashes)
+            # densification: each empty bin borrows the value of the
+            # nearest filled bin to its circular left, salted by the
+            # borrow distance. Doubling over shifts 1,2,4,... resolves
+            # every distance ≤ 127 in 7 vectorized rounds.
+            dist = np.where(sig == EMPTY, np.uint64(1 << 32), np.uint64(0))
+            for s in (1, 2, 4, 8, 16, 32, 64):
+                cand_v = np.roll(sig, s, axis=1)
+                cand_d = np.roll(dist, s, axis=1) + np.uint64(s)
+                take = cand_d < dist
+                sig[take] = cand_v[take]
+                dist[take] = cand_d[take]
+            filled = dist > np.uint64(0)
+            if filled.any():
+                sig[filled] = mod_mersenne(sig[filled] + dist[filled] * DSALT)
+            # per-band polynomial rollup (identical to the k-perm path);
+            # sig is (n_docs, n_hashes) → transpose to (n_hashes, n_docs)
+            chunks = np.ascontiguousarray(sig.T).reshape(bands, rows_per_band, n_docs)
+            bh = ((chunks * poly[None, :, None]) & MASK61).sum(axis=1) & MASK61
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.asarray(pdf["doc_id"], dtype=np.int64), bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), n_docs),
+                    "band_hash": bh.T.reshape(-1).astype(np.int64),
+                }
+            )
+
+    return oph_band_rows
+
+
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = 3, threshold: float = 0.8, max_bucket: int = 1000
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    signature: str = "oph",
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs (a < b) with exact-Jaccard verify.
+
+    ``signature="oph"`` (default) uses one-permutation MinHash with
+    densification — O(1) hash work per shingle instead of O(n_hashes),
+    the 100 TB signature path; ``signature="kperm"`` keeps the classic
+    128-permutation kernel (lower variance, 128× the arithmetic) for
+    recall comparison.
 
     Stages: (1) signature+banding (Arrow-batched pandas stage, no
     shuffle); (2) ONE groupBy shuffle on (band, band_hash) gathering

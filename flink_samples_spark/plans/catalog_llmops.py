@@ -436,3 +436,60 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return resample_interpolate(ev, "user_id", "ts", "value", 3600, agg="max")
+
+
+# ------------------------------------------------- batch shaping ----
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
+             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, n_tokens, rn,
+             CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.shard, o.n_tokens, o.rn,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN p.pack_id + 1
+                  ELSE p.pack_id END,
+             CASE WHEN p.acc + o.n_tokens > 512 THEN o.n_tokens
+                  ELSE p.acc + o.n_tokens END
+      FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, pack_id, n_tokens FROM packed
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget sequence packing (512 tokens, 16 shards).
+    The oracle replays the same greedy recurrence as a recursive CTE —
+    packing is a fold, which SQL expresses recursively and Spark
+    executes as one parallel pandas stage per shard."""
+    from flink_samples_spark.llmops.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, n_shards=16)
+
+
+@query(
+    "q_mix_corpus",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(row_number() OVER w AS INT) AS rn,
+           round((row_number() OVER w - 0.5)
+                 / CASE lang WHEN 'en' THEN 2.0 WHEN 'zh' THEN 0.5
+                             ELSE 1.0 END, 6) AS mix_key
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+    """,
+)
+def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-interleave curriculum mixing: en sampled 2×, zh 0.5×,
+    other languages 1×. Sorting by (mix_key, lang, doc_id) yields the
+    training order; consumers range-partition on mix_key at scale."""
+    from flink_samples_spark.llmops.packing import corpus_mix_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_mix_key(docs, "lang", {"en": 2.0, "zh": 0.5})

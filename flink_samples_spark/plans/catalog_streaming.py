@@ -277,3 +277,32 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# Stream-static enrichment join: each micro-batch broadcast-joins the
+# static dimension (the canonical streaming enrich pattern — Flink's
+# lookup/temporal join against a bounded table). Stateless and
+# append-mode, so every event emits exactly once and the replayed
+# result equals the batch join — a strict oracle.
+@query(
+    "q_stream_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, n.n_name AS nation
+    FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    """,
+)
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(
+                F.broadcast(nation),
+                stream["user_id"] % 25 == nation["n_nationkey"],
+            )
+            .select("event_id", "user_id", F.col("n_name").alias("nation"))
+        )
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("event_id") != -1)
+    )

@@ -7,7 +7,11 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from flink_samples_spark.llmops.dedup import simhash_signatures
+from flink_samples_spark.llmops.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
 from flink_samples_spark.llmops.multimodal import attach_binary_payload, decode_features
 from flink_samples_spark.llmops.similarity import (
     brute_force_cosine_topk,
@@ -118,3 +122,70 @@ def test_dedup_components_chain_and_determinism(spark):
     want |= {(x, 50) for x in (50, 51, 52, 53)}
     want |= {(70, 70), (71, 70)}
     assert got == want
+
+
+@pytest.mark.parametrize("signature", ["oph", "kperm"])
+def test_minhash_signature_paths_match_exact_pairs(spark, sf_dir, signature):
+    """Both signature kernels (one-permutation densified and classic
+    128-permutation) must recover exactly the pairs the exact
+    shingle-join operator finds: precision is guaranteed by the
+    exact-Jaccard verification stage, so this pins RECALL — the only
+    failure mode an LSH change can introduce."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, 3, 0.8).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, 3, 0.8, signature=signature).collect()
+    }
+    spark.catalog.clearCache()
+    assert got == exact
+
+
+def test_pack_sequences_budget_and_partition_invariance(spark, sf_dir):
+    """Every pack fits the token budget (oversized single docs get a
+    pack of their own), every doc is packed exactly once, and the
+    assignment is a pure function of the data (partitioning-invariant)."""
+    from flink_samples_spark.llmops.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, budget=512, n_shards=16).toPandas()
+    assert len(out) == docs.count()
+    g = out.groupby(["shard", "pack_id"])["n_tokens"].agg(["sum", "count"])
+    assert ((g["sum"] <= 512) | (g["count"] == 1)).all()
+    # greedy first-fit tightness: within a shard, consecutive packs
+    # cannot be merged (pack i's total + pack i+1's first doc > budget)
+    for shard, grp in out.sort_values(["shard", "pack_id", "doc_id"]).groupby("shard"):
+        packs = list(grp.groupby("pack_id"))
+        for (_a, a), (_b, b) in zip(packs, packs[1:]):
+            assert a["n_tokens"].sum() + b["n_tokens"].iloc[0] > 512
+    again = pack_sequences(docs.repartition(7), budget=512, n_shards=16).toPandas()
+    key = ["doc_id", "shard", "pack_id", "n_tokens"]
+    assert sorted(map(tuple, out[key].values.tolist())) == sorted(
+        map(tuple, again[key].values.tolist())
+    )
+
+
+def test_corpus_mix_key_interleaves_by_weight(spark, sf_dir):
+    """In the merged (mix_key-sorted) order, a weight-2 category
+    appears ~2× as often as a weight-1 category in any prefix."""
+    from flink_samples_spark.llmops.packing import corpus_mix_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = (
+        corpus_mix_key(docs, "lang", {"en": 2.0, "zh": 0.5})
+        .orderBy("mix_key", "lang", "doc_id")
+        .toPandas()
+    )
+    n = len(out)
+    prefix = out.head(n // 2)
+    en, fr = (prefix["lang"] == "en").sum(), (prefix["lang"] == "fr").sum()
+    # en is weighted 2× fr; allow slack for exhaustion of small cats
+    assert en > fr, (en, fr)
+    # every category ordered by doc_id internally
+    for _lang, grp in out.groupby("lang"):
+        assert grp["doc_id"].is_monotonic_increasing or len(grp) <= 1 or (
+            grp.sort_values("mix_key")["doc_id"].is_monotonic_increasing
+        )

@@ -102,7 +102,7 @@ def test_topk_avoids_global_sort(plans):
 # covered by the streaming tests).
 _EXECUTING = {
     "q_stream_dedup", "q_stream_tumbling", "q_stream_custom_sessionizer",
-    "q_stream_join", "q_late_data",
+    "q_stream_join", "q_late_data", "q_stream_enrich",
     # iterative: runs jobs during construction (plan-audited via its
     # component pieces)
     "q_dedup_groups",
