@@ -10,6 +10,7 @@ from flink_samples_spark.plans.registry import (
 # Importing the catalog modules populates the registry.
 from flink_samples_spark.plans import catalog_core  # noqa: F401
 from flink_samples_spark.plans import catalog_relational  # noqa: F401
+from flink_samples_spark.plans import catalog_tpch  # noqa: F401
 from flink_samples_spark.plans import catalog_functions  # noqa: F401
 from flink_samples_spark.plans import catalog_llmops  # noqa: F401
 from flink_samples_spark.plans import catalog_sql  # noqa: F401

@@ -1,0 +1,709 @@
+"""Tier-C catalog: full TPC-H-shape pipeline suite (SURVEY.md §2,
+composite pipelines).
+
+The reference ships a complete SQL planner (flink-table-planner-loader,
+`/root/reference/pom.xml:135-140`) — a user of that planner runs
+arbitrary decision-support SQL.  catalog_relational.py covers the Q1/
+Q3/Q5/Q6/Q7/Q10/Q13/Q14/Q15 shapes; this module completes the classic
+TPC-H pattern catalog (Q2/Q4/Q8/Q9/Q11/Q12/Q17/Q18/Q19/Q20/Q21/Q22
+shapes), each adapted to the driver's simplified star schema (no
+partsupp / shipmode / commitdate columns — substitutes documented per
+query).
+
+Scale notes (100 TB):
+- every dim→fact join is broadcast (nation/region/part slices,
+  supplier: all tiny vs lineitem);
+- correlated-subquery shapes are rewritten as window functions or
+  single-pass aggregations — ONE shuffle on the correlation key
+  instead of a self-join re-scan of the fact table;
+- EXISTS / NOT EXISTS become semi/anti joins or conditional
+  aggregation (Q21: one groupBy carries both the "has other
+  supplier" and "only one late" predicates — no repeated fact scan);
+- all double aggregates ROUNDed identically on both sides; integer
+  quantities sum exactly in doubles, so HAVING thresholds on them are
+  engine-stable; the one double-threshold (Q11 shape) was verified
+  to carry >0.1% relative margin at the checked SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_samples_spark.operators import (
+    anti_join,
+    broadcast_join,
+    global_topk,
+    semi_join,
+)
+from flink_samples_spark.plans.registry import query
+from flink_samples_spark.sources.readers import load_table
+
+
+@query(
+    "q_pipeline_min_cost_supp",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+      SELECT o.l_partkey, o.unit_price, s.s_name, s.s_acctbal, n.n_name
+      FROM offers o
+      JOIN supplier s ON s.s_suppkey = o.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+                     AND r.r_name = 'EUROPE'
+    )
+    SELECT p.p_partkey, p.p_name, e.s_name, e.n_name AS nation,
+           ROUND(e.s_acctbal, 2) AS s_acctbal,
+           ROUND(e.unit_price, 4) AS unit_price
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.l_partkey
+               AND p.p_type = 'STANDARD' AND p.p_size <= 10
+    WHERE e.unit_price = (SELECT MIN(e2.unit_price) FROM eligible e2
+                          WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, p.p_partkey, e.s_name
+    LIMIT 20
+    """,
+)
+def q_pipeline_min_cost_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest EUROPE supplier per part (correlated
+    MIN). partsupp does not exist in this schema; supplier offers are
+    derived from lineitem as MIN(l_extendedprice/l_quantity) per
+    (part, supplier) — same correlated-min query shape.
+
+    Scale: the correlated subquery is a min-window over the offer
+    aggregate (one shuffle on l_partkey), NOT a self-join that
+    re-scans lineitem; supplier⋈nation⋈region is broadcast.
+    MIN of a per-row double division is order-independent, so the
+    min-equality predicate is engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    )
+
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    eur_supp = broadcast_join(
+        broadcast_join(s, n, s.s_nationkey == n.n_nationkey),
+        r,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eligible = broadcast_join(offers, eur_supp, offers.l_suppkey == F.col("s_suppkey"))
+
+    w = Window.partitionBy("l_partkey")
+    best = eligible.withColumn("min_price", F.min("unit_price").over(w)).filter(
+        F.col("unit_price") == F.col("min_price")
+    )
+    out = broadcast_join(best, p, best.l_partkey == p.p_partkey).select(
+        "p_partkey",
+        "p_name",
+        "s_name",
+        F.col("n_name").alias("nation"),
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+        F.round("unit_price", 4).alias("unit_price"),
+    )
+    return global_topk(
+        out,
+        [F.col("s_acctbal").desc(), F.col("p_partkey"), F.col("s_name")],
+        20,
+    )
+
+
+@query(
+    "q_pipeline_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pipeline_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: priority counts of orders with a late line.
+    No commitdate/receiptdate in this schema; "late" is shipped >30
+    days after the order date — the same EXISTS-correlated pattern.
+
+    Scale: EXISTS → left-semi join on l_orderkey (both sides shuffle
+    once on the key; the quarter filter prunes orders at the scan).
+    """
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (o.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        semi_join(o, li, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "q_pipeline_market_share",
+    oracle="""
+    WITH all_sales AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+                     AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+                     AND r.r_name = 'AMERICA'
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume
+                          ELSE 0 END) / SUM(volume), 6) AS mkt_share
+    FROM all_sales GROUP BY o_year
+    """,
+)
+def q_pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5's share of PROMO-part volume sold to
+    AMERICA customers, per order year (conditional-aggregate ratio
+    over a 7-way star join).
+
+    Scale: lineitem is the only big table — every other input is
+    broadcast; the dual nation role (customer-side filter vs
+    supplier-side label) uses two broadcast copies, and the share is
+    one two-phase aggregation on o_year. The sum ratio is rounded to
+    6 dp (relative accumulation skew ~1e-12 ≪ 5e-7 boundary).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+
+    cust_america = broadcast_join(
+        broadcast_join(c, n1, c.c_nationkey == n1.n_nationkey),
+        r,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("c_custkey")
+
+    sales = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_america), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(
+                    F.lit(0.0)
+                )
+            )
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q_pipeline_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INT) AS o_year,
+           ROUND(SUM(CAST(ROUND((l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.1) * 100.0, 0)
+                     AS BIGINT)) / 100.0, 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+                   AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    GROUP BY nation, o_year
+    """,
+)
+def q_pipeline_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: widget-part profit per supplier nation per
+    order year. No ps_supplycost in this schema; unit cost is proxied
+    as 10% of p_retailprice — same join graph and measure shape.
+
+    Scale: part-slice/supplier/nation broadcast; orders joins
+    lineitem on the key both sides can pre-shuffle on; one two-phase
+    agg on (nation, year).
+
+    Engine-stable money arithmetic: the per-line amount is rounded to
+    integer CENTS before summation (a double-exact integer sum), so
+    accumulation order cannot flip the final 2-dp rounding — a raw
+    double SUM here actually landed a group on the x.xx5 boundary at
+    sf0.01 and flipped between engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            F.round(
+                (
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+                )
+                * F.lit(100.0),
+                0,
+            )
+            .cast("long")
+            .alias("amount_cents"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.round(F.sum("amount_cents") / F.lit(100.0), 2).alias("profit")
+        )
+    )
+
+
+@query(
+    "q_pipeline_part_value",
+    oracle="""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+                     AND n.n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(value, 2) AS value
+    FROM pv
+    WHERE value > (SELECT SUM(value) * 0.001 FROM pv)
+    """,
+)
+def q_pipeline_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value through two nations'
+    suppliers exceeds 0.1% of the total (scalar-subquery HAVING).
+    partsupp value is proxied by lineitem net revenue.
+
+    Scale: the scalar subquery is a re-aggregation of the ALREADY
+    per-part-aggregated frame (2000 rows/SF at most one per part) —
+    not a second lineitem scan; Spark computes it as a broadcast of a
+    1-row DataFrame. Threshold margin verified >0.1% relative at the
+    checked SF, so double accumulation order cannot flip membership.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+
+    pv = (
+        li.join(F.broadcast(broadcast_join(s, n, s.s_nationkey == n.n_nationkey)),
+                li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value")
+        )
+    )
+    threshold = pv.agg((F.sum("value") * F.lit(0.001)).alias("th"))
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("th"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+@query(
+    "q_pipeline_priority_lines",
+    oracle="""
+    SELECT l.l_returnflag AS flag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY flag
+    """,
+)
+def q_pipeline_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high- vs low-priority line counts per return
+    flag (shipmode is absent; l_returnflag is the grouping proxy) —
+    the canonical conditional-aggregation-over-join pattern.
+
+    Scale: the year filter pushes to the lineitem scan; orders
+    projects two columns before the key join; counts are one
+    two-phase agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_count"),
+        )
+    )
+
+
+@query(
+    "q_pipeline_small_qty",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey, AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+    JOIN pa     ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def q_pipeline_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue loss from small-quantity Brand#23
+    lines (correlated per-part AVG threshold).
+
+    Scale: the correlated AVG is ONE per-part aggregate joined back
+    on l_partkey — both sides shuffle once on the same key (AQE can
+    co-locate); the brand slice broadcasts. Engine-stable threshold:
+    quantities are integer-valued doubles, so SUM/COUNT (hence AVG)
+    is exact in IEEE double regardless of accumulation order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    pa = li.groupBy(F.col("l_partkey").alias("pa_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, li.l_partkey == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_pipeline_large_orders",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, SUM(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+           ROUND(o.o_totalprice, 2) AS o_totalprice, big.total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q_pipeline_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: top customers by order value among orders
+    totalling >300 units (grouped-HAVING feeding a join + top-k).
+
+    Scale: the HAVING pre-aggregation shrinks lineitem to qualifying
+    orderkeys BEFORE any join; customer is broadcast; top-k is
+    TakeOrderedAndProject. Integer-valued quantity sums are exact, so
+    the >300 cut is engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    out = (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+    )
+    return global_topk(out, [F.col("o_totalprice").desc(), F.col("o_orderkey")], 10)
+
+
+@query(
+    "q_pipeline_disjunctive",
+    oracle="""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_pipeline_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) predicates spanning
+    both join sides — the classic test that the planner still uses
+    the equi-join key and evaluates the residual disjunction after
+    the join rather than falling back to a cartesian product.
+
+    Scale: part is broadcast; the per-side conjuncts that CAN be
+    separated (brand/size slices, quantity range union bounds) are
+    left to Catalyst's predicate inference; lineitem never shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_pipeline_excess_supp",
+    oracle="""
+    WITH heavy AS (
+      SELECT l_suppkey, SUM(l_quantity) AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+                 AND p.p_name LIKE 'small%'
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > 400
+    )
+    SELECT s.s_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+)
+def q_pipeline_excess_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: EUROPE suppliers who moved >400 units of
+    'small…' parts in 1997 (nested IN-subqueries → semi-join chain;
+    the availqty comparison is proxied by the shipped-quantity
+    threshold since partsupp does not exist here).
+
+    Scale: part slice broadcasts into the fact scan; the HAVING
+    aggregate reduces to ≤ one row per supplier before the semi-join;
+    supplier⋈nation⋈region is all-broadcast. Integer quantity sums →
+    engine-stable threshold.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+
+    heavy = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+    )
+    eur = broadcast_join(
+        broadcast_join(s, n, s.s_nationkey == n.n_nationkey),
+        r,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return semi_join(eur, heavy, eur.s_suppkey == heavy.l_suppkey).select(
+        "s_name", F.col("n_name").alias("nation")
+    )
+
+
+@query(
+    "q_pipeline_late_solo_supp",
+    oracle="""
+    WITH li2 AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+                   AND o.o_orderstatus = 'F'
+    ), per AS (
+      SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+      FROM li2 GROUP BY l_orderkey, l_suppkey
+    ), stats AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_supp,
+             SUM(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late
+      FROM per GROUP BY l_orderkey
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM per
+    JOIN stats USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = per.l_suppkey
+    WHERE stats.n_supp >= 2 AND stats.n_late = 1 AND per.supp_late
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def q_pipeline_late_solo_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+    multi-supplier finished order ("late" = shipped >60 days after
+    order date; commit/receipt dates are absent in this schema).
+
+    Scale: the classic EXISTS + NOT-EXISTS double correlation is
+    rewritten as ONE aggregation pass — per-(order, supplier) lateness
+    then per-order counts — so lineitem is scanned once and shuffled
+    once on l_orderkey, instead of the textbook triple self-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+
+    li2 = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    per = li2.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("supp_late")
+    )
+    stats = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("supp_late"), 1).otherwise(0)).alias("n_late"),
+    )
+    solo_late = (
+        per.join(stats, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1) & F.col("supp_late"))
+    )
+    out = (
+        solo_late.join(F.broadcast(s), solo_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return global_topk(out, [F.col("numwait").desc(), F.col("s_name")], 10)
+
+
+@query(
+    "q_pipeline_idle_cust",
+    oracle="""
+    WITH ab AS (
+      SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+    FROM customer c, ab
+    WHERE c.c_acctbal > ab.avg_bal
+      AND c.c_nationkey % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_pipeline_idle_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: wealthy odd-nation customers with no recent
+    orders (scalar-subquery threshold + NOT EXISTS anti-join). The
+    phone-prefix filter becomes a nationkey-parity filter; "no orders
+    at all" becomes "none since 2000-01-01" (every customer here has
+    historical orders).
+
+    Scale: the scalar AVG broadcasts as a 1-row frame; NOT EXISTS is
+    a left-anti join on o_custkey against date-pruned orders; the
+    final agg groups ~25 nation keys. The AVG threshold sits ~1e-12
+    relative from any acctbal (continuous doubles) — engine-stable.
+    """
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") % 2 == 1)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    avg_bal = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = anti_join(rich, o, rich.c_custkey == o.o_custkey)
+    return idle.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )

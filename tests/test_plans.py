@@ -118,6 +118,12 @@ _NESTED_LOOP_OK = {
     # the constant join key folds away, leaving a 1×1 broadcast nested
     # loop — O(1) at any scale
     "q_agg_hll_sketch",
+    # scalar-subquery shapes (TPC-H Q11/Q22): a 1-row aggregate
+    # (threshold / global average) broadcast against the keyed frame —
+    # the standard scalar-attach plan; the nested loop's inner side is
+    # exactly one row at any data scale
+    "q_pipeline_part_value",
+    "q_pipeline_idle_cust",
 }
 
 
