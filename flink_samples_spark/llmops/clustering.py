@@ -1,0 +1,138 @@
+"""Embedding clustering for corpus curation (SURVEY.md §2.11,
+tier X): semantic-domain bucketing of a 100 TB corpus — the
+embedding-space analog of the source/lang grouping in
+:mod:`flink_samples_spark.llmops.corpus`.
+
+Two entry points:
+
+- :func:`nearest_centroid_assign` — ONE assignment pass against a
+  fixed centroid frame (deterministic, oracle-checkable): the serving
+  path once centroids exist.
+- :func:`kmeans_fit_assign` — full-data distributed spherical
+  k-means (Lloyd's): assignment and the per-cluster mean are both
+  Spark aggregations; only the k×dim centroid matrix ever reaches
+  the driver (bounded, O(k·dim), independent of corpus size). This
+  differs from the IVF trainer in ``similarity.py``, which fits on a
+  bounded driver-side SAMPLE — here every row votes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product, left-to-right fold (matches
+    DuckDB's list_inner_product accumulation order bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def nearest_centroid_assign(
+    vectors: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Assign every vector to its highest-cosine centroid.
+
+    ``centroids``: (cluster_id int, centroid array) — small by
+    definition (it is a clustering RESULT), so it broadcasts and the
+    corpus never shuffles; the argmax is a per-vector max_by, not a
+    window sort. Ties break toward the lowest cluster_id via the
+    (cos, -cluster_id) struct ordering; the ranking compares RAW
+    cosines (bit-identical across engines), rounding only the output.
+    """
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id",
+        "cluster_id",
+        _cosine(F.col("embedding"), F.col("centroid")).alias("cos_raw"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cluster_id", "cos_raw"),
+            F.struct(F.col("cos_raw"), (-F.col("cluster_id")).alias("neg")),
+        ).alias("best")
+    )
+    return best.select(
+        "vec_id",
+        F.col("best.cluster_id").alias("cluster_id"),
+        F.round("best.cos_raw", 6).alias("cos"),
+    )
+
+
+def kmeans_fit_assign(
+    emb: DataFrame, k: int = 8, n_iter: int = 5
+) -> DataFrame:
+    """Distributed spherical k-means over the FULL corpus.
+
+    Deterministic by construction: centroids initialize from the k
+    lowest vec_ids (no RNG), assignment ties break toward the lowest
+    cluster_id, and the per-cluster mean is computed per dimension
+    with an exact pairwise-invariant count and a dimension-local sum
+    whose accumulation-order noise (~1e-16) is orders of magnitude
+    below any assignment margin after the first iteration.
+
+    Scale shape per iteration: one broadcast of k×dim centroids out,
+    one two-phase aggregation back (posexplode → partial sums per
+    (cluster, dim) map-side → k·dim final rows). The corpus is never
+    shuffled and never collected; driver state is the centroid
+    matrix. n_iter is a fixed hyperparameter, so the job count is
+    bounded; lineage stays shallow because each iteration's centroid
+    frame is literal data (createDataFrame), not a growing plan.
+    """
+    spark = emb.sparkSession
+    dim_df = emb.select(F.size("embedding").alias("d")).limit(1).collect()
+    dim = dim_df[0].d
+
+    init = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [
+        (i, [float(x) for x in r.embedding]) for i, r in enumerate(init)
+    ]
+
+    vecs = emb.select("vec_id", "embedding")
+    assigned = None
+    for _ in range(n_iter):
+        cent_df = spark.createDataFrame(
+            centroids, "cluster_id int, centroid array<double>"
+        )
+        assigned = nearest_centroid_assign(vecs, cent_df).select(
+            "vec_id", "cluster_id"
+        )
+        # per-cluster per-dimension mean: two-phase agg, k·dim output rows
+        means = (
+            vecs.join(assigned, "vec_id")
+            .select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in means:
+            by_cluster.setdefault(r.cluster_id, [0.0] * dim)[r.pos] = r.s
+            counts[r.cluster_id] = r.n
+        new_centroids = []
+        for cid, (old_cid, old_vec) in enumerate(centroids):
+            if cid in by_cluster and counts[cid] > 0:
+                m = [s / counts[cid] for s in by_cluster[cid]]
+                norm = sum(x * x for x in m) ** 0.5 or 1.0
+                new_centroids.append((cid, [x / norm for x in m]))
+            else:  # empty cluster keeps its previous centroid
+                new_centroids.append((old_cid, old_vec))
+        centroids = new_centroids
+
+    cent_df = spark.createDataFrame(
+        centroids, "cluster_id int, centroid array<double>"
+    )
+    return nearest_centroid_assign(vecs, cent_df)

@@ -1,0 +1,127 @@
+"""Corpus-level analysis operators for LLM data pipelines
+(SURVEY.md §2.11, tier X — no reference site; these are the
+reporting / hygiene passes a 100 TB training-data pipeline runs
+between dedup and packing).
+
+All operators are pure JVM-codegen DataFrame compositions (split /
+regexp / HOFs) — zero Python in the hot path — so they execute at
+scan speed and every one carries a DuckDB oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_samples_spark.llmops.dedup import _shingles
+from flink_samples_spark.operators import global_topk
+
+# Common-subset regexes (Java regex ∩ RE2 semantics identical):
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PHONE_RE = "\\+?[0-9][0-9() -]{6,}[0-9]"
+NUMBER_RE = "[0-9]+"
+
+
+def ngram_topk(docs: DataFrame, k: int = 3, top: int = 20) -> DataFrame:
+    """Corpus-wide top-``top`` word ``k``-grams by total occurrence
+    count (every occurrence counts — boilerplate detection needs raw
+    frequency, not per-doc presence).
+
+    Scale: the k-gram expansion is JVM HOFs over the scan (narrow);
+    the count is ONE two-phase aggregation on the shingle — partial
+    counts combine map-side so the shuffle carries (shingle, count)
+    not raw occurrences; top-k is TakeOrderedAndProject, never a
+    global sort. Ties broken by shingle text for determinism.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    occurrences = docs.select(F.explode(grams).alias("shingle"))
+    counts = occurrences.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_occ"))
+    return global_topk(counts, [F.col("n_occ").desc(), F.col("shingle")], top)
+
+
+def contamination_check(
+    train: DataFrame, eval_docs: DataFrame, k: int = 3
+) -> DataFrame:
+    """Per-training-document eval-set contamination: the fraction of
+    the doc's distinct word ``k``-grams that appear anywhere in the
+    eval corpus.
+
+    Output: (doc_id, n_shingles, n_overlap, overlap_ratio) — ratio is
+    a division of exact integers, so it is engine-stable.
+
+    Scale: eval shingle sets are small by construction (eval sets are
+    curated); the distinct eval shingle list broadcasts, so the train
+    side never shuffles — the overlap count is a broadcast semi-join
+    counted per doc. For eval sets too large to broadcast, the same
+    plan degrades gracefully to one hash shuffle on the shingle. The
+    string shingle keeps the op oracle-checkable; swap in
+    ``_shingle_hashes`` to shuffle 8-byte hashes at the full 100 TB
+    path.
+    """
+    train_sh = _shingles(train, k)
+    eval_sh = _shingles(eval_docs, k).select("shingle").distinct()
+    per_doc = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        per_doc.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("overlap_ratio"),
+        )
+    )
+
+
+def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII indicator counts over ``text_col``: email-
+    shaped tokens, phone-shaped digit runs, raw digit runs, and a
+    boolean flag. Counting (not extraction) keeps the output small
+    and the pass redaction-planning-ready.
+
+    Scale: three regexp_count expressions in one narrow projection —
+    whole-stage-codegen at scan speed, nothing shuffles. The regexes
+    are written in the Java-regex ∩ RE2 common subset so external
+    engines (and the DuckDB oracle) count identically.
+    """
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(EMAIL_RE))
+    n_phones = F.regexp_count(t, F.lit(PHONE_RE))
+    n_numbers = F.regexp_count(t, F.lit(NUMBER_RE))
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_numbers.alias("n_numbers"),
+        ((n_emails > 0) | (n_phones > 0)).alias("has_pii"),
+    )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Per (source, lang) corpus composition report: doc count, total
+    whitespace tokens, mean doc length, and how many docs pass the
+    length gate — the dashboard aggregate a curation pipeline emits
+    per snapshot.
+
+    Scale: one two-phase aggregation; token counts are computed from
+    split() sizes map-side, so the shuffle carries ~|sources×langs|
+    partial rows.
+    """
+    n_words = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_words.cast("long")).alias("total_words"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+        F.sum(
+            F.when(F.length("text").between(100, 20000), 1).otherwise(0)
+        ).alias("n_len_ok"),
+    )

@@ -493,3 +493,193 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return corpus_mix_key(docs, "lang", {"en": 2.0, "zh": 0.5})
+
+
+# ------------------------------------------------ corpus analysis ----
+@query(
+    "q_ngram_topk",
+    oracle="""
+    WITH words AS (
+      SELECT str_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+      FROM words
+    )
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM grams GROUP BY shingle
+    ORDER BY n_occ DESC, shingle
+    LIMIT 20
+    """,
+)
+def q_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word 3-grams by occurrence (boilerplate
+    detector: high-frequency shingles are template text)."""
+    from flink_samples_spark.llmops.corpus import ngram_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_topk(docs, k=3, top=20)
+
+
+@query(
+    "q_contamination",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))) AS shingle
+      FROM documents
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1')
+    ), train_sh AS (
+      SELECT doc_id, shingle FROM sh WHERE source NOT IN ('src0', 'src1')
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id
+    ), hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM train_sh t JOIN eval_sh e ON e.shingle = t.shingle
+      GROUP BY t.doc_id
+    )
+    SELECT p.doc_id, p.n_shingles,
+           CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+           ROUND(COALESCE(h.n_overlap, 0) / CAST(p.n_shingles AS DOUBLE), 6)
+             AS overlap_ratio
+    FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+    """,
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination scan: per training doc, the fraction of
+    its distinct 3-grams that appear in the eval slice (src0/src1)."""
+    from flink_samples_spark.llmops.corpus import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    return contamination_check(train, eval_docs, k=3)
+
+
+@query(
+    "q_pii_scan",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 (555) 010-'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text,
+             '\\+?[0-9][0-9() -]{6,}[0-9]')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           (len(regexp_extract_all(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) > 0
+            OR len(regexp_extract_all(text,
+             '\\+?[0-9][0-9() -]{6,}[0-9]')) > 0) AS has_pii
+    FROM aug
+    """,
+)
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII indicator scan. The synthetic corpus carries no PII, so the
+    fixture injects a deterministic contact suffix on even doc_ids —
+    detection must flag exactly those (discriminative, not all-zero).
+    The operator itself (llmops.corpus.pii_scan) takes any text
+    column untouched."""
+    from flink_samples_spark.llmops.corpus import pii_scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 (555) 010-"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_scan(aug)
+
+
+@query(
+    "q_corpus_report",
+    oracle="""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_words,
+           ROUND(AVG(length(text)), 4) AS avg_chars,
+           CAST(SUM(CASE WHEN length(text) BETWEEN 100 AND 20000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok
+    FROM documents GROUP BY source, lang
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus composition dashboard aggregate."""
+    from flink_samples_spark.llmops.corpus import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
+# ---------------------------------------------- embedding clusters ----
+@query(
+    "q_embed_assign",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(vec_id AS INT) AS cluster_id,
+             CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings WHERE vec_id < 8
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings
+    ), scored AS (
+      SELECT v.vec_id, c.cluster_id,
+             list_inner_product(ve, ce)
+               / (sqrt(list_inner_product(ve, ve))
+                  * sqrt(list_inner_product(ce, ce))) AS cos_raw
+      FROM v CROSS JOIN c
+    )
+    SELECT vec_id, cluster_id, ROUND(cos_raw, 6) AS cos FROM (
+      SELECT vec_id, cluster_id, cos_raw,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos_raw DESC, cluster_id) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment against a fixed centroid frame
+    (the 8 lowest vec_ids) — the deterministic serving path of
+    clustering; ranking compares raw cosines, output rounds."""
+    from flink_samples_spark.llmops.clustering import nearest_centroid_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return nearest_centroid_assign(emb, cents)
+
+
+# Iterative Lloyd's has no tractable SQL twin (per-iteration argmax +
+# mean recomputation); driver records rows-only, pytest asserts
+# determinism, cluster count, and cohesion improvement over init.
+@query("q_embed_kmeans")
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus distributed spherical k-means (k=8, 3 Lloyd
+    iterations), deterministic init from the 8 lowest vec_ids."""
+    from flink_samples_spark.llmops.clustering import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, k=8, n_iter=3)

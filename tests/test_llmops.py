@@ -189,3 +189,78 @@ def test_corpus_mix_key_interleaves_by_weight(spark, sf_dir):
         assert grp["doc_id"].is_monotonic_increasing or len(grp) <= 1 or (
             grp.sort_values("mix_key")["doc_id"].is_monotonic_increasing
         )
+
+
+# ------------------------------------------------ corpus analysis ----
+def test_kmeans_deterministic_and_cohesive(spark, sf_dir):
+    """Iterative k-means: partitioning-invariant output, ≤k clusters,
+    and Lloyd iterations improve mean cosine-to-centroid over the
+    0-iteration (init-assignment) baseline."""
+    from flink_samples_spark.llmops.clustering import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {r.vec_id: (r.cluster_id, r.cos) for r in kmeans_fit_assign(emb, k=8, n_iter=3).collect()}
+    b = {
+        r.vec_id: (r.cluster_id, r.cos)
+        for r in kmeans_fit_assign(emb.repartition(7), k=8, n_iter=3).collect()
+    }
+    assert a == b
+    assert len({c for c, _ in a.values()}) <= 8
+    init = kmeans_fit_assign(emb, k=8, n_iter=0)
+    mean_init = init.agg(F.avg("cos")).first()[0]
+    mean_fit = kmeans_fit_assign(emb, k=8, n_iter=3).agg(F.avg("cos")).first()[0]
+    assert mean_fit >= mean_init - 1e-9
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Fewer distinct points than k: surviving clusters still cover
+    every vector and no crash on empty clusters."""
+    from flink_samples_spark.llmops.clustering import kmeans_fit_assign
+
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_fit_assign(emb, k=4, n_iter=2).collect()
+    assert len(out) == 6
+    assert all(r.cos > 0.99 for r in out)  # two perfect clusters exist
+
+
+def test_contamination_bounds_and_self(spark, sf_dir):
+    """Ratios live in [0,1]; a doc checked against an eval set
+    containing itself is fully contaminated."""
+    from flink_samples_spark.llmops.corpus import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    out = contamination_check(train, eval_docs, k=3)
+    bad = out.filter((F.col("overlap_ratio") < 0) | (F.col("overlap_ratio") > 1)).count()
+    assert bad == 0
+    self_out = contamination_check(eval_docs, eval_docs, k=3)
+    assert self_out.filter(F.col("overlap_ratio") < 1.0).count() == 0
+
+
+def test_pii_scan_discriminates(spark):
+    from flink_samples_spark.llmops.corpus import pii_scan
+
+    rows = [
+        (0, "reach me at jane.doe+spam@corp.example.org thanks"),
+        (1, "call +1 (555) 010-4242 after noon"),
+        (2, "no contact information in this text at all"),
+        (3, "just a year 2024 and a count 17"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scan(docs).collect()}
+    assert out[0].n_emails == 1 and out[0].has_pii
+    assert out[1].n_phones == 1 and out[1].has_pii
+    assert not out[2].has_pii and out[2].n_numbers == 0
+    assert not out[3].has_pii and out[3].n_numbers == 2
+
+
+def test_ngram_topk_counts(spark):
+    from flink_samples_spark.llmops.corpus import ngram_topk
+
+    rows = [(0, "a b c a b c"), (1, "a b c d")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.shingle: r.n_occ for r in ngram_topk(docs, k=3, top=10).collect()}
+    # doc0 grams: "a b c","b c a","c a b","a b c"; doc1: "a b c","b c d"
+    assert out["a b c"] == 3  # raw occurrences, not per-doc presence
