@@ -1,0 +1,152 @@
+"""Behavioral / event-sequence analytics operators.
+
+The reference's event stream (timestamped Pojo records,
+`/root/reference/src/main/java/org/example/CassandraPojoSinkStreaming.java:109-148`)
+is the data shape these operate on; the operators themselves are the
+standard product-analytics queries an engine over such a stream must
+answer (funnel conversion, cohort retention, dimension history).
+
+All three are pure DataFrame compositions whose only shuffles are
+keyed on ``user_id`` — consecutive stages reuse the same hash
+partitioning, so at 100 TB the chain is one exchange followed by
+co-partitioned joins/windows (AQE keeps them local).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_stages(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion counts: stage k counts users who
+    performed ``steps[k]`` strictly AFTER their stage-(k-1) time
+    (first qualifying occurrence, the standard product-analytics
+    definition).
+
+    Returns (stage int, event_type, n_users) — one row per step.
+
+    Scale: one shuffle keyed on the user establishes stage 0; every
+    later stage is a join of the (user, reached-time) frame — at most
+    one row per user — against the type-filtered event scan, both
+    sides hashed on the same key. No per-user event sorting, no
+    Python, no window over the raw stream, and no driver-side
+    actions: the result is a union of 1-row aggregates in ONE lazy
+    plan.
+    """
+    u, t = F.col(user_col), F.col(ts_col)
+
+    reached = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("stage_ts"))
+    )
+    out = None
+    for i, step in enumerate(steps):
+        if i > 0:
+            nxt = events.filter(F.col(type_col) == step).select(
+                u.alias("__u"), t.alias("__t")
+            )
+            reached = (
+                reached.join(
+                    nxt,
+                    (reached[user_col] == F.col("__u"))
+                    & (F.col("__t") > F.col("stage_ts")),
+                )
+                .groupBy(user_col)
+                .agg(F.min("__t").alias("stage_ts"))
+            )
+        stage_row = reached.agg(
+            F.count(F.lit(1)).alias("n_users")
+        ).select(
+            F.lit(i).alias("stage"),
+            F.lit(step).alias("event_type"),
+            F.col("n_users"),
+        )
+        out = stage_row if out is None else out.unionByName(stage_row)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_s: int = 604800,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by the epoch-week of
+    their first event; each cell counts distinct cohort users active
+    ``week_offset`` buckets later.
+
+    Epoch-second bucketing (not calendar weeks) keeps the bucket
+    function engine-agnostic — no week-start or locale semantics.
+
+    Scale: first-event per user is one keyed aggregation; the join
+    back is co-partitioned on the same key; the cell count is a
+    distinct-aggregate whose key space (cohort × offset) is tiny, so
+    the final shuffle is negligible.
+    """
+    sec = F.unix_timestamp(F.col(ts_col))
+    firsts = events.groupBy(user_col).agg(
+        F.min(sec).alias("first_sec")
+    )
+    joined = events.select(
+        F.col(user_col), sec.alias("ev_sec")
+    ).join(firsts, user_col)
+    return (
+        joined.select(
+            F.col(user_col),
+            F.floor(F.col("first_sec") / bucket_s).alias("cohort_week"),
+            (
+                F.floor(F.col("ev_sec") / bucket_s)
+                - F.floor(F.col("first_sec") / bucket_s)
+            ).alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    state_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history build: collapse each
+    key's event stream into state intervals — one row per state
+    CHANGE with (valid_from, valid_to, is_current).
+
+    Consecutive identical states merge (the classic SCD2 dedup);
+    ordering is (ts, tiebreak) so simultaneous events are
+    deterministic.
+
+    Scale: two window functions over ONE partitioning (key, ordered
+    by time) — a single shuffle; the change-filter drops rows before
+    the second window re-sort. This is the batch backfill twin of a
+    streaming `applyInPandasWithState` updater.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        events.select(key_col, state_col, ts_col, tiebreak_col)
+        .withColumn("__prev", F.lag(state_col).over(w))
+        .filter(
+            F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev"))
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    return changes.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

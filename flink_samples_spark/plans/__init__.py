@@ -11,6 +11,7 @@ from flink_samples_spark.plans.registry import (
 from flink_samples_spark.plans import catalog_core  # noqa: F401
 from flink_samples_spark.plans import catalog_relational  # noqa: F401
 from flink_samples_spark.plans import catalog_tpch  # noqa: F401
+from flink_samples_spark.plans import catalog_events  # noqa: F401
 from flink_samples_spark.plans import catalog_functions  # noqa: F401
 from flink_samples_spark.plans import catalog_llmops  # noqa: F401
 from flink_samples_spark.plans import catalog_sql  # noqa: F401

@@ -1,0 +1,103 @@
+"""Tier-C catalog: behavioral / event-sequence analytics over the
+``events`` table (funnel conversion, cohort retention, SCD2 history).
+
+The reference's event stream is its timestamped Pojo source
+(`CassandraPojoSinkStreaming.java:109-148`); these are the standard
+analytics an engine over that stream answers. All three are
+oracle-checked; timestamps in this dataset are µs-aligned (verified
+across all SFs), so cross-row timestamp comparisons agree between
+Spark's µs domain and DuckDB's ns domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_samples_spark.operators.behavior import (
+    cohort_retention,
+    funnel_stages,
+    scd2_intervals,
+)
+from flink_samples_spark.plans.registry import query
+from flink_samples_spark.sources.readers import load_table
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT 0 AS stage, 'view' AS event_type,
+           CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+    UNION ALL
+    SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    """,
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: stage k counts users whose
+    first step-k event is strictly after their stage-(k-1) time."""
+    events = load_table(spark, sf_dir, "events")
+    return funnel_stages(events, ["view", "click", "purchase"])
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week,
+             MIN(ts) AS first_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - f.cohort_week
+             AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix on epoch-week buckets (engine-agnostic
+    bucketing — no calendar week-start semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    return cohort_retention(events)
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR event_type <> prev_state
+    )
+    SELECT user_id, event_type AS state, ts AS valid_from,
+           lead(ts) OVER w2 AS valid_to,
+           lead(ts) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history from the event stream: one interval row
+    per state change, open-ended current rows flagged."""
+    events = load_table(spark, sf_dir, "events")
+    return scd2_intervals(events)

@@ -124,6 +124,12 @@ _NESTED_LOOP_OK = {
     # exactly one row at any data scale
     "q_pipeline_part_value",
     "q_pipeline_idle_cust",
+    # centroid scoring: crossJoin against a broadcast centroid frame
+    # whose size is the hyperparameter k (≤ a few thousand rows at any
+    # corpus scale) — every vector must score every centroid by
+    # definition of the operator
+    "q_embed_assign",
+    "q_embed_kmeans",
 }
 
 
