@@ -182,11 +182,13 @@ def q_pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     AMERICA customers, per order year (conditional-aggregate ratio
     over a 7-way star join).
 
-    Scale: lineitem is the only big table — every other input is
-    broadcast; the dual nation role (customer-side filter vs
-    supplier-side label) uses two broadcast copies, and the share is
-    one two-phase aggregation on o_year. The sum ratio is rounded to
-    6 dp (relative accumulation skew ~1e-12 ≪ 5e-7 boundary).
+    Scale: lineitem⋈orders is the one big×big edge — it shuffles on
+    the order key (orders is a fact table, 1:4 vs lineitem — NOT
+    broadcastable at 100 TB); every true dimension (part slice,
+    supplier, both nation roles, the AMERICA customer slice at 1:40)
+    broadcasts, and the share is one two-phase aggregation on o_year.
+    The sum ratio is rounded to 6 dp (relative accumulation skew
+    ~1e-12 ≪ 5e-7 boundary).
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -211,7 +213,7 @@ def q_pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sales = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(cust_america), o.o_custkey == F.col("c_custkey"))
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("n2_nationkey"))
