@@ -125,3 +125,50 @@ def corpus_report(docs: DataFrame) -> DataFrame:
             F.when(F.length("text").between(100, 20000), 1).otherwise(0)
         ).alias("n_len_ok"),
     )
+
+
+def domain_cap(docs: DataFrame, cap: int = 20, key: str = "source") -> DataFrame:
+    """Cap the number of documents kept per domain/source — the
+    standard guard against a single crawl host dominating the corpus.
+    Selection is deterministic: docs are ranked inside each domain by
+    md5(doc_id) (an engine-stable uniform order, i.e. a seeded random
+    sample), ties broken by doc_id.
+
+    Scale: rank-filter per group — one shuffle on the domain key; the
+    per-group sort touches only (doc_id, key) pairs, and skewed
+    domains cost sort-of-group-size, not memory, since only ``cap``
+    rows survive. Payload columns rejoin AFTER the cap (callers keep
+    doc_id), so wide text never enters the shuffle.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key).orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", key)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= cap)
+    )
+
+
+def temperature_weights(
+    docs: DataFrame, alpha: float = 0.7, key: str = "source"
+) -> DataFrame:
+    """Temperature-based corpus mixing weights: each domain's sampling
+    weight is proportional to (its doc share)^alpha — alpha=1 is
+    natural sampling, alpha->0 uniform; 0.7 is the multilingual
+    up-weighting convention. Output: (key, n_docs, mix_weight).
+
+    Scale: one two-phase count per domain (tiny result — |domains|
+    rows), then a broadcast of the single-row denominator; the raw
+    corpus is touched exactly once.
+    """
+    counts = docs.groupBy(key).agg(F.count(F.lit(1)).alias("n_docs"))
+    pw = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    denom = counts.agg(F.sum(pw).alias("denom"))
+    return counts.crossJoin(F.broadcast(denom)).select(
+        key,
+        "n_docs",
+        F.round(pw / F.col("denom"), 6).alias("mix_weight"),
+    )

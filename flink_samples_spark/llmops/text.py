@@ -92,6 +92,62 @@ def document_fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
 
 
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals, adapted to single-line docs:
+    duplicate-word fraction (1 - distinct/total) and the fraction of
+    all word bigrams taken by the single most frequent bigram — the
+    standard boilerplate/template detectors run before pretraining.
+
+    Output: (doc_id, n_words, dup_word_frac, top_bigram_frac,
+    n_bigrams); docs with fewer than two words get frac 0.
+
+    Scale: the bigram expansion is JVM ``zip_with`` over the scan
+    (narrow); counting is two keyed two-phase aggregations — partial
+    counts combine map-side, so the shuffles carry (doc_id, bigram,
+    count) then (doc_id, stats), never raw text — plus one shuffle
+    join back on doc_id. Nothing exceeds a doc's own token count, so
+    at 100 TB this is bounded by the tokenizer pass itself.
+    """
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    pair_len = F.greatest(n - 1, F.lit(0))
+    base = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(words)) / n.cast("double"), 6
+        ).alias("dup_word_frac"),
+        F.zip_with(
+            F.slice(words, 1, pair_len),
+            F.slice(words, 2, pair_len),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ).alias("bigrams"),
+    )
+    per_bg = (
+        base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_bg.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"), F.sum("c").alias("n_bg")
+    )
+    return (
+        base.select("doc_id", "n_words", "dup_word_frac")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "dup_word_frac",
+            F.round(
+                F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
+                / F.coalesce(F.col("n_bg"), F.lit(1)),
+                6,
+            ).alias("top_bigram_frac"),
+            F.coalesce(F.col("n_bg"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        )
+    )
+
+
 def language_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: argmax of stopword-profile hit rates.
     Deterministic (ties broken by profile order), Arrow-batched.

@@ -427,3 +427,28 @@ def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(rev3, F.lit(0.0), lambda acc, x: acc + x), 4
         ).alias("rev_head_sum"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_variant,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_mod
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json into an
+    open-schema Variant, then typed variant_get extraction — the
+    modern alternative to fixed-schema from_json for evolving event
+    properties. DuckDB twin extracts the same path via its JSON type."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_variant"),
+        F.variant_get(F.try_parse_json(F.col("props")), "$.k", "string").alias("k_str"),
+        (F.variant_get(v, "$.k", "bigint") % 7).alias("k_mod"),
+    )

@@ -683,3 +683,77 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fit_assign(emb, k=8, n_iter=3)
+
+
+@query(
+    "q_quality_repetition",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), m AS (
+      SELECT doc_id, CAST(len(ws) AS INT) AS n_words,
+             round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6)
+               AS dup_word_frac
+      FROM base
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS bg
+      FROM base WHERE len(ws) >= 2
+    ), per_bg AS (
+      SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg
+    ), per_doc AS (
+      SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_bg FROM per_bg GROUP BY doc_id
+    )
+    SELECT m.doc_id, m.n_words, m.dup_word_frac,
+           round(CAST(coalesce(top_c, 0) AS DOUBLE) / coalesce(n_bg, 1), 6)
+             AS top_bigram_frac,
+           CAST(coalesce(n_bg, 0) AS BIGINT) AS n_bigrams
+    FROM m LEFT JOIN per_doc ON m.doc_id = per_doc.doc_id
+    """,
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-level repetition filters (Gopher-style duplicate-word and
+    top-bigram fractions) over the documents table."""
+    from flink_samples_spark.llmops.text import repetition_metrics
+
+    return repetition_metrics(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_sample_domain_cap",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS INT) AS sample_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def q_sample_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-domain document cap (20 docs/source) — the
+    anti-host-domination guard of a web-corpus pipeline."""
+    from flink_samples_spark.llmops.corpus import domain_cap
+
+    return domain_cap(load_table(spark, sf_dir, "documents"), cap=20)
+
+
+@query(
+    "q_mix_temperature",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT source, n_docs,
+           round(pow(CAST(n_docs AS DOUBLE), 0.7)
+                 / (SELECT SUM(pow(CAST(n_docs AS DOUBLE), 0.7)) FROM c), 6)
+             AS mix_weight
+    FROM c
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-0.7 corpus-mixing weights per source — the standard
+    up-weighting schedule for low-resource slices."""
+    from flink_samples_spark.llmops.corpus import temperature_weights
+
+    return temperature_weights(load_table(spark, sf_dir, "documents"), alpha=0.7)

@@ -264,3 +264,41 @@ def test_ngram_topk_counts(spark):
     out = {r.shingle: r.n_occ for r in ngram_topk(docs, k=3, top=10).collect()}
     # doc0 grams: "a b c","b c a","c a b","a b c"; doc1: "a b c","b c d"
     assert out["a b c"] == 3  # raw occurrences, not per-doc presence
+
+
+def test_repetition_metrics_edges_and_known_values(spark):
+    from flink_samples_spark.llmops.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "solo"),                      # 1 word: no bigrams
+            (2, "a a a a"),                   # all dup; bigram "a a" x3
+            (3, "x y x y z"),                 # "x y" twice of 4 bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["top_bigram_frac"] == 0.0
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[2]["dup_word_frac"] == 0.75 and rows[2]["top_bigram_frac"] == 1.0
+    assert rows[3]["n_bigrams"] == 4 and rows[3]["top_bigram_frac"] == 0.5
+
+
+def test_domain_cap_and_temperature_weights(spark, sf_dir):
+    from flink_samples_spark.llmops.corpus import domain_cap, temperature_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = domain_cap(docs, cap=5)
+    per = {r["source"]: r["cnt"] for r in capped.groupBy("source").agg(F.count("*").alias("cnt")).collect()}
+    assert per and all(c <= 5 for c in per.values())
+    # deterministic across runs
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in domain_cap(docs, cap=5).collect()
+    )
+    tw = temperature_weights(docs, alpha=0.7).collect()
+    total = sum(r["mix_weight"] for r in tw)
+    assert abs(total - 1.0) < 1e-4
+    # alpha<1 compresses: max/min weight ratio < max/min count ratio
+    cmax, cmin = max(r["n_docs"] for r in tw), min(r["n_docs"] for r in tw)
+    wmax, wmin = max(r["mix_weight"] for r in tw), min(r["mix_weight"] for r in tw)
+    assert wmax / wmin < cmax / cmin or cmax == cmin
