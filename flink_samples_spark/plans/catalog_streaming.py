@@ -123,6 +123,42 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The reference's FLAGSHIP (StreamingFlinkSQL.java:36-43) as a REAL
+# streaming run: watermarked built-in session_window (5 s gap, COUNT)
+# over the ordered replay, append mode, sentinel-flushed. Nothing is
+# late, so the streamed sessions equal the batch gaps-and-islands SQL
+# — the same strict oracle as q_session_window.
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH lagged AS (
+      SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts FROM events
+    ), sess AS (
+      SELECT ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 5 SECOND THEN 1 ELSE 0 END)
+               OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    )
+    SELECT MIN(ts) AS window_start,
+           MAX(ts) + INTERVAL 5 SECOND AS window_end,
+           COUNT(*) AS total
+    FROM sess GROUP BY sid
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.jobs import session_count_stream
+
+    def build(stream: DataFrame) -> DataFrame:
+        return session_count_stream(
+            stream, ts_col="ts", gap="5 seconds", watermark="1 second"
+        )
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, mx: df.filter(F.col("window_start") <= mx)
+    )
+
+
 # Custom stateful operator (applyInPandasWithState sessionizer) under a
 # STRICT oracle: ordered replay + sentinel flush makes its output equal
 # the batch gaps-and-islands SQL for 1-hour per-user sessions.
