@@ -49,6 +49,8 @@ HEADLINE = [
     "q_sample_hash",           # deterministic corpus sampling
     "q_sim_topk",              # brute-force ANN baseline
     "q_text_stats",
+    "q_sql_session_window",    # SQL-string entry (reference's literal path)
+    "q_join_band",             # banded range join (equi-join scale path)
 ]
 
 

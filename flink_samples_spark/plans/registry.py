@@ -93,8 +93,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sample_hash",
     # SQL entry point (literal twin of the reference's SQL-string path)
     "q_sql_session_window",
-    # real-streaming replays with strict oracles
-    "q_stream_dedup",
+    # real-streaming replays with strict oracles (the flagship session
+    # window in true streaming mode + the reference's windowed-sum job)
+    "q_stream_session",
     "q_stream_tumbling",
 )
 

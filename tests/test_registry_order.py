@@ -42,7 +42,7 @@ FAMILY_REPRESENTATIVES = {
         "q_fn_json",
     },
     "2.9 time windows": {"q_session_window", "q_tumbling_window"},
-    "2.9 real streaming": {"q_stream_dedup", "q_stream_tumbling"},
+    "2.9 real streaming": {"q_stream_session", "q_stream_tumbling"},
     "2.10 UDFs": {"q_udf_scalar", "q_udaf", "q_udtf"},
     "tier X": {"q_dedup_exact", "q_dedup_near", "q_sim_topk", "q_text_stats"},
     "SQL entry": {"q_sql_session_window"},
