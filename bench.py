@@ -63,8 +63,14 @@ def main() -> None:
     # Warm-up pass: JVM codegen, Python worker pool, parquet footers.
     # No DataFrame/result caching — only engine infrastructure warms;
     # the timed pass re-plans and re-executes every query in full.
+    # Per-query try/except: one broken query must never zero out the
+    # whole bench record (round 2 lost its entire perf signal that way).
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
     # drop data caches (CacheManager matches canonical plans, so the
     # timed pass would silently reuse warm-up .cache() results);
     # JVM/codegen/worker-pool warmth is what we want to keep
@@ -77,29 +83,34 @@ def main() -> None:
     # still executes in full.
     timings: dict[str, float] = {}
     for name in HEADLINE:
+        if name in errors:
+            continue
         best = float("inf")
-        for _ in range(2):
-            # construction INSIDE the timing: iterative operators
-            # (connected components) execute jobs while the DataFrame
-            # is being built, and plan analysis is part of latency
-            t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
+        try:
+            for _ in range(2):
+                # construction INSIDE the timing: iterative operators
+                # (connected components) execute jobs while the DataFrame
+                # is being built, and plan analysis is part of latency
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            continue
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline-suite wall time (noop-materialized, local)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline-suite wall time (noop-materialized, local)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

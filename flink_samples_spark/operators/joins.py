@@ -30,6 +30,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_samples_spark.utils import epoch_double
+
 
 def broadcast_join(
     fact: DataFrame, dim: DataFrame, on: str | list[str] | Column, how: str = "inner"
@@ -158,8 +160,11 @@ def as_of_join(
         F.col("__tag") == 1
     )
     if tolerance_seconds is not None:
+        # epoch_double, not cast("double"): left_ts may be
+        # TIMESTAMP_NTZ (driver parquet), which refuses a direct
+        # double cast in Spark 4.
         gap = F.abs(
-            F.col(left_ts).cast("double") - F.col(matched_ts_col).cast("double")
+            epoch_double(out, left_ts) - epoch_double(out, matched_ts_col)
         )
         within = gap <= F.lit(float(tolerance_seconds))
         out = out.select(
@@ -196,20 +201,19 @@ def banded_range_join(
     pair-dedup pass is needed.
     """
     w = float(delta_seconds)
-    lb = F.floor(F.col(left_point).cast("double") / F.lit(w)).alias("__bucket")
-    r_lo = F.floor((F.col(right_point).cast("double") - w) / F.lit(w))
-    r_hi = F.floor((F.col(right_point).cast("double") + w) / F.lit(w))
+    # epoch_double handles TIMESTAMP_NTZ (driver parquet) as well as
+    # LTZ and plain numeric point columns.
+    lp = epoch_double(left, left_point)
+    rp = epoch_double(right, right_point)
+    lb = F.floor(lp / F.lit(w)).alias("__bucket")
+    r_lo = F.floor((rp - w) / F.lit(w))
+    r_hi = F.floor((rp + w) / F.lit(w))
     l = left.select("*", lb)
     r = right.select(
         "*",
-        F.explode(F.array_distinct(F.array(r_lo, r_hi, F.floor(F.col(right_point).cast("double") / F.lit(w))))).alias(
+        F.explode(F.array_distinct(F.array(r_lo, r_hi, F.floor(rp / F.lit(w))))).alias(
             "__bucket"
         ),
     )
-    out = l.join(r, "__bucket").filter(
-        F.abs(
-            F.col(left_point).cast("double") - F.col(right_point).cast("double")
-        )
-        <= w
-    )
+    out = l.join(r, "__bucket").filter(F.abs(lp - rp) <= w)
     return out.drop("__bucket")

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_samples_spark.utils import epoch_double
+
 
 def resample_interpolate(
     df: DataFrame,
@@ -39,8 +41,11 @@ def resample_interpolate(
     Output: (key, bucket, value, filled) — ``filled`` marks
     interpolated rows."""
     ivl = F.lit(int(interval_seconds))
+    # epoch_double, not cast("double"): ts_col may be TIMESTAMP_NTZ
+    # (driver parquet timestamp[us] with no tz), which Spark 4 refuses
+    # to cast straight to DOUBLE.
     bucket = F.timestamp_seconds(
-        (F.floor(F.col(ts_col).cast("double") / ivl) * ivl).cast("bigint")
+        (F.floor(epoch_double(df, ts_col) / ivl) * ivl).cast("bigint")
     )
     agg_fn = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[agg]
     agg_col = agg_fn(value_col)

@@ -197,11 +197,29 @@ def q_stream_custom_sessionizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Late-data pipeline (rows-only): replay UNORDERED by event time (split
-# on event_id), so genuinely late rows cross the 11 s bound and drop —
-# pytest asserts the exact drop/keep semantics; here the driver records
-# the row count of surviving windows.
-@query("q_late_data")
+# Late-data pipeline under a STRICT oracle (round-2 verdict item 6).
+# Ordered replay of the full events table, then a probe file of copies
+# of the 50 EARLIEST rows re-injected after everything else — ~29 days
+# late against an 11 s watermark bound, so Spark's late-row filter must
+# drop every probe no matter whether the filter watermark lags the
+# event-time stats by one or two micro-batches (the lag the exact-drop
+# pytest documents, tests/test_streaming.py:116-119). The oracle is the
+# tumbling count over the ORIGINAL events only: if the engine kept any
+# probe (or dropped a non-late row) the earliest windows' counts — and
+# the hash — diverge. The fine-grained keep-within-bound case stays
+# covered by the pytest, which probes a row inside the still-open
+# window (q_late_data's ancient probes make the driver check robust to
+# the stats lag; a within-bound probe would not be).
+@query(
+    "q_late_data",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
 def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
     replay, sink, cp = dirs
@@ -209,7 +227,33 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "value"
         )
-        write_replay_files(events, replay, n_files=8, order_col="event_id")
+        write_replay_files(events, replay, n_files=8, order_col="ts")
+        max_ts = events.agg(F.max("ts")).first()[0]
+        # probe file (micro-batch 9): copies of the earliest rows with
+        # their ORIGINAL ancient timestamps — every one must be dropped
+        probes = events.orderBy("ts").limit(50).select(
+            (F.col("event_id") + F.lit(10_000_000)).alias("event_id"),
+            "ts",
+            "user_id",
+            "value",
+        )
+        probe_path = os.path.join(replay, "chunk_00050.parquet")
+        probes.toPandas().to_parquet(
+            probe_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(probe_path, (1_700_000_050, 1_700_000_050))
+        # sentinel (micro-batch 10): advances the watermark past every
+        # real window so append mode flushes them all
+        sent = spark.createDataFrame(
+            [(-1, max_ts, -1, 0.0)],
+            "event_id long, ts timestamp, user_id long, value double",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+        sent_path = os.path.join(replay, "chunk_99999.parquet")
+        sent.toPandas().to_parquet(
+            sent_path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(sent_path, (1_700_000_099, 1_700_000_099))
+
         stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA)
         out = windowed_sum_stream(
             stream,
@@ -228,7 +272,9 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming replay did not finish within 300s")
-        result = read_sink(spark, sink).toPandas()
+        result = (
+            read_sink(spark, sink).filter(F.col("window_start") <= max_ts).toPandas()
+        )
         result = result[[c for c in result.columns if c != "batch"]]
         return spark.createDataFrame(result, schema=out.schema)
     finally:

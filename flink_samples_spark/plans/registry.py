@@ -22,81 +22,78 @@ ORACLES: dict[str, str] = {}
 # The driver's CORRECTNESS gate hash-checks exactly the FIRST 50 entries
 # of ``__spark_entry__.queries()`` in iteration order (verified round 1:
 # checked set == list(queries())[:50]).  Registration order follows
-# module-import order, which starved entire SURVEY §2 families (scalar
-# functions, UDFs, tier-X, the SQL entry point, real-streaming) out of
-# the window in round 1.  This explicit list allocates the 50 slots so
-# every §2 family gets at least one driver-green row:
-#   §2.9 windows/flagship 4 | §2.1 sources 3 | §2.2 proj/filter 3
-#   §2.3 joins 7 | §2.4 aggs 5 (incl. the within-tolerance sketch)
-#   §2.5 analytic 4 | §2.6 top-k 2 | §2.7 set-ops 2 | §2.8 functions 7
-#   §2.10 UDFs 3 | tier-X LLM-ops 7 | SQL entry 1 | real-streaming 2.
+# module-import order, which starved entire SURVEY §2 families out of
+# the window in round 1; rounds 1+2 together drove 70 distinct queries
+# green (committed manifest: GREEN_MANIFEST.json).  Round-3 allocation
+# per the round-2 verdict: keep the flagship plus a small ever-green
+# sentinel spine (~1 per family, regression canaries), and spend every
+# remaining slot on queries that have NEVER had a driver-green row —
+# TPC-H shapes, tier-X corpus ops, the strict-oracle streaming runs,
+# the SQL-entry family, second-tier functions, and the two operators
+# un-broken this round (q_join_band, q_ts_resample).
 # Every name listed here MUST have a DuckDB oracle — a rows-only query
 # in the window wastes a slot (tests/test_registry_order.py enforces).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # §2.9 time windows (flagship first — entry() serves it too)
-    "q_session_window",
-    "q_session_window_keyed",
-    "q_tumbling_window",
-    "q_sliding_window",
-    # §2.1 sources
-    "q_scan_parquet",
-    "q_source_range",
-    "q_scan_json",
-    # §2.2 projections / filters
-    "q_project",
-    "q_filter",
-    "q_case_when",
-    # §2.3 joins
-    "q_join_broadcast",
-    "q_join_smj",
-    "q_join_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_range",
-    "q_join_star",
-    # §2.4 aggregations
-    "q_agg_count_group",
-    "q_agg_multi",
-    "q_agg_count_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_having",
-    # §2.5 analytic windows
-    "q_win_rank",
-    "q_win_laglead",
-    "q_win_running_sum",
-    "q_win_ntile",
-    # §2.6 sorts / top-k
-    "q_topk",
-    "q_topk_per_group",
-    # §2.7 set operations
-    "q_union_all",
-    "q_except",
-    # §2.8 scalar-function families
-    "q_fn_string",
-    "q_fn_date",
-    "q_fn_math",
-    "q_fn_null",
-    "q_fn_array",
-    "q_fn_map",
-    "q_fn_json",
-    # §2.10 UDF surface
-    "q_udf_scalar",
-    "q_udaf",
-    "q_udtf",
-    # tier-X LLM-data-pipeline operators
-    "q_dedup_exact",
-    "q_dedup_near",
-    "q_dedup_groups",
-    "q_sim_topk",
-    "q_text_stats",
-    "q_multimodal_passthrough",
-    "q_sample_hash",
-    # SQL entry point (literal twin of the reference's SQL-string path)
-    "q_sql_session_window",
-    # real-streaming replays with strict oracles (the flagship session
-    # window in true streaming mode + the reference's windowed-sum job)
-    "q_stream_session",
-    "q_stream_tumbling",
+    # ---- ever-green sentinel spine (regression canaries) ----
+    "q_session_window",       # flagship (entry() serves it too)
+    "q_scan_parquet",         # §2.1 sources
+    "q_filter",               # §2.2 pushdown path
+    "q_join_smj",             # §2.3 big×big shuffle join
+    "q_agg_approx_distinct",  # §2.4 sketch w/ tolerance oracle
+    "q_win_rank",             # §2.5 analytic window
+    "q_topk_per_group",       # §2.6
+    "q_union_all",            # §2.7
+    "q_dedup_near",           # tier-X MinHash LSH
+    # ---- fixed this round: prove the NTZ repair driver-side ----
+    "q_join_band",
+    "q_ts_resample",
+    # ---- §2.3/2.4 never-checked relational ----
+    "q_join_asof_fwd",
+    "q_agg_grouping_sets",
+    # ---- TPC-H pipeline shapes (never driver-checked) ----
+    "q_pipeline_custdist",
+    "q_pipeline_volume_shipping",
+    "q_pipeline_min_cost_supp",
+    "q_pipeline_order_priority",
+    "q_pipeline_market_share",
+    "q_pipeline_profit",
+    "q_pipeline_part_value",
+    "q_pipeline_priority_lines",
+    "q_pipeline_small_qty",
+    "q_pipeline_large_orders",
+    "q_pipeline_disjunctive",
+    "q_pipeline_excess_supp",
+    "q_pipeline_late_solo_supp",
+    "q_pipeline_idle_cust",
+    # ---- behavioral analytics (new in r2, never checked) ----
+    "q_funnel",
+    "q_cohort_retention",
+    # ---- §2.8 second-tier scalar functions ----
+    "q_fn_string2",
+    "q_fn_try",
+    # ---- §2.10 Arrow/pandas UDF surface ----
+    "q_apply_in_pandas",
+    "q_udf_arrow",
+    # ---- tier-X corpus operators (never driver-checked) ----
+    "q_pack_sequences",
+    "q_mix_corpus",
+    "q_ngram_topk",
+    "q_contamination",
+    "q_pii_scan",
+    "q_corpus_report",
+    "q_embed_assign",
+    # ---- SQL-string entry family ----
+    "q_sql_cte",
+    "q_sql_correlated_exists",
+    "q_sql_scalar_subquery",
+    "q_sql_grouping_sets",
+    "q_sql_recursive",
+    "q_sql_window",
+    # ---- strict-oracle REAL streaming runs (never driver-checked) ----
+    "q_stream_join",
+    "q_stream_custom_sessionizer",
+    "q_stream_enrich",
+    "q_stream_dedup",
 )
 
 

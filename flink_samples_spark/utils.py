@@ -2,7 +2,25 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def epoch_double(df: DataFrame, col_name: str) -> Column:
+    """Epoch seconds as DOUBLE for any timestamp flavor (or numeric).
+
+    Spark 4 refuses ``cast(ts AS DOUBLE)`` on TIMESTAMP_NTZ — which is
+    what a parquet ``timestamp[us]`` column with no timezone (the
+    driver testdata's ``events.ts``) reads as. Routing NTZ through
+    TIMESTAMP_LTZ first is legal and, under this repo's pinned-UTC
+    session timezone, yields the same epoch the LTZ column would.
+    Numeric columns pass straight through so band joins on plain
+    doubles keep full precision."""
+    dt = dict(df.dtypes).get(col_name)
+    c = F.col(col_name)
+    if dt is not None and dt.startswith("timestamp"):
+        return c.cast("timestamp_ltz").cast("double")
+    return c.cast("double")
 
 
 def parallelize_narrow(df: DataFrame) -> DataFrame:

@@ -1,0 +1,24 @@
+#!/usr/bin/env bash
+# End-of-round gate (round-2 verdict item 5): the final snapshot of a
+# round must never again commit a red test suite or a crashed bench.
+# Run from the repo root:   bash scripts/verify_round.sh
+# Exits non-zero unless BOTH pytest and bench.py succeed AND the bench
+# printed a parseable JSON line with zero per-query errors.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== pytest =="
+python -m pytest tests/ -q -p no:cacheprovider || { echo "GATE RED: pytest failed"; exit 1; }
+
+echo "== bench =="
+BENCH_OUT=$(python bench.py) || { echo "GATE RED: bench.py exited non-zero"; exit 1; }
+echo "$BENCH_OUT" | tail -1 | python -c '
+import json, sys
+line = sys.stdin.read().strip().splitlines()[-1]
+d = json.loads(line)
+errs = d.get("errors")
+if errs:
+    print(f"GATE RED: bench recorded per-query errors: {sorted(errs)}")
+    sys.exit(1)
+print(f"GATE GREEN: {len(d[\"queries\"])} queries, total {d[\"value\"]} {d[\"unit\"]} at sf{d[\"sf\"]}")
+' || exit 1

@@ -124,6 +124,9 @@ _NESTED_LOOP_OK = {
     # exactly one row at any data scale
     "q_pipeline_part_value",
     "q_pipeline_idle_cust",
+    # same scalar-attach shape: the single-row mixing denominator
+    # broadcast against the |domains|-row counts frame
+    "q_mix_temperature",
     # centroid scoring: crossJoin against a broadcast centroid frame
     # whose size is the hyperparameter k (≤ a few thousand rows at any
     # corpus scale) — every vector must score every centroid by

@@ -40,12 +40,40 @@ FAMILY_REPRESENTATIVES = {
         "q_fn_array",
         "q_fn_map",
         "q_fn_json",
+        # second-tier families count for §2.8 coverage too
+        "q_fn_string2",
+        "q_fn_date2",
+        "q_fn_bitwise",
+        "q_fn_try",
+        "q_fn_array2",
+        "q_fn_variant",
     },
     "2.9 time windows": {"q_session_window", "q_tumbling_window"},
-    "2.9 real streaming": {"q_stream_session", "q_stream_tumbling"},
-    "2.10 UDFs": {"q_udf_scalar", "q_udaf", "q_udtf"},
+    "2.9 real streaming": {
+        "q_stream_session",
+        "q_stream_tumbling",
+        "q_stream_join",
+        "q_stream_custom_sessionizer",
+        "q_stream_enrich",
+        "q_stream_dedup",
+    },
+    "2.10 UDFs": {
+        "q_udf_scalar",
+        "q_udaf",
+        "q_udtf",
+        "q_apply_in_pandas",
+        "q_udf_arrow",
+    },
     "tier X": {"q_dedup_exact", "q_dedup_near", "q_sim_topk", "q_text_stats"},
-    "SQL entry": {"q_sql_session_window"},
+    "SQL entry": {
+        "q_sql_session_window",
+        "q_sql_cte",
+        "q_sql_correlated_exists",
+        "q_sql_scalar_subquery",
+        "q_sql_grouping_sets",
+        "q_sql_recursive",
+        "q_sql_window",
+    },
 }
 
 
