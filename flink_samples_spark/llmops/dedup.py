@@ -343,13 +343,26 @@ def minhash_lsh_pairs(
     bands = hashed.mapInPandas(
         _make_minhash_band_rows(), "doc_id bigint, band int, band_hash bigint"
     )
+    candidates = _bucket_candidate_pairs(bands, ["band", "band_hash"], max_bucket)
+    return _verify_jaccard_pairs(hashed, candidates, threshold)
+
+
+def _bucket_candidate_pairs(
+    keyed: DataFrame, bucket_keys: list, max_bucket: int
+) -> DataFrame:
+    """(doc_id, *bucket_keys) → distinct candidate (doc_a < doc_b)
+    pairs that share a bucket. ONE groupBy shuffle; in-bucket pairs
+    expand JVM-side (pure codegen — no self-join, no second branch
+    over the band table). ``max_bucket`` caps any one bucket's
+    ≤ max_bucket²/2 pair blow-up (hot boilerplate buckets filter
+    for free via F.size)."""
     buckets = (
-        bands.groupBy("band", "band_hash")
+        keyed.groupBy(*bucket_keys)
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
     )
-    # all (a<b) pairs of the sorted bucket array, pure codegen: for
-    # element i, pair it with every later element
+    # all (a<b) pairs of the sorted bucket array: for element i, pair
+    # it with every later element
     ds = F.col("ds")
     pair_arrays = F.transform(
         ds,
@@ -358,15 +371,20 @@ def minhash_lsh_pairs(
             lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
         ),
     )
-    candidates = (
+    return (
         buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
-    # exact verification: join each candidate PAIR to its two hashed
-    # shingle arrays and intersect in the JVM (array_intersect is a
-    # hash-set O(n+m)) — no shingle-explode self-join, so the LSH path
-    # never pays the exact algorithm's all-pairs cost
+
+
+def _verify_jaccard_pairs(
+    hashed: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact verification: join each candidate PAIR to its two hashed
+    shingle arrays and intersect in the JVM (array_intersect is a
+    hash-set O(n+m)) — no shingle-explode self-join, so candidate
+    paths never pay the exact algorithm's all-pairs cost."""
     ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
     hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
     paired = candidates.join(ha, "doc_a").join(hb, "doc_b")
@@ -417,6 +435,63 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     return parallelize_narrow(hashed).mapInPandas(
         simhash_batch, "doc_id bigint, simhash bigint"
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_hamming: int = 12,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """SimHash-banded near-dup pairs (a < b) with exact-Jaccard verify
+    — the SimHash twin of :func:`minhash_lsh_pairs`, same output
+    contract (doc_a, doc_b, jaccard ≥ threshold).
+
+    Candidate generation: the 64-bit signature splits into
+    ``max_hamming + 1`` bit-bands; by pigeonhole, any pair within
+    ``max_hamming`` bits agrees on at least one whole band, so a
+    bucket-join on (band, band_bits) has guaranteed recall at that
+    radius — no all-pairs scan. Candidates then filter on true
+    bit_count(xor) ≤ max_hamming before the exact-Jaccard verify.
+
+    Scale note: band width is 64/(max_hamming+1) bits, so bucket
+    count per band is 2^width — a tight radius (classic production
+    setting: max_hamming=3 → 4 bands × 16 bits → 65k buckets/band)
+    keeps buckets sparse at corpus scale, while a wide radius like
+    the default 12 (13 bands × ~5 bits) is only for small/synthetic
+    corpora whose near-dups mutate heavily; ``max_bucket`` caps the
+    per-bucket pair blow-up either way.
+    """
+    sigs = simhash_signatures(docs).cache()
+    n_bands = max_hamming + 1
+    width = 64 // n_bands  # last band absorbs the 64 % n_bands remainder
+    band_rows = []
+    for i in range(n_bands):
+        off = i * width
+        w = 64 - off if i == n_bands - 1 else width
+        band_rows.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("band_bits"),
+            )
+        )
+    keyed = sigs.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_bits").alias("band_bits"))
+    candidates = _bucket_candidate_pairs(keyed, ["band", "band_bits"], max_bucket)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    within = (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming)
+        .select("doc_a", "doc_b")
+    )
+    hashed = parallelize_narrow(_shingle_hashes(docs, k))
+    return _verify_jaccard_pairs(hashed, within, threshold)
 
 
 def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

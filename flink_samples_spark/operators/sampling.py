@@ -12,8 +12,8 @@ Three tiers:
   int64 arithmetic, so it is expressible in ANSI SQL and
   oracle-checkable (unlike ``rand(seed)``, whose stream is
   partition-dependent and engine-specific).
-- :func:`stratified_sample` — per-stratum fractions via
-  ``sampleBy`` (seeded, Spark-deterministic) for class rebalancing.
+- :func:`stratified_sample` — per-stratum fractions via the same
+  deterministic hash (per-stratum thresholds) for class rebalancing.
 - :func:`reservoir_per_group` — exact k rows per group for bounded
   per-class caps: deterministic rank over the same multiplicative
   hash, one shuffle, per-partition top-k heaps (no full sort).
@@ -57,12 +57,31 @@ def hash_sample(df: DataFrame, key: str, fraction: float, salt: int = 0) -> Data
 
 
 def stratified_sample(
-    df: DataFrame, stratum: str, fractions: dict, seed: int = 42
+    df: DataFrame,
+    stratum: str,
+    fractions: dict,
+    key: str = "doc_id",
+    salt: int = 7,
+    seed: int | None = None,
 ) -> DataFrame:
     """Per-stratum Bernoulli sampling (class rebalancing): keep
     ``fractions[v]`` of rows with ``stratum == v`` (strata absent
-    from the dict are dropped, matching ``sampleBy``)."""
-    return df.sampleBy(stratum, fractions, seed=seed)
+    from the dict are dropped, matching ``sampleBy`` semantics).
+
+    Selection is the same deterministic multiplicative hash as
+    :func:`hash_sample` (on ``key``, stratum-independent ``salt``),
+    NOT ``sampleBy``: sampleBy's rand stream depends on partition
+    layout, so its output changes under repartitioning — useless for
+    a reproducible corpus and impossible to oracle-check. The hash
+    form is a pure function of (key, salt, fractions) and plain
+    int64 SQL. ``seed`` is accepted as a legacy alias for ``salt``.
+    """
+    if seed is not None:
+        salt = seed
+    frac = F.lit(None).cast("double")
+    for v, f in fractions.items():
+        frac = F.when(F.col(stratum) == v, F.lit(float(f))).otherwise(frac)
+    return df.filter(_hash_unit(F.col(key), salt) < frac)
 
 
 def reservoir_per_group(

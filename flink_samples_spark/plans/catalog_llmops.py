@@ -12,8 +12,10 @@ Oracle notes:
   from exact, while scaling as bucket-joins instead of all-pairs.
 - Jaccard is a ratio of exact integers → bit-identical everywhere.
 - Cosine dots fold left-to-right in DOUBLE on both engines.
-- SimHash and language-ID use Python-side hash tables → rows-only
-  checks (determinism asserted in tests/test_llmops.py).
+- SimHash shares the exact-Jaccard pair oracle (banded candidates +
+  exact verify); language-ID's stopword scorer is generated into SQL
+  from the same profile constant; ANN and k-means carry invariant
+  (boolean) oracles in the approx_distinct style.
 """
 
 from __future__ import annotations
@@ -25,7 +27,7 @@ from flink_samples_spark.llmops.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
-    simhash_signatures,
+    simhash_near_pairs,
 )
 from flink_samples_spark.llmops.multimodal import (
     attach_binary_payload,
@@ -105,10 +107,14 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, k=3, threshold=0.8)
 
 
-@query("q_dedup_simhash")
+# SimHash now shares the exact-pair oracle too: banded candidates
+# (pigeonhole-guaranteed recall at hamming ≤ 12, covering the corpus's
+# observed near-dup spread ≤ 9 bits) + the same exact-Jaccard verify,
+# so a recall miss shows up as a missing oracle row, not silence.
+@query("q_dedup_simhash", oracle=_JACCARD_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_signatures(docs)
+    return simhash_near_pairs(docs, k=3, threshold=0.8, max_hamming=12)
 
 
 @query(
@@ -171,7 +177,34 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(docs)
 
 
-@query("q_lang_id")
+def _lang_id_oracle() -> str:
+    """Exact DuckDB twin of llmops.text.language_id, generated from the
+    SAME _LANG_PROFILES constant so scorer and oracle cannot drift.
+    The heuristic is distinct-membership stopword counting + argmax
+    with first-profile tie-break — plain integer SQL."""
+    from flink_samples_spark.llmops.text import _LANG_PROFILES
+
+    langs = list(_LANG_PROFILES)
+    hits = {
+        lang: " + ".join(
+            f"CAST(list_contains(ws, '{w}') AS INT)" for w in words
+        )
+        for lang, words in _LANG_PROFILES.items()
+    }
+    hit_cols = ", ".join(f"({expr}) AS {lang}_hits" for lang, expr in hits.items())
+    mx = "greatest(" + ", ".join(f"{lang}_hits" for lang in langs) + ")"
+    # Python's max() keeps the FIRST maximal profile in dict order —
+    # mirror that with ordered WHEN arms
+    arms = " ".join(f"WHEN {lang}_hits = {mx} THEN '{lang}'" for lang in langs[:-1])
+    case = f"CASE WHEN {mx} = 0 THEN 'unk' {arms} ELSE '{langs[-1]}' END"
+    return f"""
+    WITH t AS (SELECT doc_id, str_split(lower(text), ' ') AS ws FROM documents),
+    s AS (SELECT doc_id, {hit_cols} FROM t)
+    SELECT doc_id, {case} AS lang_pred, CAST({mx} AS BIGINT) AS lang_hits FROM s
+    """
+
+
+@query("q_lang_id", oracle=_lang_id_oracle())
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return language_id(docs)
@@ -208,18 +241,50 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Approximate variants — recall < 1 by construction, so rows-only here;
 # tests/test_llmops.py measures recall against the brute-force baseline.
-@query("q_sim_topk_lsh")
+# ANN recall invariant (approx_distinct pattern): the approximate
+# top-k is compared in-plan against the brute-force exact top-k, and
+# the ORACLE asserts the invariant per query — ≥1 of the true top-3
+# recalled — rather than the (non-SQL-expressible) estimate itself.
+# Both sides are deterministic (seeded planes / no-RNG k-means init,
+# vec_id tie-breaks), so the booleans are stable run-to-run.
+_ANN_RECALL_ORACLE = """
+    SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 10
+"""
+
+
+def _ann_recall(spark, sf_dir, ann_fn) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_cosine_topk(queries, emb, k=3).select("query_id", "vec_id")
+    ann = ann_fn(queries, emb).select("query_id", "vec_id")
+    hits = exact.join(ann, ["query_id", "vec_id"], "left_semi")
+    per_q = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 1).alias("recall_ok"),
+        )
+    )
+
+
+@query("q_sim_topk_lsh", oracle=_ANN_RECALL_ORACLE)
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_bucketed_topk(queries, emb, k=3)
+    # 4 planes × 8 tables: measured recall 20-22/30 on this corpus
+    # (the 8×4 default recalled ≤3/30 — too selective at 500 vectors)
+    return _ann_recall(
+        spark,
+        sf_dir,
+        lambda q, c: lsh_bucketed_topk(q, c, k=3, n_planes=4, n_tables=8),
+    )
 
 
-@query("q_sim_topk_ivf")
+@query("q_sim_topk_ivf", oracle=_ANN_RECALL_ORACLE)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_cosine_topk(queries, emb, k=3)
+    return _ann_recall(spark, sf_dir, lambda q, c: ivf_cosine_topk(q, c, k=3))
 
 
 # Embedding-cosine near-dup pairs, exact all-pairs with exact oracle
@@ -326,7 +391,21 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sampleBy's per-row coin flips are Spark-internal (seeded XORShift),
 # so no cross-engine oracle exists; the driver records row counts and
 # pytest bounds the per-stratum rates.
-@query("q_sample_stratified")
+# Same multiplicative-hash membership as q_sample_hash (salt 7
+# decorrelates it from that query's salt-0 sample) with per-stratum
+# thresholds — pure int64 arithmetic, so the oracle replays it exactly.
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ((doc_id + 7) % 2147483648 * 2654435761) % 2147483648
+          / 2147483648.0
+          < CASE lang WHEN 'en' THEN 0.5
+                      WHEN 'de' THEN 0.25
+                      WHEN 'fr' THEN 0.25 END
+    """,
+)
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.operators import stratified_sample
 
@@ -675,14 +754,36 @@ def q_embed_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Iterative Lloyd's has no tractable SQL twin (per-iteration argmax +
 # mean recomputation); driver records rows-only, pytest asserts
 # determinism, cluster count, and cohesion improvement over init.
-@query("q_embed_kmeans")
+# Invariant oracle (approx_distinct pattern): the assignment table
+# itself is float-borderline at the ulp level, so the driver checks
+# the clustering CONTRACT — every vector assigned exactly once, to a
+# valid cluster id, with non-negative mean cosine to its centroid
+# (spherical k-means from real seeds guarantees it) — not raw labels.
+@query(
+    "q_embed_kmeans",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points, TRUE AS kmeans_ok
+    FROM embeddings
+    """,
+)
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-corpus distributed spherical k-means (k=8, 3 Lloyd
     iterations), deterministic init from the 8 lowest vec_ids."""
     from flink_samples_spark.llmops.clustering import kmeans_fit_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_fit_assign(emb, k=8, n_iter=3)
+    assigned = kmeans_fit_assign(emb, k=8, n_iter=3)
+    n_emb = emb.count()
+    return assigned.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (
+            (F.count(F.lit(1)) == F.lit(n_emb))
+            & (F.count_distinct(F.col("vec_id")) == F.lit(n_emb))
+            & (F.min("cluster_id") >= F.lit(0))
+            & (F.max("cluster_id") < F.lit(8))
+            & (F.avg("cos") >= F.lit(0.0))
+        ).alias("kmeans_ok"),
+    )
 
 
 @query(
