@@ -26,10 +26,15 @@ from flink_samples_spark.operators.joins import (
     sort_merge_join,
     star_join,
 )
+from flink_samples_spark.operators.bucketing import colocated_join, write_bucketed
 from flink_samples_spark.operators.sampling import (
     hash_sample,
     reservoir_per_group,
     stratified_sample,
+)
+from flink_samples_spark.operators.skew import (
+    salted_agg,
+    salted_broadcast_replicate_join,
 )
 from flink_samples_spark.operators.timeseries import resample_interpolate
 from flink_samples_spark.operators.time_windows import (
@@ -58,6 +63,10 @@ __all__ = [
     "range_join",
     "rollup_agg",
     "running_agg",
+    "salted_agg",
+    "salted_broadcast_replicate_join",
+    "colocated_join",
+    "write_bucketed",
     "semi_join",
     "session_window_agg",
     "sliding_window_agg",

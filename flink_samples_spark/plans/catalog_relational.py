@@ -1397,3 +1397,124 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             < 0.05
         ).alias("within_tol")
     )
+
+
+# Skew-mitigation and co-location shapes as driver-checkable entries:
+# the semantics are plain joins/aggregations (exact SQL oracles); what
+# the variants add is the 100 TB physical plan — salting spreads a hot
+# key over n reducers, bucketing removes the join shuffle entirely.
+@query(
+    "q_agg_salted",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2) AS sum_l_quantity,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators.skew.salted_agg): the
+    result is an ordinary per-key sum/count; the plan fans the hot key
+    over 16 deterministic salt buckets before merging, so no single
+    reducer owns a hot key's rows."""
+    from flink_samples_spark.operators import salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(li, ["l_returnflag"], sum_cols=["l_quantity"], n_salts=16)
+    return out.select(
+        "l_returnflag",
+        F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+        "n_rows",
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle="""
+    SELECT l_orderkey, l_partkey AS partkey, l_quantity, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salt-replicated equi-join (operators.skew): the big side salts
+    deterministically, the small side replicates once per salt value,
+    so a hot part key spreads over 8 reducers instead of one."""
+    from flink_samples_spark.operators import salted_broadcast_replicate_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_orderkey", "l_quantity"
+    )
+    pt = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    return salted_broadcast_replicate_join(li, pt, "partkey", n_salts=8)
+
+
+@query(
+    "q_join_colocated",
+    oracle="""
+    SELECT o_orderkey, o_custkey AS custkey, c_name,
+           ROUND(o_totalprice, 2) AS o_totalprice
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (operators.bucketing): both sides are
+    written bucketBy(8, custkey) through the session catalog, so the
+    SortMergeJoin plans with NO Exchange on either side — the shuffle
+    was paid once at write time, amortized over every later join on
+    the key (tests/test_bucketing.py asserts the no-Exchange plan)."""
+    from flink_samples_spark.operators import colocated_join, write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name"
+    )
+    write_bucketed(orders, "bkt_orders_q", ["custkey"], 8, sort_cols=["custkey"])
+    write_bucketed(cust, "bkt_customer_q", ["custkey"], 8, sort_cols=["custkey"])
+    out = colocated_join(spark, "bkt_orders_q", "bkt_customer_q", "custkey")
+    return out.select(
+        "o_orderkey", "custkey", "c_name", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+
+
+@query(
+    "q_join_asof_tol",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ), purch AS (
+        SELECT user_id, ts AS p_ts, max(value) AS p_value
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, c.click_ts,
+           CASE WHEN c.click_ts - p.p_ts <= INTERVAL 1 HOUR
+                THEN p.p_ts END AS asof_ts,
+           CASE WHEN c.click_ts - p.p_ts <= INTERVAL 1 HOUR
+                THEN p.p_value END AS p_value
+    FROM clicks c
+    ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.click_ts >= p.p_ts
+    """,
+)
+def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a tolerance bound (pandas merge_asof semantics):
+    matches farther back than 1 hour are nulled. Exercises the
+    NTZ-safe epoch path in as_of_join's tolerance filter."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    purch = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("p_value"))
+    )
+    return as_of_join(
+        clicks, purch, "user_id", left_ts="click_ts", right_ts="ts",
+        payload=["p_value"], tolerance_seconds=3600.0,
+    ).select("event_id", "user_id", "click_ts", "asof_ts", "p_value")
