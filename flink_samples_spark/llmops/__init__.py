@@ -1,6 +1,8 @@
+from flink_samples_spark.llmops.chunking import chunk_documents
 from flink_samples_spark.llmops.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
+    minhash_lsh_pairs_cross,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
@@ -9,6 +11,7 @@ from flink_samples_spark.llmops.similarity import (
     cosine_pairs,
     ivf_cosine_topk,
     lsh_bucketed_topk,
+    quantize_int8,
 )
 from flink_samples_spark.llmops.text import (
     document_fingerprint,
@@ -20,6 +23,7 @@ from flink_samples_spark.llmops.text import (
 
 __all__ = [
     "brute_force_cosine_topk",
+    "chunk_documents",
     "cosine_pairs",
     "document_fingerprint",
     "exact_dedup",
@@ -27,8 +31,10 @@ __all__ = [
     "language_id",
     "lsh_bucketed_topk",
     "minhash_lsh_pairs",
+    "minhash_lsh_pairs_cross",
     "ngram_jaccard_pairs",
     "quality_score",
+    "quantize_int8",
     "simhash_signatures",
     "text_stats",
     "token_counts",

@@ -341,10 +341,91 @@ def minhash_lsh_pairs(
     # ~2 KB/doc; Spark recomputes gracefully on eviction)
     hashed = parallelize_narrow(_shingle_hashes(docs, k)).cache()
     bands = hashed.mapInPandas(
-        _make_minhash_band_rows(), "doc_id bigint, band int, band_hash bigint"
+        _band_fn(signature), "doc_id bigint, band int, band_hash bigint"
     )
     candidates = _bucket_candidate_pairs(bands, ["band", "band_hash"], max_bucket)
     return _verify_jaccard_pairs(hashed, candidates, threshold)
+
+
+def _band_fn(signature: str):
+    if signature == "oph":
+        return _make_oph_band_rows()
+    if signature == "kperm":
+        return _make_minhash_band_rows()
+    raise ValueError(f"unknown signature kind: {signature!r}")
+
+
+def minhash_lsh_pairs_cross(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket_pairs: int = 250_000,
+    signature: str = "oph",
+) -> DataFrame:
+    """Cross-corpus near-dup pairs: (doc_a ∈ A, doc_b ∈ B) with word
+    ``k``-gram Jaccard ≥ threshold — the decontamination primitive
+    (scrub a 100 TB training corpus against a small eval/benchmark set
+    without ever comparing training docs to each other).
+
+    Same three stages as :func:`minhash_lsh_pairs`, but the band
+    shuffle carries a side tag and each bucket expands only its A×B
+    cross pairs JVM-side — within-corpus pairs are never generated, so
+    the candidate count is bounded by cross collisions alone (in the
+    common decontamination case |B| ≪ |A| this is near-linear in |A|).
+    ``max_bucket_pairs`` caps any one bucket's |A-side|·|B-side|
+    blow-up (hot boilerplate buckets are dropped — boilerplate by
+    definition). Sides are tracked end-to-end, so A and B may even
+    share doc_id values.
+    """
+    ha = parallelize_narrow(_shingle_hashes(docs_a, k)).cache()
+    hb = parallelize_narrow(_shingle_hashes(docs_b, k)).cache()
+    schema = "doc_id bigint, band int, band_hash bigint"
+    bands = ha.mapInPandas(_band_fn(signature), schema).withColumn(
+        "side", F.lit(0)
+    ).unionByName(
+        hb.mapInPandas(_band_fn(signature), schema).withColumn("side", F.lit(1))
+    )
+    da, db = F.col("da"), F.col("db")
+    buckets = (
+        bands.groupBy("band", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == 0, F.col("doc_id")))
+            ).alias("da"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == 1, F.col("doc_id")))
+            ).alias("db"),
+        )
+        .filter(
+            (F.size(da) >= 1)
+            & (F.size(db) >= 1)
+            & (F.size(da) * F.size(db) <= max_bucket_pairs)
+        )
+    )
+    pair_arrays = F.transform(
+        da,
+        lambda x: F.transform(
+            db, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+        ),
+    )
+    candidates = (
+        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+    left = ha.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
+    right = hb.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
+    paired = candidates.join(left, "doc_a").join(right, "doc_b")
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = paired.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
+        ).alias("jaccard"),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
 def _bucket_candidate_pairs(

@@ -75,6 +75,54 @@ def brute_force_cosine_topk(
     return out.select("query_id", "vec_id", "cos", "rn")
 
 
+def quantize_int8(corpus: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the standard
+    4× storage/bandwidth cut before ANN indexing (an f32 corpus's
+    embedding column dominates shuffle volume at 100 TB; int8 + one
+    f64 scale per vector moves a quarter of the bytes at <0.5% cosine
+    error for unit-ish vectors).
+
+    ``q_i = floor(x_i / scale + 0.5)`` with ``scale = max|x| / 127``,
+    so q ∈ [-127, 127] with no clamp branch. All JVM higher-order
+    functions in one codegen'd projection — narrow map, no shuffle, no
+    Python. Summary stats instead of the raw array keep the output
+    engine-portable: (vec_id, n_dims, scale_r, q_sum, q_l1,
+    max_abs_err_r) pin the quantized vector exactly (q_sum/q_l1 are
+    integer-exact) plus the reconstruction-error bound.
+    """
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = corpus.select("vec_id", v.alias("vd"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(F.col("vd"), lambda x: F.abs(x))),
+            F.lit(1e-12),
+        )
+        / F.lit(127.0)
+    )
+    scaled = base.select("vec_id", "vd", scale.alias("scale"))
+    q = F.transform(
+        F.col("vd"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
+    )
+    quant = scaled.select("vec_id", "vd", "scale", q.alias("qs"))
+    err = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("vd"))),
+        lambda i: F.abs(
+            F.element_at(F.col("vd"), i)
+            - F.element_at(F.col("qs"), i).cast("double") * F.col("scale")
+        ),
+    )
+    return quant.select(
+        "vec_id",
+        F.size("vd").cast("bigint").alias("n_dims"),
+        F.round(F.col("scale"), 9).alias("scale_r"),
+        F.aggregate("qs", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            "qs", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+        ).alias("q_l1"),
+        F.round(F.array_max(err), 9).alias("max_abs_err_r"),
+    )
+
+
 def cosine_pairs(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
     """Embedding-cosine near-dup pairs (a < b, cos ≥ threshold) —
     exact all-pairs baseline. O(N²/2) scoring: right for dedup of a

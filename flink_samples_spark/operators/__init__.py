@@ -29,6 +29,7 @@ from flink_samples_spark.operators.joins import (
 from flink_samples_spark.operators.bucketing import colocated_join, write_bucketed
 from flink_samples_spark.operators.sampling import (
     hash_sample,
+    hash_split,
     reservoir_per_group,
     stratified_sample,
 )
@@ -49,6 +50,7 @@ __all__ = [
     "stratified_sample",
     "reservoir_per_group",
     "hash_sample",
+    "hash_split",
     "anti_join",
     "as_of_join",
     "approx_count_distinct_agg",

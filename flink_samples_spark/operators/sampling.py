@@ -84,6 +84,42 @@ def stratified_sample(
     return df.filter(_hash_unit(F.col(key), salt) < frac)
 
 
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.90),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    salt: int = 13,
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in the
+    split whose cumulative-weight interval contains its hashed ``key``.
+
+    The assignment is a pure function of (key, salt, weights) — stable
+    under repartitioning, re-runs, and engine changes — which is the
+    contract a 100 TB corpus needs so that the same document never
+    migrates between train and eval across pipeline versions (silent
+    contamination). Weights are normalized; evaluation order follows
+    the given sequence, so float-boundary rows assign identically in
+    any ANSI engine evaluating the same cumulative thresholds.
+
+    Output: input columns + ``split``. Narrow map, no shuffle.
+    """
+    total = sum(w for _, w in weights)
+    u = _hash_unit(F.col(key), salt)
+    expr = F.lit(weights[-1][0])
+    cum = 0.0
+    thresholds = []
+    for name, w in weights[:-1]:
+        cum += w / total
+        thresholds.append((name, cum))
+    for name, t in reversed(thresholds):
+        expr = F.when(u < F.lit(t), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
 def reservoir_per_group(
     df: DataFrame, group_by: Sequence[str], key: str, k: int, salt: int = 0
 ) -> DataFrame:

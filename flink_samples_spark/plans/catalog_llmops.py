@@ -858,3 +858,116 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.llmops.corpus import temperature_weights
 
     return temperature_weights(load_table(spark, sf_dir, "documents"), alpha=0.7)
+
+
+# ---- round 3: context-window shaping, corpus splitting, cross-corpus
+# decontamination, and embedding quantization ----
+
+from flink_samples_spark.llmops.chunking import chunk_documents, chunk_oracle_sql  # noqa: E402
+from flink_samples_spark.llmops.dedup import minhash_lsh_pairs_cross  # noqa: E402
+from flink_samples_spark.llmops.similarity import quantize_int8  # noqa: E402
+
+
+@query("q_chunk_docs", oracle=chunk_oracle_sql(chunk_words=32, stride=24))
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 32-word chunks (stride 24) per document — the
+    context-window shaping step between curation and packing. Narrow
+    JVM-only map; oracle generated from the same parameters."""
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_words=32, stride=24
+    )
+
+
+@query(
+    "q_split_corpus",
+    oracle="""
+    SELECT doc_id, source,
+           CASE WHEN ((doc_id + 13) % 2147483648 * 2654435761) % 2147483648
+                     / 2147483648.0 < 0.9 THEN 'train'
+                WHEN ((doc_id + 13) % 2147483648 * 2654435761) % 2147483648
+                     / 2147483648.0 < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment by multiplicative
+    key hash — stable under repartitioning and re-runs, so documents
+    never migrate between train and eval across pipeline versions."""
+    from flink_samples_spark.operators import hash_split
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return hash_split(docs, "doc_id")
+
+
+# Decontamination: near-dup pairs BETWEEN the training corpus (sources
+# other than src0) and the eval set (src0) — same exact-Jaccard spec as
+# q_dedup_near, restricted to cross pairs; within-corpus pairs are
+# never generated.
+@query(
+    "q_dedup_cross",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source, str_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+      FROM words
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.source <> 'src0' AND b.source = 'src0'
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+    """,
+)
+def q_dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != "src0")
+    eval_set = docs.filter(F.col("source") == "src0")
+    return minhash_lsh_pairs_cross(train, eval_set, k=3, threshold=0.8)
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, vd,
+             GREATEST(list_max(list_transform(vd, x -> abs(x))), 1e-12) / 127.0
+               AS scale
+      FROM v
+    ), q AS (
+      SELECT vec_id, vd, scale,
+             list_transform(vd, x -> floor(x / scale + 0.5)) AS qs
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(len(vd) AS BIGINT) AS n_dims,
+           round(scale, 9) AS scale_r,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(qs, x -> abs(x))) AS BIGINT) AS q_l1,
+           round(list_max(list_transform(
+             range(1, len(vd) + 1),
+             i -> abs(vd[CAST(i AS BIGINT)] - qs[CAST(i AS BIGINT)] * scale))), 9)
+             AS max_abs_err_r
+    FROM q
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization summary — exact integer
+    stats (q_sum, q_l1) pin the quantized vector; max_abs_err_r bounds
+    reconstruction error. Narrow JVM-only map over embeddings."""
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))

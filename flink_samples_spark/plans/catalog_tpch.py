@@ -709,3 +709,46 @@ def q_pipeline_idle_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("numcust"),
         F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
     )
+
+
+@query(
+    "q_pipeline_supp_diversity",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'SMALL'
+      AND p_size <= 5
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_pipeline_supp_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier diversity per part segment,
+    excluding flagged suppliers. partsupp does not exist in this
+    schema; supplier/part relationships derive from lineitem, and the
+    "complaints" exclusion becomes s_acctbal < 0 — same
+    anti-join + distinct-count-per-group query shape.
+
+    Scale: the supplier blocklist and the part slice both broadcast;
+    the only shuffle is the two-phase distinct count keyed on
+    (p_brand, p_type, p_size, l_suppkey) — partial distinct map-side,
+    so lineitem rows collapse before the exchange.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "SMALL")
+        & (F.col("p_size") <= 5)
+    )
+    clean = anti_join(li, F.broadcast(bad), ["l_suppkey"])
+    joined = broadcast_join(clean, p, clean.l_partkey == p.p_partkey)
+    return joined.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").alias("supplier_cnt")
+    )

@@ -70,10 +70,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_cohort_retention",
     # ---- §2.8 second-tier scalar functions ----
     "q_fn_string2",
-    "q_fn_try",
     # ---- §2.10 Arrow/pandas UDF surface ----
     "q_apply_in_pandas",
-    "q_udf_arrow",
     # ---- tier-X corpus operators (never driver-checked) ----
     "q_pack_sequences",
     "q_mix_corpus",
@@ -82,18 +80,21 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pii_scan",
     "q_corpus_report",
     "q_embed_assign",
+    # ---- round-3 additions: training-pipeline shaping + Q16 shape ----
+    "q_chunk_docs",
+    "q_split_corpus",
+    "q_dedup_cross",
+    "q_embed_quantize",
+    "q_pipeline_supp_diversity",
     # ---- SQL-string entry family ----
     "q_sql_cte",
     "q_sql_correlated_exists",
     "q_sql_scalar_subquery",
-    "q_sql_grouping_sets",
     "q_sql_recursive",
-    "q_sql_window",
     # ---- strict-oracle REAL streaming runs (never driver-checked) ----
     "q_stream_join",
     "q_stream_custom_sessionizer",
     "q_stream_enrich",
-    "q_stream_dedup",
 )
 
 

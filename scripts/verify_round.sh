@@ -12,13 +12,15 @@ python -m pytest tests/ -q -p no:cacheprovider || { echo "GATE RED: pytest faile
 
 echo "== bench =="
 BENCH_OUT=$(python bench.py) || { echo "GATE RED: bench.py exited non-zero"; exit 1; }
+echo "$BENCH_OUT" | tail -1
 echo "$BENCH_OUT" | tail -1 | python -c '
 import json, sys
 line = sys.stdin.read().strip().splitlines()[-1]
 d = json.loads(line)
 errs = d.get("errors")
 if errs:
-    print(f"GATE RED: bench recorded per-query errors: {sorted(errs)}")
+    print("GATE RED: bench recorded per-query errors:", sorted(errs))
     sys.exit(1)
-print(f"GATE GREEN: {len(d[\"queries\"])} queries, total {d[\"value\"]} {d[\"unit\"]} at sf{d[\"sf\"]}")
+nq, tot, unit, sf = len(d["queries"]), d["value"], d["unit"], d["sf"]
+print(f"GATE GREEN: {nq} queries, total {tot} {unit} at sf{sf}")
 ' || exit 1
