@@ -51,6 +51,10 @@ HEADLINE = [
     "q_text_stats",
     "q_sql_session_window",    # SQL-string entry (reference's literal path)
     "q_join_band",             # banded range join (equi-join scale path)
+    "q_chunk_docs",            # context-window chunking (narrow JVM map)
+    "q_dedup_cross",           # cross-corpus decontamination (MinHash A×B)
+    "q_embed_quantize",        # int8 embedding quantization
+    "q_training_pipeline",     # composed curate→dedup→split→chunk pipeline
 ]
 
 

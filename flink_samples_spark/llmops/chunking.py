@@ -67,14 +67,17 @@ def chunk_documents(
     )
 
 
-def chunk_oracle_sql(chunk_words: int = 32, stride: int = 24) -> str:
+def chunk_oracle_sql(
+    chunk_words: int = 32, stride: int = 24, relation: str = "documents"
+) -> str:
     """DuckDB twin of :func:`chunk_documents` — generated from the same
-    parameters so the two cannot drift."""
+    parameters so the two cannot drift. ``relation`` may be a table
+    name or a CTE defined by the caller (any (doc_id, text) relation)."""
     c, s = int(chunk_words), int(stride)
     return f"""
     WITH w AS (
       SELECT doc_id, str_split(text, ' ') AS ws, len(str_split(text, ' ')) AS n
-      FROM documents
+      FROM {relation}
     ), st AS (
       SELECT doc_id, ws, n,
              unnest(range(1,

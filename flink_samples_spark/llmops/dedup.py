@@ -608,9 +608,12 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         prop = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "label"
         )
+        # lazy checkpoint: the convergence agg below is the action that
+        # materializes it — one job per round instead of two (an eager
+        # checkpoint would run the plan, then the agg would re-read it)
         labels = (
             prop.union(labels).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         s = labels.agg(F.sum("label")).first()[0]
         if s == prev_sum:
             break

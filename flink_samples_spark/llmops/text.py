@@ -13,7 +13,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_samples_spark.utils import parallelize_narrow
@@ -56,6 +56,31 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_keep_expr() -> Column:
+    """Boolean keep decision over ``text``: length band + English
+    stopword-ratio floor. Exposed as an expression so composed
+    pipelines fuse it into one projection instead of joining back."""
+    n_chars = F.length("text")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    return (
+        (n_chars >= 100)
+        & (n_chars <= 20000)
+        & (n_stop.cast("double") / n_words >= 0.05)
+    )
+
+
+def fingerprint_expr() -> Column:
+    """Canonical-content md5 over lowercased, punctuation-stripped,
+    space-normalized ``text`` (engine-stable; see document_fingerprint)."""
+    normalized = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
+    )
+    return F.md5(normalized)
+
+
 def quality_score(docs: DataFrame) -> DataFrame:
     """Heuristic quality signals: length band, punctuation ratio,
     stopword ratio — the standard pretraining quality filters, all
@@ -73,11 +98,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
         n_chars.cast("bigint").alias("n_chars_obs"),
         F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
         F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
-        (
-            (n_chars >= 100)
-            & (n_chars <= 20000)
-            & (n_stop.cast("double") / n_words >= 0.05)
-        ).cast("int").alias("keep"),
+        quality_keep_expr().cast("int").alias("keep"),
     )
 
 
@@ -86,10 +107,7 @@ def document_fingerprint(docs: DataFrame) -> DataFrame:
     punctuation-stripped, space-normalized text. Stable across
     engines (md5 is standardized), so exact-dup detection can join on
     it at any scale."""
-    normalized = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
-    )
-    return docs.select("doc_id", F.md5(normalized).alias("fingerprint"))
+    return docs.select("doc_id", fingerprint_expr().alias("fingerprint"))
 
 
 def repetition_metrics(docs: DataFrame) -> DataFrame:

@@ -971,3 +971,66 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats (q_sum, q_l1) pin the quantized vector; max_abs_err_r bounds
     reconstruction error. Narrow JVM-only map over embeddings."""
     return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+def _training_pipeline_oracle() -> str:
+    """Composed end-to-end oracle: quality filter → exact dedup
+    (min-doc_id survivor) → deterministic train split → chunk.
+    Each stage reuses the SAME SQL the standalone oracles use; the
+    chunk expansion is generated from the shared parameters."""
+    from flink_samples_spark.llmops.chunking import chunk_oracle_sql
+
+    inner = chunk_oracle_sql(32, 24, relation="tr")
+    return f"""
+    WITH q AS (
+      SELECT doc_id, text, {_FP_SQL} AS fingerprint
+      FROM documents
+      WHERE length(text) >= 100 AND length(text) <= 20000
+        AND CAST(len(list_filter(str_split(text, ' '),
+            w -> list_contains(['the','and','of','to','a','in','is'], lower(w)))) AS DOUBLE)
+            / len(str_split(text, ' ')) >= 0.05
+    ), d AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, MIN(doc_id) OVER (PARTITION BY fingerprint) AS m FROM q
+      ) WHERE doc_id = m
+    ), tr AS (
+      SELECT doc_id, text FROM d
+      WHERE ((doc_id + 13) % 2147483648 * 2654435761) % 2147483648
+            / 2147483648.0 < 0.9
+    )
+    SELECT * FROM ({inner})
+    """
+
+
+@query("q_training_pipeline", oracle=_training_pipeline_oracle())
+def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in ONE declarative plan:
+    quality filter → exact dedup → deterministic train split →
+    context-window chunking. The composition the tier-X operators
+    exist for — and because every stage is DataFrame-native, Catalyst
+    fuses the quality predicate, the fingerprint, and the split hash
+    into a single scan projection; the only shuffle is the dedup
+    window on the fingerprint.
+
+    Scale: one wide stage (fingerprint window) over quality survivors;
+    chunking stays narrow. At 100 TB the fingerprint shuffle carries
+    (doc_id, fingerprint, text) for surviving docs only — the
+    quality filter runs before it, cutting shuffle volume first.
+    """
+    from flink_samples_spark.llmops.chunking import chunk_documents
+    from flink_samples_spark.llmops.text import fingerprint_expr, quality_keep_expr
+    from flink_samples_spark.operators import hash_split
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(quality_keep_expr()).select(
+        "doc_id", "text", fingerprint_expr().alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint")
+    survivors = (
+        base.withColumn("m", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("m"))
+        .select("doc_id", "text")
+    )
+    train = hash_split(survivors, "doc_id").filter(F.col("split") == "train")
+    return chunk_documents(train.select("doc_id", "text"), chunk_words=32, stride=24)

@@ -388,3 +388,38 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_streaming(
         spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("event_id") != -1)
     )
+
+
+# Sliding (hopping) window as a REAL streaming run — the last §2.9
+# window shape without a streamed replay. 1 h windows every 30 min:
+# each event lands in two windows; ordered replay means nothing is
+# late, so the streamed result equals the batch expansion oracle
+# (same SQL as q_sliding_window, counts only).
+@query(
+    "q_stream_sliding",
+    oracle="""
+    SELECT ws AS window_start,
+           ws + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS total
+    FROM (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) - to_minutes(30 * k) AS ws
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+    )
+    GROUP BY ws
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.time_windows import sliding_window_agg
+
+    def build(stream: DataFrame) -> DataFrame:
+        return sliding_window_agg(
+            stream.withWatermark("ts", "11 seconds"),
+            ts_col="ts",
+            size="1 hour",
+            slide="30 minutes",
+            aggs=[F.count(F.lit(1)).alias("total")],
+        )
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, mx: df.filter(F.col("window_start") <= mx)
+    )

@@ -86,15 +86,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_cross",
     "q_embed_quantize",
     "q_pipeline_supp_diversity",
+    "q_training_pipeline",
     # ---- SQL-string entry family ----
     "q_sql_cte",
     "q_sql_correlated_exists",
-    "q_sql_scalar_subquery",
-    "q_sql_recursive",
     # ---- strict-oracle REAL streaming runs (never driver-checked) ----
     "q_stream_join",
     "q_stream_custom_sessionizer",
     "q_stream_enrich",
+    "q_stream_sliding",
 )
 
 
