@@ -172,3 +172,32 @@ def temperature_weights(
         "n_docs",
         F.round(pw / F.col("denom"), 6).alias("mix_weight"),
     )
+
+
+def boilerplate_score(docs: DataFrame, k: int = 5, df_threshold: int = 3) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's
+    distinct word ``k``-grams that appear in more than ``df_threshold``
+    documents corpus-wide — the C4/Gopher-style document-frequency
+    filter that strips template/boilerplate-heavy docs before training.
+
+    Output: (doc_id, n_shingles, n_common, common_frac).
+
+    Scale: shingle expansion is JVM HOFs (narrow); document frequency
+    is ONE two-phase count on the shingle (map-side combine, the
+    shuffle carries (shingle, df) pairs); the join back to per-doc
+    shingles is an equi-join on the shingle key, then a per-doc
+    two-phase aggregate. No Python, no all-pairs comparison — cost is
+    bounded by the corpus's shingle mass, same as the tokenizer pass.
+    """
+    sh = _shingles(docs, k)
+    df_counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    flagged = sh.join(df_counts, "shingle").select(
+        "doc_id", (F.col("df") > df_threshold).cast("int").alias("is_common")
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("is_common").cast("bigint").alias("n_common"),
+        F.round(F.sum("is_common") / F.count(F.lit(1)), 6).alias("common_frac"),
+    )

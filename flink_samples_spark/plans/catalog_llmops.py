@@ -1034,3 +1034,38 @@ def q_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = hash_split(survivors, "doc_id").filter(F.col("split") == "train")
     return chunk_documents(train.select("doc_id", "text"), chunk_words=32, stride=24)
+
+
+# C4-style document-frequency boilerplate filter: a doc's distinct
+# 5-grams that occur in > 3 documents corpus-wide are "common"; the
+# per-doc common fraction is the drop signal. (_shingles emits
+# DISTINCT k-grams per doc, so df counts documents, not occurrences.)
+@query(
+    "q_boilerplate",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 4, 1) + 1),
+               i -> array_to_string(ws[i:i+4], ' ')))) AS shingle
+      FROM words
+    ), dfc AS (
+      SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN dfc.df > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           round(SUM(CASE WHEN dfc.df > 3 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS common_frac
+    FROM sh s JOIN dfc ON s.shingle = dfc.shingle
+    GROUP BY s.doc_id
+    """,
+)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.corpus import boilerplate_score
+
+    return boilerplate_score(
+        load_table(spark, sf_dir, "documents"), k=5, df_threshold=3
+    )

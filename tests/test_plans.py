@@ -93,6 +93,16 @@ def test_topk_avoids_global_sort(plans):
     assert "Sort " not in plans["q_topk"].split("TakeOrderedAndProject")[0]
 
 
+def test_training_pipeline_single_shuffle(spark, sf_dir):
+    """The composed curation pipeline's stages must FUSE: quality
+    predicate + fingerprint + split hash in scan-side projections,
+    with the dedup window's hashpartitioning as the only exchange.
+    A second exchange means a stage stopped fusing — at 100 TB that
+    is an extra full-corpus shuffle."""
+    p = plan_of(QUERIES["q_training_pipeline"](spark, sf_dir), mode="simple")
+    assert p.count("Exchange") == 1, p
+
+
 # ---- catalog-wide plan audit ------------------------------------------
 # Build (don't execute) every batch query's physical plan and reject
 # the two classic scale killers: row-at-a-time Python UDFs
@@ -103,6 +113,7 @@ def test_topk_avoids_global_sort(plans):
 _EXECUTING = {
     "q_stream_dedup", "q_stream_tumbling", "q_stream_custom_sessionizer",
     "q_stream_join", "q_late_data", "q_stream_enrich",
+    "q_stream_session", "q_stream_sliding",
     # iterative: runs jobs during construction (plan-audited via its
     # component pieces)
     "q_dedup_groups",
