@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from flink_samples_spark.llmops.dedup import _shingles
 from flink_samples_spark.operators import global_topk
+from flink_samples_spark.utils import parallelize_narrow
 
 # Common-subset regexes (Java regex ∩ RE2 semantics identical):
 EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
@@ -182,14 +183,25 @@ def boilerplate_score(docs: DataFrame, k: int = 5, df_threshold: int = 3) -> Dat
 
     Output: (doc_id, n_shingles, n_common, common_frac).
 
-    Scale: shingle expansion is JVM HOFs (narrow); document frequency
-    is ONE two-phase count on the shingle (map-side combine, the
-    shuffle carries (shingle, df) pairs); the join back to per-doc
-    shingles is an equi-join on the shingle key, then a per-doc
-    two-phase aggregate. No Python, no all-pairs comparison — cost is
-    bounded by the corpus's shingle mass, same as the tokenizer pass.
+    Scale: shingle text never reaches a shuffle — each exploded gram
+    is xxhash64'd in the SAME codegen stage as the explode (a plain
+    function call, unlike the interpreted nested-lambda hash kernel in
+    _shingle_hashes, which measured 20× slower here), so document
+    frequency is ONE two-phase count on the 8-byte hash (map-side
+    combine, the shuffle carries (hash, df) pairs); the join back is
+    an equi-join on the hash, then a per-doc two-phase aggregate. No
+    Python, no all-pairs comparison — cost is bounded by the corpus's
+    shingle mass, same as the tokenizer pass. Counts equal the
+    string-shingle counts modulo 2⁻⁶⁴ hash collisions.
     """
-    sh = _shingles(docs, k)
+    # parallelize_narrow: a single-file corpus scan collapses to one
+    # partition and would shingle on one core; cached: feeds BOTH the
+    # df-count aggregation and the join back
+    sh = (
+        _shingles(parallelize_narrow(docs), k)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .cache()
+    )
     df_counts = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("df")
     )

@@ -101,3 +101,49 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per state change, open-ended current rows flagged."""
     events = load_table(spark, sf_dir, "events")
     return scd2_intervals(events)
+
+
+# Temporal table join (Flink `FOR SYSTEM_TIME AS OF`, the planner
+# capability the reference ships via flink-table-planner-loader): each
+# fact row joined to the dimension VERSION valid at its event time.
+# The dimension is the SCD2 state history built from the same stream;
+# the join itself is the as-of union trick — one shuffle on the key,
+# no interval range join, no nested loop (see operators.joins).
+@query(
+    "q_join_temporal",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR event_type <> prev_state
+    ), iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to
+      FROM changes
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e.event_id, e.ts, e.user_id, iv.valid_from AS asof_ts, iv.state
+    FROM events e
+    JOIN iv ON e.user_id = iv.user_id
+           AND e.ts >= iv.valid_from
+           AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+    """,
+)
+def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import as_of_join
+    from flink_samples_spark.operators.behavior import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dim = scd2_intervals(ev).select("user_id", "valid_from", "state")
+    facts = ev.select("event_id", "ts", "user_id")
+    return as_of_join(
+        facts, dim, key="user_id", left_ts="ts", right_ts="valid_from",
+        payload=["state"],
+    )
