@@ -38,7 +38,7 @@ def ngram_topk(docs: DataFrame, k: int = 3, top: int = 20) -> DataFrame:
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
-    occurrences = docs.select(F.explode(grams).alias("shingle"))
+    occurrences = parallelize_narrow(docs).select(F.explode(grams).alias("shingle"))
     counts = occurrences.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_occ"))
     return global_topk(counts, [F.col("n_occ").desc(), F.col("shingle")], top)
 
@@ -62,7 +62,10 @@ def contamination_check(
     ``_shingle_hashes`` to shuffle 8-byte hashes at the full 100 TB
     path.
     """
-    train_sh = _shingles(train, k)
+    # parallelized + cached: the shingle expansion feeds both the
+    # per-doc count and the overlap branch, and a single-file scan
+    # would otherwise expand on one core
+    train_sh = _shingles(parallelize_narrow(train), k).cache()
     eval_sh = _shingles(eval_docs, k).select("shingle").distinct()
     per_doc = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     overlap = (

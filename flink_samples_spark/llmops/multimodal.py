@@ -102,3 +102,36 @@ def multimodal_passthrough(embeddings: DataFrame) -> DataFrame:
         F.max("n_dims").alias("max_dims"),
         F.round(F.sum("vec_sum"), 4).alias("total_sum"),
     )
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every: int = 4
+) -> DataFrame:
+    """Deterministic frame sampling over binary payloads: treat each
+    payload as ``n_frames = floor(n_bytes / frame_bytes)`` fixed-size
+    frames, keep every ``every``-th frame index, and slice the frame's
+    bytes JVM-side (``substring`` works on BinaryType) — the shape of
+    a video key-frame sampler, with the byte-slicing plumbing REAL and
+    only the codec absent (the sliced frame goes to md5 here; a real
+    pipeline hands it to the decoder).
+
+    Output: (doc_id, frame_idx, frame_md5).
+
+    Scale: narrow map — sequence/explode/substring/md5 in one codegen
+    stage, no Python, no shuffle; payload bytes never leave the scan
+    stage (only the 16-byte digest flows on).
+    """
+    n_frames = F.floor(F.length("payload") / F.lit(frame_bytes)).cast("bigint")
+    idx = F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(every).cast("bigint"))
+    base = media.select(
+        "doc_id", "payload", F.when(n_frames > 0, idx).otherwise(F.array()).alias("idxs")
+    )
+    return base.select(
+        "doc_id", F.explode("idxs").alias("frame_idx"), "payload"
+    ).select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.md5(
+            F.expr(f"substring(payload, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+        ).alias("frame_md5"),
+    )

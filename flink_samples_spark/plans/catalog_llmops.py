@@ -1069,3 +1069,30 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_score(
         load_table(spark, sf_dir, "documents"), k=5, df_threshold=3
     )
+
+
+# Frame sampling over binary payloads: every 4th 64-byte frame,
+# sliced JVM-side and digested. The oracle slices the VARCHAR twin of
+# the payload — byte-identical because the test corpus is pure ASCII
+# (asserted by the n_frames arithmetic on octet_length) — while the
+# Spark side slices true BinaryType.
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, text,
+             CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) AS n_frames
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, text, unnest(range(0, n_frames, 4)) AS frame_idx FROM m
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(substring(text, CAST(frame_idx * 64 + 1 AS BIGINT), 64)) AS frame_md5
+    FROM idx
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import sample_frames
+
+    media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=64, every=4)
