@@ -1096,3 +1096,61 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return sample_frames(media, frame_bytes=64, every=4)
+
+
+# Apply the dedup decision: the surviving corpus. Docs in a near-dup
+# group keep only the min-doc_id representative; ungrouped docs pass
+# through — detect → group → APPLY, the step a user actually ships.
+@query(
+    "q_dedup_apply",
+    oracle="""
+    WITH RECURSIVE words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+      FROM words
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN counts ca ON ca.doc_id = doc_a
+      JOIN counts cb ON cb.doc_id = doc_b
+      WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ), walk(node, label) AS (
+        SELECT src, src FROM edges
+      UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ), groups AS (
+      SELECT node AS doc_id, MIN(label) AS group_id FROM walk GROUP BY node
+    )
+    SELECT d.doc_id, d.source, d.lang
+    FROM documents d LEFT JOIN groups g ON d.doc_id = g.doc_id
+    WHERE g.doc_id IS NULL OR g.group_id = d.doc_id
+    """,
+)
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: near-dup groups collapse to their
+    min-doc_id representative; everything else passes through.
+
+    Scale: the group table is tiny relative to the corpus (only docs
+    with a near-dup), so the final membership join broadcasts it —
+    the full corpus never shuffles to apply the decision.
+    """
+    from flink_samples_spark.llmops.dedup import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    groups = dedup_components(minhash_lsh_pairs(docs, k=3, threshold=0.8))
+    keep = docs.join(F.broadcast(groups), "doc_id", "left").filter(
+        F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id"))
+    )
+    return keep.select("doc_id", "source", "lang")

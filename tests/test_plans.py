@@ -117,6 +117,7 @@ _EXECUTING = {
     # iterative: runs jobs during construction (plan-audited via its
     # component pieces)
     "q_dedup_groups",
+    "q_dedup_apply",
     # driver-side kmeans sample during construction
     "q_sim_topk_ivf",
 }
