@@ -423,3 +423,60 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_streaming(
         spark, sf_dir, build, post=lambda df, mx: df.filter(F.col("window_start") <= mx)
     )
+
+
+# Temporal table join IN STREAMING — Flink's FOR SYSTEM_TIME AS OF is
+# a streaming feature (each record joins the dim VERSION valid at its
+# event time). The versioned dimension (SCD2 state history) is static
+# per run; the equality key (user_id) makes the per-micro-batch join a
+# broadcast HASH join with a residual interval filter — never a
+# nested loop — so the stream side scales like any keyed enrichment.
+@query(
+    "q_stream_temporal",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER w AS prev_state
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM ordered
+      WHERE prev_state IS NULL OR event_type <> prev_state
+    ), iv AS (
+      SELECT user_id, event_type AS state, ts AS valid_from,
+             lead(ts) OVER w2 AS valid_to
+      FROM changes
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e.event_id, e.user_id, iv.state
+    FROM events e
+    JOIN iv ON e.user_id = iv.user_id
+           AND e.ts >= iv.valid_from
+           AND (iv.valid_to IS NULL OR e.ts < iv.valid_to)
+    """,
+)
+def q_stream_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.behavior import scd2_intervals
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dim = scd2_intervals(ev).select(
+        F.col("user_id").alias("d_user"), "valid_from", "valid_to", "state"
+    )
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (
+            stream.join(
+                F.broadcast(dim),
+                (stream["user_id"] == F.col("d_user"))
+                & (stream["ts"] >= F.col("valid_from"))
+                & (F.col("valid_to").isNull() | (stream["ts"] < F.col("valid_to"))),
+            )
+            .select("event_id", "user_id", "state")
+        )
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("event_id") != -1)
+    )

@@ -113,7 +113,7 @@ def test_training_pipeline_single_shuffle(spark, sf_dir):
 _EXECUTING = {
     "q_stream_dedup", "q_stream_tumbling", "q_stream_custom_sessionizer",
     "q_stream_join", "q_late_data", "q_stream_enrich",
-    "q_stream_session", "q_stream_sliding",
+    "q_stream_session", "q_stream_sliding", "q_stream_temporal",
     # iterative: runs jobs during construction (plan-audited via its
     # component pieces)
     "q_dedup_groups",
