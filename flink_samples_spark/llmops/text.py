@@ -13,7 +13,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_samples_spark.utils import parallelize_narrow
@@ -195,4 +195,56 @@ def language_id(docs: DataFrame) -> DataFrame:
 
     return parallelize_narrow(docs).mapInPandas(
         score_batch, "doc_id bigint, lang_pred string, lang_hits bigint"
+    )
+
+
+def build_vocab(docs: DataFrame, size: int = 100) -> DataFrame:
+    """Corpus vocabulary: the ``size`` most frequent words, id = rank
+    (1-based; ties broken by word text for engine determinism).
+
+    Scale: ONE two-phase count on the word + TakeOrderedAndProject —
+    the same shape as ngram_topk; never a global sort.
+    """
+    from flink_samples_spark.operators import global_topk
+
+    occ = docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+    counts = occ.groupBy("w").agg(F.count(F.lit(1)).alias("n_occ"))
+    top = global_topk(counts, [F.col("n_occ").desc(), F.col("w")], size)
+    win = Window.orderBy(F.col("n_occ").desc(), F.col("w"))
+    return top.select("w", F.row_number().over(win).alias("token_id"))
+
+
+def vocab_encode(docs: DataFrame, size: int = 100) -> DataFrame:
+    """Tokenize + vocab-encode: map each word to its vocabulary id
+    (0 = OOV) and emit per-doc encoding stats — the pretokenization →
+    id-encoding step before training, with the encoded sequence pinned
+    by a position-weighted integer checksum (Σ position·id, exact).
+
+    Scale: the vocab is a HYPERPARAMETER-sized table (like k-means
+    centroids), so it collects to the driver and ships as a map
+    literal inside one narrow codegen'd projection — the corpus never
+    shuffles to encode. Vocab build itself is a two-phase count.
+    """
+    vocab = {r["w"]: r["token_id"] for r in build_vocab(docs, size).collect()}
+    pairs: list = []
+    for w, i in sorted(vocab.items()):
+        pairs.extend([F.lit(w), F.lit(i)])
+    vmap = F.create_map(*pairs)
+    ws = F.split(F.col("text"), " ")
+    ids = F.transform(ws, lambda w: F.coalesce(F.element_at(vmap, w), F.lit(0)))
+    base = docs.select("doc_id", ids.alias("ids"))
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("ids"),
+            F.sequence(F.lit(1), F.size("ids")),
+            lambda tid, i: tid.cast("bigint") * i,
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return base.select(
+        "doc_id",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        F.size(F.filter(F.col("ids"), lambda x: x == 0)).cast("bigint").alias("n_oov"),
+        checksum.alias("ids_checksum"),
     )

@@ -1154,3 +1154,36 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id"))
     )
     return keep.select("doc_id", "source", "lang")
+
+
+# Vocabulary build + id-encoding: the pretokenize→encode step. The
+# vocab (top-100 words, ties by text) is hyperparameter-sized, so it
+# ships as a broadcast map literal; the encoded sequence is pinned by
+# an exact position-weighted checksum.
+@query(
+    "q_tokenize_vocab",
+    oracle="""
+    WITH occ AS (
+      SELECT unnest(str_split(text, ' ')) AS w FROM documents
+    ), vc AS (
+      SELECT w, row_number() OVER (ORDER BY count(*) DESC, w) AS token_id
+      FROM occ GROUP BY w ORDER BY count(*) DESC, w LIMIT 100
+    ), dw AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), tok AS (
+      SELECT doc_id, i AS pos, ws[CAST(i AS BIGINT)] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM dw)
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vc.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(t.pos * COALESCE(vc.token_id, 0)) AS BIGINT) AS ids_checksum
+    FROM tok t LEFT JOIN vc ON t.w = vc.w
+    GROUP BY t.doc_id
+    """,
+)
+def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.text import vocab_encode
+
+    return vocab_encode(load_table(spark, sf_dir, "documents"), size=100)

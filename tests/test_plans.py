@@ -120,6 +120,8 @@ _EXECUTING = {
     "q_dedup_apply",
     # driver-side kmeans sample during construction
     "q_sim_topk_ivf",
+    # hyperparameter-sized vocab collect during construction
+    "q_tokenize_vocab",
 }
 # pair-scoring queries broadcast one side under a non-equi condition:
 # BroadcastNestedLoopJoin is their intended physical shape
