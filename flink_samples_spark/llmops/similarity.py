@@ -319,3 +319,21 @@ def lsh_bucketed_topk(
     )
     out = topk_per_group(scored, ["query_id"], [F.col("cos").desc(), F.col("vec_id")], k)
     return out.select("query_id", "vec_id", "cos", "rn")
+
+
+def dequantize_int8(corpus: DataFrame) -> DataFrame:
+    """Reconstruct the embedding column from its int8 quantization
+    (``round(x/scale)·scale``) — what an ANN index built over the
+    quantized corpus actually scores against. Narrow JVM map; pairs
+    with :func:`quantize_int8` (same scale/round arithmetic)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = (
+        F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12))
+        / F.lit(127.0)
+    )
+    base = corpus.select("vec_id", v.alias("vd"), scale.alias("scale"))
+    recon = F.transform(
+        F.col("vd"),
+        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+    )
+    return base.select("vec_id", recon.alias("embedding"))

@@ -1187,3 +1187,18 @@ def q_tokenize_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.llmops.text import vocab_encode
 
     return vocab_encode(load_table(spark, sf_dir, "documents"), size=100)
+
+
+# ANN over the int8-QUANTIZED corpus: full-precision queries scored
+# against the dequantized reconstruction — the accuracy half of the
+# quantization story (q_embed_quantize pins the encoding; this pins
+# that the 4×-smaller corpus still returns the true neighbors).
+@query("q_sim_topk_int8", oracle=_ANN_RECALL_ORACLE)
+def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.similarity import dequantize_int8
+
+    return _ann_recall(
+        spark,
+        sf_dir,
+        lambda q, c: brute_force_cosine_topk(q, dequantize_int8(c), k=3),
+    )
