@@ -127,6 +127,7 @@ _EXECUTING = {
 # BroadcastNestedLoopJoin is their intended physical shape
 _NESTED_LOOP_OK = {
     "q_join_range", "q_dedup_embedding", "q_sim_topk", "q_sim_topk_lsh",
+    "q_sim_topk_int8",
     "q_join_asof",  # range-free, but flags nothing: listed for clarity
     # single-row × single-row combine (approx vs exact global distinct):
     # the constant join key folds away, leaving a 1×1 broadcast nested
