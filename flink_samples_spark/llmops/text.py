@@ -120,16 +120,18 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
     n_bigrams); docs with fewer than two words get frac 0.
 
     Scale: the bigram expansion is JVM ``zip_with`` over the scan
-    (narrow); counting is two keyed two-phase aggregations — partial
-    counts combine map-side, so the shuffles carry (doc_id, bigram,
-    count) then (doc_id, stats), never raw text — plus one shuffle
-    join back on doc_id. Nothing exceeds a doc's own token count, so
-    at 100 TB this is bounded by the tokenizer pass itself.
+    (narrow, repartitioned off a single-file collapse); counting is
+    two keyed two-phase aggregations — the count key is the exploded
+    bigram's xxhash64 (codegen; the shuffles carry (doc_id, hash,
+    count) then (doc_id, stats), never raw text) — plus one shuffle
+    join back on doc_id; ``base`` is cached because it feeds both the
+    expansion and the final join. Nothing exceeds a doc's own token
+    count, so at 100 TB this is bounded by the tokenizer pass itself.
     """
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     pair_len = F.greatest(n - 1, F.lit(0))
-    base = docs.select(
+    base = parallelize_narrow(docs).select(
         "doc_id",
         n.alias("n_words"),
         F.round(
@@ -140,9 +142,10 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
             F.slice(words, 2, pair_len),
             lambda a, b: F.concat(a, F.lit(" "), b),
         ).alias("bigrams"),
-    )
+    ).cache()
     per_bg = (
         base.select("doc_id", F.explode("bigrams").alias("bg"))
+        .select("doc_id", F.xxhash64("bg").alias("bg"))
         .groupBy("doc_id", "bg")
         .agg(F.count(F.lit(1)).alias("c"))
     )
