@@ -148,12 +148,18 @@ def as_of_join(
         )
         filled = [F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols]
     else:
+        # growing frame over the REVERSED ordering, not a
+        # (currentRow → unboundedFollowing) shrinking frame — Spark
+        # re-evaluates shrinking frames from scratch per row, O(rows²)
+        # per key. Reversed, "first right row at-or-after" becomes
+        # "last right row in the prefix": right rows (tag 0) sort
+        # before left rows at equal __ts, so exact matches are taken.
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc(), F.col("__tag").desc())
-            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            .orderBy(F.col("__ts").desc(), F.col("__tag").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        filled = [F.first(c, ignorenulls=True).over(w).alias(c) for c in fill_cols]
+        filled = [F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols]
 
     keep = [c for c in left.columns]
     out = u.select(*keep, F.col("__tag").alias("__tag"), *filled).filter(
