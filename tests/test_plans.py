@@ -93,6 +93,27 @@ def test_topk_avoids_global_sort(plans):
     assert "Sort " not in plans["q_topk"].split("TakeOrderedAndProject")[0]
 
 
+def test_no_shrinking_window_frames():
+    """(currentRow → unboundedFollowing) frames are re-evaluated from
+    scratch per row — O(rows²) per partition key (cost the resample
+    operator 2.4× at sf0.1). Forward look-arounds must be growing
+    frames over the DESC ordering instead; this scan keeps the
+    pattern from coming back."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).parent.parent / "flink_samples_spark"
+    offenders = []
+    for py in pkg.rglob("*.py"):
+        src = py.read_text()
+        for m in re.finditer(
+            r"rowsBetween\(\s*Window\.currentRow\s*,\s*Window\.unboundedFollowing", src
+        ):
+            line = src[: m.start()].count("\n") + 1
+            offenders.append(f"{py.name}:{line}")
+    assert not offenders, f"shrinking window frames: {offenders}"
+
+
 def test_training_pipeline_single_shuffle(spark, sf_dir):
     """The composed curation pipeline's stages must FUSE: quality
     predicate + fingerprint + split hash in scan-side projections,
