@@ -480,3 +480,71 @@ def q_stream_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_streaming(
         spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("event_id") != -1)
     )
+
+
+# The curation pipeline IN STREAMING MODE — the batch/stream
+# unification the reference's stack promises (same Table program runs
+# bounded or unbounded): quality filter + context-window chunking are
+# STATELESS, so the streamed result over a documents replay equals the
+# batch plan exactly (no watermark, no state, deterministic under any
+# partitioning) and shares q_chunk_docs' oracle composed with the
+# quality predicate.
+@query(
+    "q_stream_curate",
+    oracle="""
+    WITH kept AS (
+      SELECT doc_id, text FROM documents
+      WHERE length(text) >= 100 AND length(text) <= 20000
+        AND CAST(len(list_filter(str_split(text, ' '),
+            w -> list_contains(['the','and','of','to','a','in','is'], lower(w)))) AS DOUBLE)
+            / len(str_split(text, ' ')) >= 0.05
+    ), w AS (
+      SELECT doc_id, str_split(text, ' ') AS ws, len(str_split(text, ' ')) AS n
+      FROM kept
+    ), st AS (
+      SELECT doc_id, ws, n,
+             unnest(range(1,
+               CAST(2 + 24 * CEIL(GREATEST(n - 32, 0) / CAST(24 AS DOUBLE)) AS BIGINT),
+               24)) AS strt
+      FROM w
+    )
+    SELECT doc_id,
+           CAST((strt - 1) / 24 AS BIGINT) AS chunk_idx,
+           array_to_string(ws[CAST(strt AS BIGINT):CAST(strt + 31 AS BIGINT)], ' ')
+             AS chunk_text,
+           CAST(LEAST(32, n - strt + 1) AS BIGINT) AS n_chunk_words
+    FROM st
+    """,
+)
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.chunking import chunk_documents
+    from flink_samples_spark.llmops.text import quality_keep_expr
+    from flink_samples_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+    from flink_samples_spark.streaming.sources import write_replay_files
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_doc_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        write_replay_files(docs, replay, n_files=8, order_col="doc_id")
+        doc_schema = T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        )
+        stream = file_replay_stream(spark, replay, doc_schema)
+        out = chunk_documents(stream.filter(quality_keep_expr()), 32, 24)
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("documents replay did not finish within 300s")
+        result = read_sink(spark, sink).toPandas()
+        result = result[[c for c in result.columns if c != "batch"]]
+        return spark.createDataFrame(result, schema=out.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
