@@ -97,6 +97,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_sliding",
 )
 
+# Round-4 rotation pool (after the r3 CORRECTNESS lands, regenerate
+# GREEN_MANIFEST via scripts/update_green_manifest.py and fill the ~41
+# non-sentinel slots from whatever remains of): q_dedup_latest
+# q_agg_stats q_agg_histogram q_win_distribution q_agg_approx_quantile
+# q_agg_hll_sketch q_agg_salted q_join_salted q_join_colocated
+# q_join_asof_tol q_scd2 q_join_temporal q_fn_date2 q_udf_arrow
+# q_fn_bitwise q_fn_try q_fn_array2 q_fn_variant q_dedup_ngram
+# q_dedup_simhash q_fingerprint q_token_count q_quality_score
+# q_lang_id q_sim_topk_lsh q_sim_topk_ivf q_dedup_embedding
+# q_multimodal_features q_sample_reservoir q_sample_stratified
+# q_embed_kmeans q_quality_repetition q_sample_domain_cap
+# q_mix_temperature q_boilerplate q_multimodal_framesample
+# q_dedup_apply q_tokenize_vocab q_sim_topk_int8
+# q_sql_scalar_subquery q_sql_grouping_sets q_sql_recursive
+# q_sql_window q_stream_dedup q_late_data q_stream_temporal
+# q_stream_curate  (47 as of r3 close — fits in two windows).
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """All registered queries, DRIVER_PRIORITY first, remainder in
