@@ -55,6 +55,11 @@ HEADLINE = [
     "q_dedup_cross",           # cross-corpus decontamination (MinHash A×B)
     "q_embed_quantize",        # int8 embedding quantization
     "q_training_pipeline",     # composed curate→dedup→split→chunk pipeline
+    # round-4 headliners: the window-rotation burn-down set
+    "q_boilerplate",           # C4-style document-frequency filter
+    "q_tokenize_vocab",        # vocab build + id-encode checksum
+    "q_dedup_apply",           # detect→group→APPLY surviving corpus
+    "q_stream_curate",         # curation pipeline as a REAL streaming run
 ]
 
 

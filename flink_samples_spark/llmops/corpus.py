@@ -61,6 +61,12 @@ def contamination_check(
     string shingle keeps the op oracle-checkable; swap in
     ``_shingle_hashes`` to shuffle 8-byte hashes at the full 100 TB
     path.
+
+    Caching contract: the train-side shingle expansion is
+    ``.cache()``d because it feeds both the per-doc count and the
+    overlap branch; entries persist for the session (LRU-evicted
+    under pressure). Long-lived sessions making repeated calls should
+    ``spark.catalog.clearCache()`` between them (bench.py does).
     """
     # parallelized + cached: the shingle expansion feeds both the
     # per-doc count and the overlap branch, and a single-file scan
@@ -196,6 +202,12 @@ def boilerplate_score(docs: DataFrame, k: int = 5, df_threshold: int = 3) -> Dat
     Python, no all-pairs comparison — cost is bounded by the corpus's
     shingle mass, same as the tokenizer pass. Counts equal the
     string-shingle counts modulo 2⁻⁶⁴ hash collisions.
+
+    Caching contract: the hashed-shingle expansion is ``.cache()``d
+    because it feeds BOTH the document-frequency count and the join
+    back; entries persist for the session (LRU-evicted under
+    pressure). Long-lived sessions making repeated calls should
+    ``spark.catalog.clearCache()`` between them (bench.py does).
     """
     # parallelize_narrow: a single-file corpus scan collapses to one
     # partition and would shingle on one core; cached: feeds BOTH the

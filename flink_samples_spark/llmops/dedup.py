@@ -400,7 +400,11 @@ def minhash_lsh_pairs_cross(
         .filter(
             (F.size(da) >= 1)
             & (F.size(db) >= 1)
-            & (F.size(da) * F.size(db) <= max_bucket_pairs)
+            # bigint product: a hot bucket with |A|x|B| >= 2^31 (the very
+            # case the cap exists for) must not overflow int32 — ANSI mode
+            # would throw, non-ANSI would wrap negative and bypass the cap.
+            & (F.size(da).cast("bigint") * F.size(db).cast("bigint")
+               <= max_bucket_pairs)
         )
     )
     pair_arrays = F.transform(

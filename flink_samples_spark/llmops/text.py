@@ -170,29 +170,40 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
 
 
 def language_id(docs: DataFrame) -> DataFrame:
-    """Heuristic language ID: argmax of stopword-profile hit rates.
-    Deterministic (ties broken by profile order), Arrow-batched.
+    """Heuristic language ID: argmax of stopword-profile hit counts
+    (how many of the profile's words occur as space-delimited tokens).
+    Deterministic (ties broken by profile order), Arrow-batched, and
+    fully vectorized: each profile word is ONE C-level regex pass over
+    the batch (``(?:^| )w(?: |$)`` ⟺ token-set membership under the
+    same space split), then a column-wise idxmax — no per-row Python.
 
     Rows-only check by design: the scoring table lives in Python, not
     SQL; tests assert determinism + label coverage instead.
     """
+    import re as _re
+
     profiles = list(_LANG_PROFILES.items())
 
     def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            tokens = pdf["text"].str.lower().str.split(" ")
-            best_lang, best_score = [], []
-            for toks in tokens:
-                ts = set(toks or ())
-                scores = [(sum(1 for w in ws if w in ts), lang) for lang, ws in profiles]
-                hit, lang = max(scores, key=lambda p: p[0])
-                best_lang.append(lang if hit > 0 else "unk")
-                best_score.append(hit)
+            low = pdf["text"].str.lower()
+            per_lang = {}
+            for lang, ws in profiles:
+                hits = None
+                for w in ws:
+                    b = low.str.contains(
+                        f"(?:^| ){_re.escape(w)}(?: |$)", regex=True
+                    ).astype("int64")
+                    hits = b if hits is None else hits + b
+                per_lang[lang] = hits
+            scores = pd.DataFrame(per_lang)
+            best = scores.idxmax(axis=1)  # first max = profile order
+            top = scores.max(axis=1).astype("int64")
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "lang_pred": best_lang,
-                    "lang_hits": pd.Series(best_score, dtype="int64"),
+                    "lang_pred": best.where(top > 0, "unk"),
+                    "lang_hits": top,
                 }
             )
 
@@ -217,37 +228,73 @@ def build_vocab(docs: DataFrame, size: int = 100) -> DataFrame:
     return top.select("w", F.row_number().over(win).alias("token_id"))
 
 
-def vocab_encode(docs: DataFrame, size: int = 100) -> DataFrame:
+# Above this vocab size the literal-map encoding path is replaced by a
+# broadcast join: a 32k–100k-entry create_map would inline ~2·size
+# literal expressions into ONE projection — a plan-size / codegen
+# blow-up on the single operator that advertises "the corpus never
+# shuffles to encode".
+VOCAB_BROADCAST_THRESHOLD = 1000
+
+
+def vocab_encode(
+    docs: DataFrame, size: int = 100, broadcast_threshold: int = VOCAB_BROADCAST_THRESHOLD
+) -> DataFrame:
     """Tokenize + vocab-encode: map each word to its vocabulary id
     (0 = OOV) and emit per-doc encoding stats — the pretokenization →
     id-encoding step before training, with the encoded sequence pinned
     by a position-weighted integer checksum (Σ position·id, exact).
 
-    Scale: the vocab is a HYPERPARAMETER-sized table (like k-means
-    centroids), so it collects to the driver and ships as a map
-    literal inside one narrow codegen'd projection — the corpus never
-    shuffles to encode. Vocab build itself is a two-phase count.
+    Scale — two regimes, identical results:
+
+    - ``size <= broadcast_threshold``: the vocab is a
+      HYPERPARAMETER-sized table (like k-means centroids), so it
+      collects to the driver and ships as a map literal inside one
+      narrow codegen'd projection — the corpus never shuffles.
+    - ``size > broadcast_threshold`` (real 32k–100k tokenizer
+      vocabs): tokens posexplode (narrow) and BROADCAST-hash-join
+      the vocab on the word; per-doc stats come back via a two-phase
+      aggregate whose map-side combine collapses each doc's tokens
+      inside its own scan partition, so the shuffle carries ONE
+      partial row per document — never the exploded corpus.
+
+    Vocab build itself is a two-phase count either way.
     """
-    vocab = {r["w"]: r["token_id"] for r in build_vocab(docs, size).collect()}
-    pairs: list = []
-    for w, i in sorted(vocab.items()):
-        pairs.extend([F.lit(w), F.lit(i)])
-    vmap = F.create_map(*pairs)
-    ws = F.split(F.col("text"), " ")
-    ids = F.transform(ws, lambda w: F.coalesce(F.element_at(vmap, w), F.lit(0)))
-    base = docs.select("doc_id", ids.alias("ids"))
-    checksum = F.aggregate(
-        F.zip_with(
-            F.col("ids"),
-            F.sequence(F.lit(1), F.size("ids")),
-            lambda tid, i: tid.cast("bigint") * i,
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
+    if size <= broadcast_threshold:
+        vocab = {r["w"]: r["token_id"] for r in build_vocab(docs, size).collect()}
+        pairs: list = []
+        for w, i in sorted(vocab.items()):
+            pairs.extend([F.lit(w), F.lit(i)])
+        vmap = F.create_map(*pairs)
+        ws = F.split(F.col("text"), " ")
+        ids = F.transform(ws, lambda w: F.coalesce(F.element_at(vmap, w), F.lit(0)))
+        base = docs.select("doc_id", ids.alias("ids"))
+        checksum = F.aggregate(
+            F.zip_with(
+                F.col("ids"),
+                F.sequence(F.lit(1), F.size("ids")),
+                lambda tid, i: tid.cast("bigint") * i,
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        return base.select(
+            "doc_id",
+            F.size("ids").cast("bigint").alias("n_tokens"),
+            F.size(F.filter(F.col("ids"), lambda x: x == 0)).cast("bigint").alias("n_oov"),
+            checksum.alias("ids_checksum"),
+        )
+
+    vocab_df = build_vocab(docs, size)
+    tokens = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
-    return base.select(
+    encoded = tokens.join(F.broadcast(vocab_df), "w", "left").select(
         "doc_id",
-        F.size("ids").cast("bigint").alias("n_tokens"),
-        F.size(F.filter(F.col("ids"), lambda x: x == 0)).cast("bigint").alias("n_oov"),
-        checksum.alias("ids_checksum"),
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(0)).cast("bigint").alias("tid"),
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("int")).cast("bigint").alias("n_oov"),
+        F.sum((F.col("pos") + 1) * F.col("tid")).cast("bigint").alias("ids_checksum"),
     )

@@ -395,11 +395,20 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The sorted head is emitted as a canonical integer-string join
+# (floor(x*1e6+0.5), exact double arithmetic, identical on both
+# engines) rather than a raw array<double> column: float-array cell
+# formatting differs between engines/transports (numpy repr vs list
+# repr), which would make the driver's value hash depend on
+# serialization instead of semantics.
 @query(
     "q_fn_array2",
     oracle="""
     SELECT vec_id,
-           list_sort(CAST(embedding[1:4] AS DOUBLE[])) AS head_sorted,
+           array_to_string(list_transform(
+             list_sort(CAST(embedding[1:4] AS DOUBLE[])),
+             x -> CAST(CAST(floor(x * 1000000 + 0.5) AS BIGINT) AS VARCHAR)),
+             ',') AS head_sorted,
            CAST(list_position(list_transform(embedding, x -> x > 0),
                               true) AS INT) AS first_pos_idx,
            list_contains(list_transform(embedding, x -> x > 0.25),
@@ -416,7 +425,13 @@ def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev3 = F.reverse(F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")))
     return e.select(
         "vec_id",
-        F.sort_array(dbl_head).alias("head_sorted"),
+        F.array_join(
+            F.transform(
+                F.sort_array(dbl_head),
+                lambda x: F.floor(x * 1000000 + 0.5).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("head_sorted"),
         F.array_position(
             F.transform("embedding", lambda x: x > 0), F.lit(True)
         ).cast("int").alias("first_pos_idx"),

@@ -1073,14 +1073,19 @@ def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Frame sampling over binary payloads: every 4th 64-byte frame,
 # sliced JVM-side and digested. The oracle slices the VARCHAR twin of
-# the payload — byte-identical because the test corpus is pure ASCII
-# (asserted by the n_frames arithmetic on octet_length) — while the
-# Spark side slices true BinaryType.
+# the payload — byte-identical ONLY for pure-ASCII text (char-wise
+# substring == byte-wise slice), so the oracle raises via error() the
+# moment any non-ASCII document appears rather than silently
+# desynchronizing from the Spark side, which slices true BinaryType.
 @query(
     "q_multimodal_framesample",
     oracle="""
     WITH m AS (
-      SELECT doc_id, text,
+      SELECT doc_id,
+             CASE WHEN octet_length(encode(text)) <> length(text)
+                  THEN error('framesample oracle requires ASCII corpus: doc '
+                             || doc_id || ' is multi-byte')
+                  ELSE text END AS text,
              CAST(floor(octet_length(encode(text)) / 64) AS BIGINT) AS n_frames
       FROM documents
     ), idx AS (

@@ -33,86 +33,80 @@ ORACLES: dict[str, str] = {}
 # un-broken this round (q_join_band, q_ts_resample).
 # Every name listed here MUST have a DuckDB oracle — a rows-only query
 # in the window wastes a slot (tests/test_registry_order.py enforces).
+# Round-4 allocation: after r3 the ever-green manifest holds 111 of 158
+# queries and EXACTLY 47 have never had a driver row — which fits in one
+# window alongside a minimal 3-query sentinel spine (3 + 47 = 50).  The
+# spine keeps the flagship (entry() serves it) plus one I/O and one
+# shuffle-join canary; every other slot goes to a never-checked query so
+# the evidence burn-down completes this round instead of two.  Local
+# regression safety for the rotated-out 108 ever-green queries is
+# unchanged: tests/test_catalog.py runs the identical row+schema+hash
+# DuckDB comparison over the whole catalog every pytest run.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- ever-green sentinel spine (regression canaries) ----
     "q_session_window",       # flagship (entry() serves it too)
-    "q_scan_parquet",         # §2.1 sources
-    "q_filter",               # §2.2 pushdown path
+    "q_scan_parquet",         # §2.1 source/pushdown sanity
     "q_join_smj",             # §2.3 big×big shuffle join
-    "q_agg_approx_distinct",  # §2.4 sketch w/ tolerance oracle
-    "q_win_rank",             # §2.5 analytic window
-    "q_topk_per_group",       # §2.6
-    "q_union_all",            # §2.7
-    "q_dedup_near",           # tier-X MinHash LSH
-    # ---- fixed this round: prove the NTZ repair driver-side ----
-    "q_join_band",
-    "q_ts_resample",
-    # ---- §2.3/2.4 never-checked relational ----
-    "q_join_asof_fwd",
-    "q_agg_grouping_sets",
-    # ---- TPC-H pipeline shapes (never driver-checked) ----
-    "q_pipeline_custdist",
-    "q_pipeline_volume_shipping",
-    "q_pipeline_min_cost_supp",
-    "q_pipeline_order_priority",
-    "q_pipeline_market_share",
-    "q_pipeline_profit",
-    "q_pipeline_part_value",
-    "q_pipeline_priority_lines",
-    "q_pipeline_small_qty",
-    "q_pipeline_large_orders",
-    "q_pipeline_disjunctive",
-    "q_pipeline_excess_supp",
-    "q_pipeline_late_solo_supp",
-    "q_pipeline_idle_cust",
-    # ---- behavioral analytics (new in r2, never checked) ----
-    "q_funnel",
-    "q_cohort_retention",
-    # ---- §2.8 second-tier scalar functions ----
-    "q_fn_string2",
-    # ---- §2.10 Arrow/pandas UDF surface ----
-    "q_apply_in_pandas",
-    # ---- tier-X corpus operators (never driver-checked) ----
-    "q_pack_sequences",
-    "q_mix_corpus",
-    "q_ngram_topk",
-    "q_contamination",
-    "q_pii_scan",
-    "q_corpus_report",
-    "q_embed_assign",
-    # ---- round-3 additions: training-pipeline shaping + Q16 shape ----
-    "q_chunk_docs",
-    "q_split_corpus",
-    "q_dedup_cross",
-    "q_embed_quantize",
-    "q_pipeline_supp_diversity",
-    "q_training_pipeline",
-    # ---- SQL-string entry family ----
-    "q_sql_cte",
-    "q_sql_correlated_exists",
-    # ---- strict-oracle REAL streaming runs (never driver-checked) ----
-    "q_stream_join",
-    "q_stream_custom_sessionizer",
-    "q_stream_enrich",
-    "q_stream_sliding",
+    # ---- §2.4/2.5 aggregation + window remainder ----
+    "q_agg_stats",
+    "q_agg_histogram",
+    "q_agg_approx_quantile",
+    "q_agg_hll_sketch",
+    "q_agg_salted",
+    "q_win_distribution",
+    # ---- §2.3 join strategy remainder ----
+    "q_join_salted",
+    "q_join_colocated",
+    "q_join_asof_tol",
+    "q_join_temporal",
+    "q_scd2",
+    # ---- dedup / temporal relational ----
+    "q_dedup_latest",
+    # ---- §2.8 second-tier scalar function families ----
+    "q_fn_date2",
+    "q_fn_bitwise",
+    "q_fn_try",
+    "q_fn_array2",
+    "q_fn_variant",
+    # ---- §2.10 Arrow UDF ----
+    "q_udf_arrow",
+    # ---- tier-X dedup baselines ----
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_dedup_apply",
+    # ---- tier-X text analysis ----
+    "q_fingerprint",
+    "q_token_count",
+    "q_quality_score",
+    "q_quality_repetition",
+    "q_lang_id",
+    "q_boilerplate",
+    "q_tokenize_vocab",
+    # ---- tier-X similarity / embeddings ----
+    "q_sim_topk_lsh",
+    "q_sim_topk_ivf",
+    "q_sim_topk_int8",
+    "q_embed_kmeans",
+    # ---- tier-X multimodal plumbing ----
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    # ---- tier-X sampling / mixing ----
+    "q_sample_reservoir",
+    "q_sample_stratified",
+    "q_sample_domain_cap",
+    "q_mix_temperature",
+    # ---- SQL-string entry remainder ----
+    "q_sql_scalar_subquery",
+    "q_sql_grouping_sets",
+    "q_sql_recursive",
+    "q_sql_window",
+    # ---- strict-oracle streaming runs (batch/stream parity story) ----
+    "q_stream_dedup",
+    "q_late_data",
+    "q_stream_temporal",
+    "q_stream_curate",
 )
-
-# Round-4 rotation pool (after the r3 CORRECTNESS lands, regenerate
-# GREEN_MANIFEST via scripts/update_green_manifest.py and fill the ~41
-# non-sentinel slots from whatever remains of): q_dedup_latest
-# q_agg_stats q_agg_histogram q_win_distribution q_agg_approx_quantile
-# q_agg_hll_sketch q_agg_salted q_join_salted q_join_colocated
-# q_join_asof_tol q_scd2 q_join_temporal q_fn_date2 q_udf_arrow
-# q_fn_bitwise q_fn_try q_fn_array2 q_fn_variant q_dedup_ngram
-# q_dedup_simhash q_fingerprint q_token_count q_quality_score
-# q_lang_id q_sim_topk_lsh q_sim_topk_ivf q_dedup_embedding
-# q_multimodal_features q_sample_reservoir q_sample_stratified
-# q_embed_kmeans q_quality_repetition q_sample_domain_cap
-# q_mix_temperature q_boilerplate q_multimodal_framesample
-# q_dedup_apply q_tokenize_vocab q_sim_topk_int8
-# q_sql_scalar_subquery q_sql_grouping_sets q_sql_recursive
-# q_sql_window q_stream_dedup q_late_data q_stream_temporal
-# q_stream_curate  (47 as of r3 close — fits in two windows).
 
 
 def ordered_queries() -> dict[str, QueryFn]:

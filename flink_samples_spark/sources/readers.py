@@ -193,6 +193,50 @@ def read_json_lines(
     return reader.json(path)
 
 
+def read_json_zip(
+    spark: SparkSession, path: str, schema: T.StructType = JSONLINES_SCHEMA
+) -> DataFrame:
+    """JSON-lines inside a .zip archive — parity for the reference's
+    ``src/main/resources/input.json.zip`` fixture. Spark ships no zip
+    codec, so archives ride the ``binaryFile`` DSv2 source and are
+    expanded inside ONE Arrow-batched ``mapInPandas`` stage; the
+    member lines are parsed JVM-side by ``from_json`` against the
+    explicit schema (same contract as :func:`read_json_lines`).
+
+    Scale: a zip archive is not splittable (same as any zipped input
+    anywhere) — parallelism is per-archive, which is the correct unit;
+    many archives fan out across tasks. Each archive is decompressed
+    streaming member-by-member, never holding more than one member
+    decoded at a time.
+    """
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def expand(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(content)) as zf:
+                    for member in zf.namelist():
+                        if member.endswith("/"):  # directory entry
+                            continue
+                        lines = [
+                            ln
+                            for ln in zf.read(member).decode("utf-8").splitlines()
+                            if ln.strip()
+                        ]
+                        if lines:
+                            yield pd.DataFrame({"value": lines})
+
+    raw = spark.read.format("binaryFile").load(path).select("content")
+    lines = raw.mapInPandas(expand, "value string")
+    return lines.select(
+        F.from_json(F.col("value"), schema).alias("r")
+    ).select("r.*")
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -22,6 +22,8 @@ def main() -> None:
     ever: dict[str, list[str]] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:  # e.g. CORRECTNESS_rX.json matches the glob, not us
+            continue
         tag = f"r{int(m.group(1))}"
         with open(path) as f:
             data = json.load(f)

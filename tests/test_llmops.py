@@ -302,3 +302,27 @@ def test_domain_cap_and_temperature_weights(spark, sf_dir):
     cmax, cmin = max(r["n_docs"] for r in tw), min(r["n_docs"] for r in tw)
     wmax, wmin = max(r["mix_weight"] for r in tw), min(r["mix_weight"] for r in tw)
     assert wmax / wmin < cmax / cmin or cmax == cmin
+
+
+def test_vocab_encode_big_vocab_broadcast_path(spark, sf_dir):
+    """Above the threshold, vocab_encode must switch from the literal
+    create_map projection to a BROADCAST join (no corpus shuffle, no
+    plan-size blow-up) and produce IDENTICAL per-doc stats."""
+    from flink_samples_spark.llmops.text import vocab_encode
+    from flink_samples_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    size = 20_000  # a real-tokenizer-scale request (corpus may have fewer words)
+    big = vocab_encode(docs, size=size)  # > default threshold → join path
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the literal-map path would inline thousands of expressions; the
+    # join path's plan stays small
+    assert "keys: [" not in plan and len(plan) < 50_000
+
+    small_path = vocab_encode(docs, size=size, broadcast_threshold=size)
+    a = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["ids_checksum"])
+         for r in big.collect()}
+    b = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["ids_checksum"])
+         for r in small_path.collect()}
+    assert a == b

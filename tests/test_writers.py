@@ -74,6 +74,18 @@ def test_jsonlines_gzip_read(spark, tmp_path):
     assert df.schema.simpleString() == "struct<my_field1:bigint,my_field2:bigint,my_field3:string>"
 
 
+def test_jsonlines_zip_read(spark):
+    """Reference also ships input.json.zip; Spark has no zip codec, so
+    the reader expands archives via binaryFile + mapInPandas. Must
+    match the plain json-lines read of the same fixture content."""
+    from flink_samples_spark.sources.readers import read_json_zip
+
+    plain = read_json_lines(spark, "/root/repo/data/input.jsonl")
+    zipped = read_json_zip(spark, "/root/repo/data/input.json.zip")
+    assert zipped.schema.simpleString() == plain.schema.simpleString()
+    assert sorted(map(tuple, zipped.collect())) == sorted(map(tuple, plain.collect()))
+
+
 def test_csv_roundtrip_with_schema(spark, sf_dir, outdir):
     """CSV writer → schema'd reader: values and types survive the
     text round-trip (timestamps included)."""
