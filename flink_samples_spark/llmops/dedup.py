@@ -599,15 +599,23 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     dedup workloads.
     """
     fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # lazy checkpoint: materialized by the init-sum job below, reused
+    # by every round's join afterwards
     edges = fwd.union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     # init fused with the first propagation round: label = min(self,
     # min neighbor) — one groupBy replaces distinct + a full join round
     labels = edges.groupBy(F.col("src").alias("node")).agg(
         F.least(F.min("dst"), F.first("src")).alias("label")
-    )
-    prev_sum = None
+    ).localCheckpoint(eager=False)
+    # Seed the monotone-sum convergence invariant with the INIT labels:
+    # labels only decrease, so an unchanged sum after a propagation
+    # round proves fixpoint. Anchoring one step early means the common
+    # near-clique dedup graph (init already assigns every node the
+    # component min) exits after ONE propagation round instead of a
+    # compute round plus a confirm round.
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     for _ in range(max_iter):
         prop = edges.join(labels.withColumnRenamed("node", "src"), "src").select(
             F.col("dst").alias("node"), "label"

@@ -212,6 +212,58 @@ def language_id(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, top: int = 3) -> DataFrame:
+    """Per-document top-``top`` characteristic terms by tf·(N/df) —
+    the raw-ratio idf variant of TF-IDF: ``score = tf * N / df``
+    (term frequency × inverse document-frequency ratio, no log
+    damping). Chosen over log-idf because the score stays a single
+    IEEE division of exact integers — bit-identical across engines
+    (``log``/``ln`` is not correctly-rounded and differs between libm
+    implementations — a value-hash hazard). Swap the ``score``
+    expression for ``tf * log(N/df)`` when log damping matters more
+    than cross-engine determinism; the plan shape is unchanged.
+
+    Output: (doc_id, term, tf, df, score) — ``top`` rows per doc,
+    ties broken by term text.
+
+    Scale: words explode off the scan into ONE (doc_id, word) count
+    (partial→final, the shuffle carries counts, not text streams);
+    document frequency reuses THAT aggregate (distinct docs per word
+    = one more two-phase count over it, no second corpus pass); the
+    join back is an equi-join on the term; the per-doc top-k is a
+    rank window partitioned by doc_id — no global sort anywhere.
+    """
+    tf = (
+        parallelize_narrow(docs)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()  # feeds both the df count and the score join
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # corpus size as a broadcast 1-row cross join: stays lazy (no
+    # driver-side count during plan construction) and costs one
+    # 8-byte replicate instead of a job
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = tf.join(dfc, "term").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 6
+        ).alias("score"),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= top)
+        .drop("rn")
+    )
+
+
 def build_vocab(docs: DataFrame, size: int = 100) -> DataFrame:
     """Corpus vocabulary: the ``size`` most frequent words, id = rank
     (1-based; ties broken by word text for engine determinism).

@@ -5,7 +5,9 @@ from flink_samples_spark.operators.aggregates import (
     global_agg,
     hash_agg,
     having,
+    pivot_agg,
     rollup_agg,
+    unpivot,
 )
 from flink_samples_spark.operators.analytic import (
     global_topk,
@@ -21,6 +23,7 @@ from flink_samples_spark.operators.joins import (
     as_of_join,
     banded_range_join,
     broadcast_join,
+    merge_upsert,
     range_join,
     semi_join,
     sort_merge_join,
@@ -61,9 +64,12 @@ __all__ = [
     "global_topk",
     "hash_agg",
     "having",
+    "merge_upsert",
+    "pivot_agg",
     "range_frame_agg",
     "range_join",
     "rollup_agg",
+    "unpivot",
     "running_agg",
     "salted_agg",
     "salted_broadcast_replicate_join",

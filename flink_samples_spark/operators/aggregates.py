@@ -54,3 +54,34 @@ def cube_agg(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column]) -> Data
 def having(df: DataFrame, keys: Sequence[str], aggs: Sequence[Column], cond: Column) -> DataFrame:
     """GROUP BY … HAVING: post-aggregation filter."""
     return df.groupBy(*keys).agg(*aggs).filter(cond)
+
+
+def pivot_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    pivot_col: str,
+    values: Sequence[str],
+    agg: Column,
+) -> DataFrame:
+    """Wide reshape: one output column per pivoted value.
+
+    ``values`` is REQUIRED, not inferred — inference runs an extra
+    distinct job over the data before planning, and an unbounded
+    value domain would mint an unbounded number of columns. With the
+    domain pinned, this plans as ONE partial→final aggregate over
+    ``keys`` (each pivot bucket is a conditional aggregate — no
+    per-value scan, no join)."""
+    return df.groupBy(*keys).pivot(pivot_col, list(values)).agg(agg)
+
+
+def unpivot(
+    df: DataFrame,
+    ids: Sequence[str],
+    cols: Sequence[str],
+    var_name: str = "var",
+    value_name: str = "value",
+) -> DataFrame:
+    """Long reshape (melt): one output row per (id, measure column).
+    A narrow expand — each input row yields ``len(cols)`` rows inside
+    the same partition; no shuffle."""
+    return df.unpivot(list(ids), list(cols), var_name, value_name)

@@ -223,3 +223,33 @@ def banded_range_join(
     )
     out = l.join(r, "__bucket").filter(F.abs(lp - rp) <= w)
     return out.drop("__bucket")
+
+
+def merge_upsert(
+    target: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics over plain DataFrames — apply a change-set
+    to a snapshot: matched rows are REPLACED by the change row
+    (op='upsert'), matched rows with op='delete' are dropped, and
+    unmatched non-delete change rows are INSERTED. The incremental
+    snapshot-refresh step behind corpus/table maintenance when no
+    transactional table format is available (the reference ships no
+    MERGE either; this is the planner-surface generalization).
+
+    ``changes`` must carry the full target schema plus ``op_col``.
+
+    Scale: a change-set is small relative to the snapshot it amends,
+    so the change keys BROADCAST to an anti join — the snapshot
+    never shuffles; the surviving change rows are unioned on top.
+    Output partitioning = target partitioning ∪ one small appendix.
+    For a change-set too large to broadcast, Catalyst falls back to a
+    shuffled anti join on the same plan.
+    """
+    keep = target.join(
+        F.broadcast(changes.select(key)), key, "left_anti"
+    )
+    apply_rows = changes.filter(F.col(op_col) != "delete").drop(op_col)
+    return keep.unionByName(apply_rows)

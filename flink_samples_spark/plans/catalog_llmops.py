@@ -1207,3 +1207,86 @@ def q_sim_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         lambda q, c: brute_force_cosine_topk(q, dequantize_int8(c), k=3),
     )
+
+
+# Per-document characteristic terms: tf × (N/df), the raw-ratio idf
+# variant of TF-IDF (no log damping) so the score is a single IEEE
+# division of exact integers (log/ln is not correctly-rounded and
+# differs across libm implementations — a value-hash hazard).
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf AS BIGINT) AS tf,
+             CAST(d.df AS BIGINT) AS df,
+             round(CAST(t.tf AS DOUBLE)
+                   * (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                   / d.df, 6) AS score
+      FROM tf t JOIN dfc d ON d.term = t.term
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score FROM ranked WHERE rn <= 3
+    """,
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.text import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), top=3)
+
+
+# Decontamination APPLY: the surviving training corpus after dropping
+# docs whose eval-set 3-gram overlap exceeds the threshold — the
+# actionable step after q_contamination's scan, same detect→APPLY
+# pattern as q_dedup_apply. The dropped set is small, so it
+# broadcasts to an anti join and the training corpus never shuffles.
+@query(
+    "q_decontaminate_apply",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(str_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string(str_split(text, ' ')[i:i+2], ' ')))) AS shingle
+      FROM documents
+    ), eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE source IN ('src0', 'src1')
+    ), train_sh AS (
+      SELECT doc_id, shingle FROM sh WHERE source NOT IN ('src0', 'src1')
+    ), per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_shingles FROM train_sh GROUP BY doc_id
+    ), hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_overlap
+      FROM train_sh t JOIN eval_sh e ON e.shingle = t.shingle
+      GROUP BY t.doc_id
+    ), dropped AS (
+      SELECT p.doc_id FROM per_doc p LEFT JOIN hits h ON h.doc_id = p.doc_id
+      WHERE COALESCE(h.n_overlap, 0) / CAST(p.n_shingles AS DOUBLE) > 0.05
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE d.source NOT IN ('src0', 'src1')
+      AND d.doc_id NOT IN (SELECT doc_id FROM dropped)
+    """,
+)
+def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.corpus import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("source").isin("src0", "src1"))
+    train = docs.filter(~F.col("source").isin("src0", "src1"))
+    flagged = contamination_check(train, eval_docs, k=3)
+    dropped = flagged.filter(
+        F.col("n_overlap") / F.col("n_shingles").cast("double") > 0.05
+    ).select("doc_id")
+    return train.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

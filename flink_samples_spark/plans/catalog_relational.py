@@ -1518,3 +1518,121 @@ def q_join_asof_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         clicks, purch, "user_id", left_ts="click_ts", right_ts="ts",
         payload=["p_value"], tolerance_seconds=3600.0,
     ).select("event_id", "user_id", "click_ts", "asof_ts", "p_value")
+
+
+# ---------------------------------------------------------- reshape ----
+# Wide reshape: order counts per priority × status. The value domain
+# is pinned (no inference job); each pivot bucket is a conditional
+# aggregate inside ONE partial→final pass — the oracle spells out the
+# same CASE-WHEN counts. Empty buckets are coalesced to 0 on the
+# Spark side because pivot emits null there while a CASE-count emits 0.
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS st_open,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS st_filled,
+           CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS st_partial
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import pivot_agg
+
+    o = load_table(spark, sf_dir, "orders")
+    wide = pivot_agg(
+        o, ["o_orderpriority"], "o_orderstatus", ["O", "F", "P"], F.count(F.lit(1))
+    )
+    return wide.select(
+        "o_orderpriority",
+        F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("st_open"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("st_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("st_partial"),
+    )
+
+
+# Long reshape (melt): one row per (line, measure). Narrow expand —
+# no shuffle; the oracle is the equivalent UNION ALL.
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import unpivot
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return unpivot(
+        li,
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "val",
+    )
+
+
+# MERGE INTO semantics over plain DataFrames: apply a deterministic
+# change-set (updates, deletes, inserts synthesized from the customer
+# table itself) to the snapshot. The snapshot never shuffles — change
+# keys broadcast to an anti join; the oracle replays the same
+# keep ∪ apply algebra.
+@query(
+    "q_merge_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM customer
+    ), ch AS (
+      SELECT c_custkey, c_name, round(c_acctbal + 1000, 2) AS bal,
+             'upsert' AS op
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey, c_name, round(c_acctbal, 2), 'delete'
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, 0.0, 'upsert'
+      FROM customer WHERE c_custkey % 10 = 2
+    )
+    SELECT * FROM (
+      SELECT c_custkey, c_name, bal FROM t
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM ch)
+      UNION ALL
+      SELECT c_custkey, c_name, bal FROM ch WHERE op <> 'delete'
+    )
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer")
+    target = c.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 1).select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") + 1000, 2).alias("bal"),
+        F.lit("upsert").alias("op"),
+    )
+    deletes = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        "c_name",
+        F.round("c_acctbal", 2).alias("bal"),
+        F.lit("delete").alias("op"),
+    )
+    inserts = c.filter(F.col("c_custkey") % 10 == 2).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        "c_name",
+        F.lit(0.0).alias("bal"),
+        F.lit("upsert").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    return merge_upsert(target, changes, "c_custkey")

@@ -548,3 +548,112 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# Streaming snapshot maintenance: the SAME deterministic change-set as
+# q_merge_upsert, replayed as micro-batches and applied per batch via
+# foreachBatch + merge_upsert (read snapshot vN → merge → write vN+1 —
+# the dir-swap pattern a transactional table format replaces at
+# production; each change key appears exactly once, so the streamed
+# fold converges to the one-shot batch MERGE and shares its strict
+# oracle). The Flink analog is an upsert/retract sink; Spark expresses
+# it as per-micro-batch MERGE maintenance.
+@query(
+    "q_stream_upsert",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal FROM customer
+    ), ch AS (
+      SELECT c_custkey, 'upsert' AS op FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey, 'delete' FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'upsert' FROM customer WHERE c_custkey % 10 = 2
+    )
+    SELECT * FROM (
+      SELECT c_custkey, c_name, bal FROM t
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM ch)
+      UNION ALL
+      SELECT c_custkey, c_name, round(c_acctbal + 1000, 2)
+      FROM customer WHERE c_custkey % 10 = 1
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, 0.0
+      FROM customer WHERE c_custkey % 10 = 2
+    )
+    """,
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import merge_upsert
+    from flink_samples_spark.streaming.sources import write_replay_files
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_ch_", "snap_", "cp_")]
+    replay, snap_root, cp = dirs
+    try:
+        c = load_table(spark, sf_dir, "customer")
+        target = c.select(
+            "c_custkey", "c_name", F.round("c_acctbal", 2).alias("bal")
+        )
+        changes = (
+            c.filter(F.col("c_custkey") % 10 == 1)
+            .select(
+                "c_custkey",
+                "c_name",
+                F.round(F.col("c_acctbal") + 1000, 2).alias("bal"),
+                F.lit("upsert").alias("op"),
+            )
+            .unionByName(
+                c.filter(F.col("c_custkey") % 10 == 0).select(
+                    "c_custkey",
+                    "c_name",
+                    F.round("c_acctbal", 2).alias("bal"),
+                    F.lit("delete").alias("op"),
+                )
+            )
+            .unionByName(
+                c.filter(F.col("c_custkey") % 10 == 2).select(
+                    (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                    "c_name",
+                    F.lit(0.0).alias("bal"),
+                    F.lit("upsert").alias("op"),
+                )
+            )
+        )
+        write_replay_files(changes, replay, n_files=6, order_col="c_custkey")
+        target.write.mode("overwrite").parquet(os.path.join(snap_root, "v0"))
+        cur = {"v": 0}
+
+        def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+            snap = spark.read.parquet(os.path.join(snap_root, f"v{cur['v']}"))
+            merged = merge_upsert(snap, batch_df, "c_custkey")
+            merged.write.mode("overwrite").parquet(
+                os.path.join(snap_root, f"v{cur['v'] + 1}")
+            )
+            cur["v"] += 1
+
+        ch_schema = T.StructType(
+            [
+                T.StructField("c_custkey", T.LongType()),
+                T.StructField("c_name", T.StringType()),
+                T.StructField("bal", T.DoubleType()),
+                T.StructField("op", T.StringType()),
+            ]
+        )
+        stream = file_replay_stream(spark, replay, ch_schema)
+        q = (
+            stream.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("change replay did not finish within 300s")
+        final = spark.read.parquet(
+            os.path.join(snap_root, f"v{cur['v']}")
+        ).toPandas()
+        return spark.createDataFrame(
+            final, schema="c_custkey bigint, c_name string, bal double"
+        )
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -34,29 +34,36 @@ ORACLES: dict[str, str] = {}
 # Every name listed here MUST have a DuckDB oracle — a rows-only query
 # in the window wastes a slot (tests/test_registry_order.py enforces).
 # Round-4 allocation: after r3 the ever-green manifest holds 111 of 158
-# queries and EXACTLY 47 have never had a driver row — which fits in one
-# window alongside a minimal 3-query sentinel spine (3 + 47 = 50).  The
-# spine keeps the flagship (entry() serves it) plus one I/O and one
-# shuffle-join canary; every other slot goes to a never-checked query so
-# the evidence burn-down completes this round instead of two.  Local
-# regression safety for the rotated-out 108 ever-green queries is
-# unchanged: tests/test_catalog.py runs the identical row+schema+hash
-# DuckDB comparison over the whole catalog every pytest run.
+# queries and exactly 47 have never had a driver row.  Keep the same
+# 9-query ever-green sentinel spine as round 3 (one regression canary
+# per §2 family — tests/test_registry_order.py pins that contract) and
+# spend all 41 remaining slots on never-checked queries, prioritizing
+# the operators whose ONLY evidence is local.  Six strategy-variant
+# queries are deliberately deferred to round 5: q_agg_salted /
+# q_join_salted / q_join_colocated produce results equal to ever-green
+# simpler plans (pytest asserts the equivalence), and q_dedup_ngram /
+# q_dedup_simhash / q_sample_reservoir are alternate implementations
+# sharing oracles/fixtures with ever-green twins.  Local regression
+# safety for rotated-out queries is unchanged: tests/test_catalog.py
+# runs the identical row+schema+hash DuckDB comparison catalog-wide.
 DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- ever-green sentinel spine (regression canaries) ----
     "q_session_window",       # flagship (entry() serves it too)
-    "q_scan_parquet",         # §2.1 source/pushdown sanity
+    "q_scan_parquet",         # §2.1 sources
+    "q_filter",               # §2.2 pushdown path
     "q_join_smj",             # §2.3 big×big shuffle join
+    "q_agg_approx_distinct",  # §2.4 sketch w/ tolerance oracle
+    "q_win_rank",             # §2.5 analytic window
+    "q_topk_per_group",       # §2.6
+    "q_union_all",            # §2.7
+    "q_dedup_near",           # tier-X MinHash LSH
     # ---- §2.4/2.5 aggregation + window remainder ----
     "q_agg_stats",
     "q_agg_histogram",
     "q_agg_approx_quantile",
     "q_agg_hll_sketch",
-    "q_agg_salted",
     "q_win_distribution",
     # ---- §2.3 join strategy remainder ----
-    "q_join_salted",
-    "q_join_colocated",
     "q_join_asof_tol",
     "q_join_temporal",
     "q_scd2",
@@ -70,9 +77,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_variant",
     # ---- §2.10 Arrow UDF ----
     "q_udf_arrow",
-    # ---- tier-X dedup baselines ----
-    "q_dedup_ngram",
-    "q_dedup_simhash",
+    # ---- tier-X dedup ----
     "q_dedup_embedding",
     "q_dedup_apply",
     # ---- tier-X text analysis ----
@@ -92,7 +97,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_features",
     "q_multimodal_framesample",
     # ---- tier-X sampling / mixing ----
-    "q_sample_reservoir",
     "q_sample_stratified",
     "q_sample_domain_cap",
     "q_mix_temperature",
@@ -107,6 +111,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_stream_temporal",
     "q_stream_curate",
 )
+
+# Round-5 rotation pool: once the r4 CORRECTNESS lands (regenerate
+# GREEN_MANIFEST first), the never-driver-checked remainder should be
+# the six deferred strategy variants (q_agg_salted q_join_salted
+# q_join_colocated q_dedup_ngram q_dedup_simhash q_sample_reservoir)
+# plus the round-4 additions (q_pivot q_unpivot q_merge_upsert q_tfidf
+# q_decontaminate_apply q_stream_upsert) and anything that failed in
+# the r4 window — they all fit alongside the 9-query spine with slots
+# to spare for round-5 additions.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -135,7 +135,7 @@ _EXECUTING = {
     "q_stream_dedup", "q_stream_tumbling", "q_stream_custom_sessionizer",
     "q_stream_join", "q_late_data", "q_stream_enrich",
     "q_stream_session", "q_stream_sliding", "q_stream_temporal",
-    "q_stream_curate",
+    "q_stream_curate", "q_stream_upsert",
     # iterative: runs jobs during construction (plan-audited via its
     # component pieces)
     "q_dedup_groups",
@@ -170,6 +170,9 @@ _NESTED_LOOP_OK = {
     # definition of the operator
     "q_embed_assign",
     "q_embed_kmeans",
+    # scalar-attach: the 1-row corpus-size aggregate broadcast against
+    # the (term, tf, df) frame — same shape as q_pipeline_part_value
+    "q_tfidf",
 }
 
 
