@@ -657,3 +657,58 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# UPDATE output mode driver-certified: per-user running event counts
+# emitted on every change (no watermark — update mode's unbounded-
+# state regime), landed in the idempotent per-batch sink; the FINAL
+# state per user (latest batch wins) must equal the batch GROUP BY —
+# a strict oracle for the §2.9 "output modes" row. Append mode is
+# exercised by every other q_stream_*; complete mode by pytest.
+@query(
+    "q_stream_update_counts",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from flink_samples_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+    from flink_samples_spark.streaming.sources import write_replay_files
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        write_replay_files(events, replay, n_files=8, order_col="ts")
+        stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA)
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events")
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("update-mode replay did not finish within 300s")
+        # latest emission per user IS the final count (update mode
+        # re-emits a key only when its state changes)
+        w = Window.partitionBy("user_id").orderBy(F.col("batch").desc())
+        final = (
+            read_sink(spark, sink)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "n_events")
+            .toPandas()
+        )
+        return spark.createDataFrame(final, schema="user_id bigint, n_events bigint")
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
