@@ -116,6 +116,30 @@ def pii_scan(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redaction APPLY over ``text_col``: email-shaped tokens →
+    ``<EMAIL>``, then phone-shaped digit runs → ``<PHONE>`` — the
+    actionable step after :func:`pii_scan`, same detect→APPLY pattern
+    as dedup/decontamination. Emits the redacted text's md5 + length
+    and a residual email count (must be 0 — an in-plan invariant)
+    instead of shipping megabytes of text through the check.
+
+    Scale: two regexp_replace calls fused into one narrow codegen
+    projection — scan speed, nothing shuffles. Same Java∩RE2 regex
+    subset as pii_scan, so external engines redact identically.
+    """
+    t = F.col(text_col)
+    red = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_md5"),
+        F.length(red).cast("bigint").alias("n_chars_redacted"),
+        F.regexp_count(red, F.lit(EMAIL_RE)).alias("emails_left"),
+    )
+
+
 def corpus_report(docs: DataFrame) -> DataFrame:
     """Per (source, lang) corpus composition report: doc count, total
     whitespace tokens, mean doc length, and how many docs pass the

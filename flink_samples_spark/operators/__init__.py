@@ -41,6 +41,10 @@ from flink_samples_spark.operators.skew import (
     salted_broadcast_replicate_join,
 )
 from flink_samples_spark.operators.timeseries import resample_interpolate
+from flink_samples_spark.operators.total_order import (
+    global_order_index,
+    global_prefix_sum,
+)
 from flink_samples_spark.operators.time_windows import (
     session_window_agg,
     sliding_window_agg,
@@ -61,6 +65,8 @@ __all__ = [
     "count_distinct_agg",
     "cube_agg",
     "global_agg",
+    "global_order_index",
+    "global_prefix_sum",
     "global_topk",
     "hash_agg",
     "having",

@@ -1,0 +1,84 @@
+"""Distributed total-order utilities: global row index and global
+prefix sum WITHOUT a single-partition window.
+
+``row_number() OVER (ORDER BY …)`` with no PARTITION BY moves the
+whole dataset to one task — the canonical window scale-killer (Spark
+itself warns "No Partition Defined for Window operation"). These
+operators produce the same results with the classic two-pass shape a
+1000-executor cluster wants:
+
+1. range-repartition on the order columns (one shuffle; AQE sizes
+   the ranges),
+2. per-partition counts/sums → a TINY (n_partitions-row) frame whose
+   cumulative offsets ARE computed with a single-partition window —
+   over n_partitions rows, not the data,
+3. broadcast the offsets back; each partition finishes locally with
+   an intra-partition window + its offset.
+
+``order_cols`` MUST be a total order (include a unique tie-break
+column): rows that compare equal could land on either side of a
+range boundary, which would make their relative index depend on the
+partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__to_pid"
+_CNT = "__to_cnt"
+_OFF = "__to_off"
+
+
+def _ranged_with_offsets(
+    df: DataFrame, order_cols: list, per_partition_agg: Column
+) -> tuple[DataFrame, DataFrame]:
+    ranged = df.repartitionByRange(*order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    parts = ranged.groupBy(_PID).agg(per_partition_agg.alias(_CNT))
+    # single-partition window over n_partitions rows — the whole point
+    w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = parts.select(
+        _PID, F.coalesce(F.sum(_CNT).over(w), F.lit(0)).alias(_OFF)
+    )
+    return ranged, offsets
+
+
+def global_order_index(
+    df: DataFrame, order_cols: list, index_col: str = "pos"
+) -> DataFrame:
+    """1-based dense global position of every row under the total
+    order ``order_cols`` — the scalable ``row_number() OVER (ORDER BY
+    …)``."""
+    ranged, offsets = _ranged_with_offsets(df, order_cols, F.count(F.lit(1)))
+    iw = Window.partitionBy(_PID).orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            index_col,
+            (F.row_number().over(iw) + F.col(_OFF)).cast("bigint"),
+        )
+        .drop(_PID, _OFF)
+    )
+
+
+def global_prefix_sum(
+    df: DataFrame, order_cols: list, value_col: str, sum_col: str = "running"
+) -> DataFrame:
+    """Inclusive running SUM(``value_col``) under the total order
+    ``order_cols`` — the scalable ``SUM(v) OVER (ORDER BY …)``."""
+    ranged, offsets = _ranged_with_offsets(
+        df, order_cols, F.sum(value_col)
+    )
+    iw = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), _PID)
+        .withColumn(sum_col, F.sum(value_col).over(iw) + F.col(_OFF))
+        .drop(_PID, _OFF)
+    )

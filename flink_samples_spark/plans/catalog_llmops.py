@@ -1290,3 +1290,135 @@ def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(F.broadcast(dropped), "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# PII redaction APPLY (detect→apply, like q_dedup_apply): same
+# deterministic PII-injected fixture as q_pii_scan, emails → <EMAIL>
+# then phones → <PHONE>, digest + residual-count output. Both engines
+# replace in the same order over the same Java∩RE2 regex subset, so
+# the md5 of the redacted text hash-matches.
+@query(
+    "q_pii_redact",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1 (555) 010-'
+                       || CAST(doc_id AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+    ), red AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(text,
+                 '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS r
+      FROM aug
+    )
+    SELECT doc_id, md5(r) AS redacted_md5,
+           CAST(length(r) AS BIGINT) AS n_chars_redacted,
+           CAST(len(regexp_extract_all(r,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT)
+             AS emails_left
+    FROM red
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.corpus import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 (555) 010-"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_redact(aug)
+
+
+# Deterministic corpus shuffle: multiplicative-hash sort key + GLOBAL
+# position WITHOUT a single-partition window — global_order_index is
+# the two-pass range-partition + offset-broadcast rewrite of
+# row_number() OVER (ORDER BY …); the oracle IS that window.
+@query(
+    "q_corpus_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) AS shuffle_key,
+           CAST(row_number() OVER (
+             ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+           ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import global_order_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2147483648))
+        .cast("bigint")
+        .alias("shuffle_key"),
+    )
+    return global_order_index(
+        base, [F.col("shuffle_key"), F.col("doc_id")], "pos"
+    )
+
+
+# Token-budget corpus selection: keep the highest-quality documents
+# until the cumulative word budget is spent — a GLOBAL running sum
+# computed with the same two-pass rewrite (global_prefix_sum), never
+# a single-partition window; the oracle IS that window.
+@query(
+    "q_budget_select",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+             round(CAST(len(list_filter(str_split(text, ' '),
+                   w -> list_contains(['the','and','of','to','a','in','is'],
+                                      lower(w)))) AS DOUBLE)
+                   / len(str_split(text, ' ')), 6) AS quality
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_words, quality,
+             CAST(SUM(n_words) OVER (
+               ORDER BY quality DESC, doc_id ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_words
+      FROM q
+    )
+    SELECT doc_id, n_words, quality, cum_words
+    FROM r WHERE cum_words <= 10000
+    """,
+)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.text import _LANG_PROFILES
+    from flink_samples_spark.operators import global_prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    stop_arr = F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    base = docs.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.round(n_stop.cast("double") / F.size(words), 6).alias("quality"),
+    )
+    running = global_prefix_sum(
+        base, [F.col("quality").desc(), F.col("doc_id")], "n_words", "cum_words"
+    )
+    return running.filter(F.col("cum_words") <= 10000).select(
+        "doc_id", "n_words", "quality", F.col("cum_words").cast("bigint").alias("cum_words")
+    )

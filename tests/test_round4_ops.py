@@ -127,3 +127,50 @@ def test_tfidf_score_and_topk_semantics(spark):
     assert top1[3] == "date"
     # doc 1: apple tf=2 df=2 -> 3.0 beats banana/cherry (1.5)
     assert top1[1] == "apple"
+
+
+def test_global_order_index_matches_naive_window(spark):
+    from flink_samples_spark.operators import global_order_index
+    from pyspark.sql import Window
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 101).alias("key")
+    )
+    out = global_order_index(df, [F.col("key"), F.col("k")], "pos")
+    naive = df.withColumn(
+        "pos", F.row_number().over(Window.orderBy("key", "k")).cast("bigint")
+    )
+    assert _rows(out.select("k", "key", "pos")) == _rows(naive.select("k", "key", "pos"))
+    # partition-count invariance: same result from a different input layout
+    out2 = global_order_index(df.repartition(7), [F.col("key"), F.col("k")], "pos")
+    assert _rows(out2.select("k", "key", "pos")) == _rows(naive.select("k", "key", "pos"))
+
+
+def test_global_prefix_sum_matches_naive_window(spark):
+    from flink_samples_spark.operators import global_prefix_sum
+    from pyspark.sql import Window
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 37 % 101).alias("key"),
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    out = global_prefix_sum(df, [F.col("key"), F.col("k")], "v", "run")
+    w = Window.orderBy("key", "k").rowsBetween(Window.unboundedPreceding, 0)
+    naive = df.withColumn("run", F.sum("v").over(w))
+    assert _rows(out.select("k", "run")) == _rows(naive.select("k", "run"))
+
+
+def test_total_order_ops_avoid_single_partition_data_window(spark):
+    """The data-sized window must be partitioned (by the range
+    partition id); only the n_partitions-row offsets frame may use a
+    global window. Detect by checking every Window node in the plan
+    that sorts the DATA carries a partition spec."""
+    from flink_samples_spark.operators import global_order_index
+
+    df = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = global_order_index(df, [F.col("k")], "pos")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the intra-partition window must be keyed by the pid column
+    assert "windowspecdefinition(__to_pid" in plan.replace(" ", "").lower() or \
+        "__to_pid" in plan, plan[:3000]
