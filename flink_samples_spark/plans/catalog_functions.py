@@ -467,3 +467,37 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(F.try_parse_json(F.col("props")), "$.k", "string").alias("k_str"),
         (F.variant_get(v, "$.k", "bigint") % 7).alias("k_mod"),
     )
+
+
+# Third-tier §2.8: the regex function family (extract / replace /
+# count / split_part / substring_index) over the Java-regex ∩ RE2
+# common subset, so both engines match identically. split_part /
+# substring_index use literal delimiters (no regex) — direct twins.
+@query(
+    "q_fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '[a-z]+', 0) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+           split_part(p_type, ' ', 2) AS type_word2,
+           array_to_string((str_split(p_name, ' '))[1:2], ' ') AS name_head2,
+           CASE WHEN regexp_matches(p_type, '^[a-z]+ ') THEN 1 ELSE 0 END
+             AS starts_lower_word
+    FROM part
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), "[a-z]+", 0).alias("first_word"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("devoweled"),
+        F.regexp_count(F.col("p_name"), F.lit("[aeiou]")).alias("n_vowels"),
+        # Spark split_part is 1-based like DuckDB
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(2)).alias("type_word2"),
+        F.substring_index(F.col("p_name"), " ", 2).alias("name_head2"),
+        F.regexp_like(F.col("p_type"), F.lit("^[a-z]+ ")).cast("int").alias(
+            "starts_lower_word"
+        ),
+    )
