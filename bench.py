@@ -60,6 +60,10 @@ HEADLINE = [
     "q_tokenize_vocab",        # vocab build + id-encode checksum
     "q_dedup_apply",           # detect→group→APPLY surviving corpus
     "q_stream_curate",         # curation pipeline as a REAL streaming run
+    # round-4 additions: one per new plan shape
+    "q_tfidf",                 # (doc,term) two-phase count + scalar-attach
+    "q_corpus_shuffle",        # distributed total-order index (no global window)
+    "q_merge_upsert",          # broadcast-anti MERGE change-set apply
 ]
 
 

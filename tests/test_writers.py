@@ -129,3 +129,28 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, outdir):
         filtered.explain(mode="formatted")
     assert "PushedFilters: [" in buf.getvalue()
     assert "GreaterThan(o_totalprice" in buf.getvalue()
+
+
+def test_jsonlines_zip_multi_member(spark, tmp_path):
+    """A zip with several members (and a directory entry) expands to
+    the union of member lines."""
+    import json
+    import zipfile
+
+    from flink_samples_spark.sources.readers import read_json_zip
+
+    p = str(tmp_path / "multi.zip")
+    with zipfile.ZipFile(p, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("d/", "")  # directory entry must be skipped
+        for m in range(3):
+            lines = "\n".join(
+                json.dumps(
+                    {"my_field1": m * 10 + i, "my_field2": i, "my_field3": f"m{m}"}
+                )
+                for i in range(4)
+            )
+            zf.writestr(f"d/part{m}.json", lines + "\n\n")  # trailing blank line
+    df = read_json_zip(spark, p)
+    rows = sorted((r.my_field1, r.my_field3) for r in df.collect())
+    assert len(rows) == 12
+    assert rows[0] == (0, "m0") and rows[-1] == (23, "m2")
