@@ -712,3 +712,66 @@ def q_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# COMPLETE output mode driver-certified, closing the §2.9 output-mode
+# trio (append: every windowed q_stream_*; update:
+# q_stream_update_counts). Complete mode re-emits the FULL aggregate
+# state every micro-batch, so the sink OVERWRITES wholesale per batch
+# and the final contents equal the batch GROUP BY — a strict oracle.
+# Only valid for small aggregate states (here: |event types| rows);
+# that boundedness is exactly why complete mode exists.
+@query(
+    "q_stream_complete_counts",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.sources import write_replay_files
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        write_replay_files(events, replay, n_files=8, order_col="ts")
+        schema = T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts", T.TimestampType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value", T.DoubleType()),
+            ]
+        )
+        stream = file_replay_stream(spark, replay, schema)
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+
+        def overwrite_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # complete mode: each emission IS the whole state
+            batch_df.write.mode("overwrite").parquet(os.path.join(sink, "state"))
+
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(overwrite_batch)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("complete-mode replay did not finish within 300s")
+        final = spark.read.parquet(os.path.join(sink, "state")).toPandas()
+        return spark.createDataFrame(
+            final, schema="event_type string, n_events bigint, sum_value double"
+        )
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

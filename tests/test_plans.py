@@ -136,6 +136,7 @@ _EXECUTING = {
     "q_stream_join", "q_late_data", "q_stream_enrich",
     "q_stream_session", "q_stream_sliding", "q_stream_temporal",
     "q_stream_curate", "q_stream_upsert", "q_stream_update_counts",
+    "q_stream_complete_counts",
     # iterative: runs jobs during construction (plan-audited via its
     # component pieces)
     "q_dedup_groups",
