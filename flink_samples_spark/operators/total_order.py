@@ -19,6 +19,14 @@ operators produce the same results with the classic two-pass shape a
 column): rows that compare equal could land on either side of a
 range boundary, which would make their relative index depend on the
 partitioning.
+
+Cost note: the data crosses two exchanges — the range repartition
+and the hash exchange the intra-partition window requires on the
+partition-id column (Spark cannot see that range partitioning
+already satisfies it; each range partition moves as one unit).
+That is 2 linear passes at any scale, vs the single-partition
+window's one pass through ONE task — the trade every distributed
+total-order algorithm makes.
 """
 
 from __future__ import annotations
