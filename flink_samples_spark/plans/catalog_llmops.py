@@ -1422,3 +1422,39 @@ def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running.filter(F.col("cum_words") <= 10000).select(
         "doc_id", "n_words", "quality", F.col("cum_words").cast("bigint").alias("cum_words")
     )
+
+
+# Span-level (paragraph-analog) corpus rewrite: delete spans whose
+# exact content appears in > 3 distinct documents, preserving word
+# order. The oracle groups span STRINGS; the Spark side aggregates
+# xxhash64(span) so only 8-byte keys shuffle — equal modulo 2^-64
+# collisions (same contract as the hashed-shingle oracle pairs).
+@query(
+    "q_dedup_span",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             CAST(ceil(len(ws) / 8.0) AS BIGINT) AS n_spans,
+             i AS pos,
+             array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span
+      FROM words, LATERAL unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+    ), dfc AS (
+      SELECT span, COUNT(DISTINCT doc_id) AS df FROM spans GROUP BY span
+    ), kept AS (
+      SELECT s.* FROM spans s JOIN dfc USING (span) WHERE dfc.df <= 3
+    )
+    SELECT doc_id,
+           CAST(MIN(n_spans) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(span, ' ' ORDER BY pos) AS clean_text
+    FROM kept GROUP BY doc_id
+    """,
+)
+def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.dedup import span_dedup
+
+    return span_dedup(
+        load_table(spark, sf_dir, "documents"), span_words=8, df_threshold=3
+    )
