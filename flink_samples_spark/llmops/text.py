@@ -350,3 +350,63 @@ def vocab_encode(
         F.sum((F.col("tid") == 0).cast("int")).cast("bigint").alias("n_oov"),
         F.sum((F.col("pos") + 1) * F.col("tid")).cast("bigint").alias("ids_checksum"),
     )
+
+
+def lm_bigram_score(docs: DataFrame) -> DataFrame:
+    """CCNet/KenLM-style corpus-LM quality signal: train a bigram
+    language model on the corpus itself and score every document by
+    its mean per-bigram log-probability (a perplexity proxy — low
+    scores flag gibberish / off-distribution text for filtering).
+
+    P(w2|w1) is the maximum-likelihood estimate c(w1,w2)/c(w1·),
+    where c(w1·) counts w1 as a bigram left-context; every bigram in
+    the training corpus therefore has nonzero probability and the
+    score is exact (no smoothing needed for self-scoring).
+
+    Plan / scale: bigrams never shuffle as strings — each occurrence
+    is reduced to (h1, h12) = (xxhash64(w1), xxhash64(w1h, w2h)) in a
+    narrow JVM projection, so the count shuffles and the probability
+    joins all key on 8-byte hashes (equal to string keys modulo 2⁻⁶⁴
+    collisions). The model tables are Zipf-small relative to the
+    corpus (distinct bigrams ≪ bigram occurrences at 100 TB), so AQE
+    broadcasts them back onto the occurrence stream; the only big
+    shuffle is the final doc_id re-aggregation, which carries one
+    (doc_id, logp) pair per bigram occurrence.
+    """
+    # word-hash array materialized in its own projection — inlining it
+    # makes Catalyst re-hash all words per element access (see
+    # dedup._shingle_hashes for the measured 11× pitfall)
+    with_wh = parallelize_narrow(docs).select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), lambda w: F.xxhash64(w)).alias("wh"),
+    )
+    wh = F.col("wh")
+    idx = F.sequence(F.lit(1), F.size(wh) - 1)
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(wh, i).alias("h1"),
+            F.xxhash64(F.element_at(wh, i), F.element_at(wh, i + 1)).alias("h12"),
+        ),
+    )
+    bg = (
+        with_wh.filter(F.size(wh) >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.h1").alias("h1"), F.col("g.h12").alias("h12"))
+    )
+    c2 = bg.groupBy("h12").agg(
+        F.first("h1").alias("h1"),  # h1 is determined by h12
+        F.count(F.lit(1)).alias("c12"),
+    )
+    c1 = c2.groupBy("h1").agg(F.sum("c12").alias("c1n"))
+    probs = c2.join(c1, "h1").select(
+        "h12", (F.log(F.col("c12") / F.col("c1n"))).alias("logp")
+    )
+    return (
+        bg.join(probs, "h12")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("logp"), 6).alias("avg_logp"),
+        )
+    )

@@ -1458,3 +1458,32 @@ def q_dedup_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(
         load_table(spark, sf_dir, "documents"), span_words=8, df_threshold=3
     )
+
+
+# Corpus-trained bigram LM scoring (perplexity-proxy quality signal).
+# The oracle trains/evaluates on bigram STRINGS; the Spark side keys
+# everything on xxhash64 — equal modulo 2^-64 collisions.
+@query(
+    "q_lm_score",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      FROM words, LATERAL unnest(range(1, len(ws))) AS t(i)
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w1, SUM(c12) AS c1n FROM c2 GROUP BY w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(AVG(ln(c12 / CAST(c1n AS DOUBLE))), 6) AS avg_logp
+    FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    """,
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.text import lm_bigram_score
+
+    return lm_bigram_score(load_table(spark, sf_dir, "documents"))
