@@ -1636,3 +1636,49 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = updates.unionByName(deletes).unionByName(inserts)
     return merge_upsert(target, changes, "c_custkey")
+
+
+# §2.4 exact order statistics — the exact twins of the approx
+# quantile/sketch family: interpolated and discrete percentiles plus
+# deterministic mode (ties break to the smallest value on BOTH
+# engines: Spark mode(col, true); the oracle orders n DESC, value ASC).
+@query(
+    "q_agg_percentiles",
+    oracle="""
+    WITH mc AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), modes AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM mc
+      QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC
+      ) = 1
+    ), pct AS (
+      SELECT l_returnflag,
+             ROUND(median(l_extendedprice), 6)            AS med_price,
+             ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25_price,
+             ROUND(quantile_disc(l_extendedprice, 0.75), 6) AS p75d_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT p.l_returnflag, p.med_price, p.p25_price, p.p75d_price,
+           m.mode_qty
+    FROM pct p JOIN modes m USING (l_returnflag)
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-statistic aggregates: median / percentile_cont /
+    percentile_disc / deterministic mode. Exact percentiles need the
+    group's values co-located (shuffle on the group key, per-group
+    sort) — the scale trade the approx sketch family
+    (q_agg_approx_quantile) exists to avoid; both are first-class.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25_price"),
+        F.expr(
+            "round(percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 6)"
+        ).alias("p75d_price"),
+        F.expr("mode(l_quantity, true)").alias("mode_qty"),
+    )
