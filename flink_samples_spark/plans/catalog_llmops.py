@@ -1487,3 +1487,42 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.llmops.text import lm_bigram_score
 
     return lm_bigram_score(load_table(spark, sf_dir, "documents"))
+
+
+# Logistic quality-classifier ensemble: inference as a codegen'd dot
+# product (the fastText-classifier stage with the model inlined).
+@query(
+    "q_quality_ensemble",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             len(str_split(text, ' ')) AS n_words,
+             len(list_filter(str_split(text, ' '),
+                 w -> list_contains(['the','and','of','to','a','in','is'], lower(w))))
+               AS n_stop,
+             len(list_distinct(str_split(text, ' '))) AS n_distinct
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             n_words,
+             n_stop / CAST(n_words AS DOUBLE) AS stop_ratio,
+             1.0 - n_distinct / CAST(n_words AS DOUBLE) AS dup_frac
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(stop_ratio, 6) AS stop_ratio,
+           round(dup_frac, 6) AS dup_frac,
+           round(1.0 / (1.0 + exp(-(-2.0 + 0.6 * ln(n_words)
+                                    + 4.0 * stop_ratio - 3.0 * dup_frac))), 6)
+             AS quality_p,
+           CAST(1.0 / (1.0 + exp(-(-2.0 + 0.6 * ln(n_words)
+                                   + 4.0 * stop_ratio - 3.0 * dup_frac))) >= 0.5
+                AS INT) AS keep
+    FROM s
+    """,
+)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.text import quality_ensemble
+
+    return quality_ensemble(load_table(spark, sf_dir, "documents"))
