@@ -25,7 +25,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -253,3 +253,52 @@ def merge_upsert(
     )
     apply_rows = changes.filter(F.col(op_col) != "delete").drop(op_col)
     return keep.unionByName(apply_rows)
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: Column,
+    how: str = "inner",
+    finish: Callable[[DataFrame], DataFrame] | None = None,
+) -> DataFrame:
+    """Big×selective join with a RUNTIME BLOOM FILTER pruning the fact
+    side before its shuffle: Catalyst's InjectRuntimeFilter plants a
+    ``bloom_filter_agg`` subquery over the (filtered) dim keys and a
+    ``might_contain`` predicate into the fact scan, so fact rows that
+    cannot match are dropped map-side — the shuffle carries only
+    probable matches. THE join strategy for a 100 TB fact against a
+    selective-but-unbroadcastable dim (the gap between broadcast
+    hash join and a full shuffle).
+
+    At production scale the rule fires on its own (fact scans exceed
+    the 10 GB application-side threshold and real dims exceed the
+    broadcast threshold). At test scale neither holds, so the planner
+    confs that gate the rule are scoped to THIS DataFrame via
+    :func:`~flink_samples_spark.utils.pin_plan_with_confs` — the
+    session's other queries keep their broadcast plans. Semantics are
+    conf-independent (bloom false positives only pass extra rows to
+    the exact join).
+
+    ``finish`` (optional) maps the joined frame to the final plan
+    (e.g. the consuming aggregation) BEFORE pinning — plan memoization
+    is per-Dataset, so only the returned DataFrame carries the
+    bloom-planned physical plan; composing on top of it would re-plan
+    without the scoped confs.
+    """
+    from flink_samples_spark.utils import pin_plan_with_confs
+
+    joined = fact.join(dim, on, how)
+    if finish is not None:
+        joined = finish(joined)
+    return pin_plan_with_confs(
+        joined,
+        {
+            # make the dim unbroadcastable (100 TB posture) so the
+            # bloom path is the one being planned and measured
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # the fact scan "is big" at any test sf
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold": "0",
+        },
+    )

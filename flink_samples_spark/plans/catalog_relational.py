@@ -1682,3 +1682,38 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p75d_price"),
         F.expr("mode(l_quantity, true)").alias("mode_qty"),
     )
+
+
+# §2.3 runtime-bloom-filter join: the strategy between broadcast and
+# full shuffle for a 100 TB fact × selective-unbroadcastable dim.
+# tests/test_plans.py asserts might_contain/bloom_filter_agg is in
+# the pinned physical plan.
+@query(
+    "q_join_bloom",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.joins import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return bloom_pruned_join(
+        li,
+        o,
+        li["l_orderkey"] == o["o_orderkey"],
+        finish=lambda j: j.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        ),
+    )

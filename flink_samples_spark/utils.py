@@ -34,3 +34,32 @@ def parallelize_narrow(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def pin_plan_with_confs(df: DataFrame, confs: dict[str, str]) -> DataFrame:
+    """Physically plan ``df`` under temporarily-set session confs,
+    then restore the session. Spark memoizes a Dataset's
+    QueryExecution, so the pinned physical plan (including any
+    optimizer rules the confs unlocked, e.g. runtime bloom-filter
+    injection) is what later actions on THIS DataFrame execute —
+    while every other query planned in the session sees the original
+    confs. The per-query planner-scope Spark itself lacks.
+    """
+    spark = df.sparkSession
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df._jdf.queryExecution().executedPlan()  # force + memoize
+        return df
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -190,3 +190,16 @@ def test_catalog_plans_have_no_scale_killers(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in p and name not in _NESTED_LOOP_OK:
             bad.append((name, "unintended nested-loop join"))
     assert not bad, f"scale killers in plans: {bad}"
+
+
+def test_bloom_join_plants_runtime_filter(spark, sf_dir):
+    """q_join_bloom's PINNED physical plan must carry the runtime
+    bloom filter (might_contain probe over a bloom_filter_agg
+    subquery) — and the pin must not leak its planner confs into the
+    session."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = QUERIES["q_join_bloom"](spark, sf_dir)
+    # the pinned physical plan, not a re-planned one
+    pp = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in pp, pp[:2000]
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
