@@ -713,3 +713,36 @@ def span_dedup(
             "clean_text",
         )
     )
+
+
+def within_doc_span_dedup(docs: DataFrame, span_words: int = 8) -> DataFrame:
+    """Within-document span dedup: REWRITE each document keeping only
+    the FIRST occurrence of every distinct ``span_words``-word span —
+    the Gopher-style "remove repeated passages" rewrite (templated/
+    looping text collapses to one copy), complementing
+    :func:`span_dedup` which deletes corpus-frequent spans.
+
+    Plan / scale: the entire operator is ONE narrow JVM projection —
+    split, span slice, positional first-occurrence filter, re-join —
+    zero shuffles, zero Python, so at 100 TB it runs at scan speed
+    (tests/test_plans.py asserts the no-exchange plan). The
+    first-occurrence scan is O(spans²) per document on an array of
+    ~n_words/span elements — negligible against the string work.
+    """
+    words = F.split(F.col("text"), " ")
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    idx = F.sequence(F.lit(0), n_spans - 1)
+    spans = F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(words, i * span_words + 1, span_words), " "),
+    )
+    docs = docs.select("doc_id", n_spans.alias("n_spans"), spans.alias("spans"))
+    kept = F.filter(
+        F.col("spans"), lambda s, i: F.array_position(F.col("spans"), s) - 1 == i
+    )
+    return docs.select(
+        "doc_id",
+        F.col("n_spans").cast("bigint").alias("n_spans"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -1526,3 +1526,34 @@ def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.llmops.text import quality_ensemble
 
     return quality_ensemble(load_table(spark, sf_dir, "documents"))
+
+
+# Within-document repeated-span rewrite: zero-shuffle narrow map
+# (the corpus-level twin is q_dedup_span).
+@query(
+    "q_dedup_within",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             CAST(ceil(len(ws) / 8.0) AS BIGINT) AS n_spans,
+             i AS pos,
+             array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span
+      FROM words, LATERAL unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+    ), firsts AS (
+      SELECT doc_id, n_spans, pos, span
+      FROM spans
+      QUALIFY pos = MIN(pos) OVER (PARTITION BY doc_id, span)
+    )
+    SELECT doc_id,
+           CAST(MIN(n_spans) AS BIGINT) AS n_spans,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           string_agg(span, ' ' ORDER BY pos) AS clean_text
+    FROM firsts GROUP BY doc_id
+    """,
+)
+def q_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.dedup import within_doc_span_dedup
+
+    return within_doc_span_dedup(load_table(spark, sf_dir, "documents"), span_words=8)

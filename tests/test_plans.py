@@ -203,3 +203,10 @@ def test_bloom_join_plants_runtime_filter(spark, sf_dir):
     pp = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in pp, pp[:2000]
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_within_doc_dedup_is_narrow(spark, sf_dir):
+    """The within-document span rewrite must be a pure narrow map:
+    no exchange of any kind in its plan."""
+    p = plan_of(QUERIES["q_dedup_within"](spark, sf_dir), mode="simple")
+    assert "Exchange" not in p, p
