@@ -85,3 +85,48 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC columnar sink — same predicate-pushdown/column-pruning
     story as parquet for deployments standardized on ORC."""
     df.write.mode(mode).orc(path)
+
+
+def write_corpus_sharded(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = ("split",),
+    shards_per_partition: int = 4,
+    max_records_per_file: int | None = None,
+    order_within_shards: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Training-corpus parquet layout writer: directory-partitioned by
+    the split/domain columns, a CONTROLLED shard count per partition,
+    and optional within-shard ordering for compression locality.
+
+    The three file-layout levers a 100 TB curation run needs:
+
+    - ``repartition(shards, partition_by)`` hash-routes rows into
+      ``shards_per_partition`` writer tasks, capping files per output
+      directory at that count — without it, every upstream task
+      writes a file into every directory (tasks × partitions small
+      files, the classic small-file explosion).
+    - ``max_records_per_file`` caps file size regardless of skew —
+      oversized shards roll over instead of producing 10 GB files.
+    - ``sortWithinPartitions`` clusters similar rows (e.g. by source
+      or doc length) so parquet encodings compress them together —
+      routinely a 1.5-3x size win on text.
+
+    Loaders read back any subset via partition pruning
+    (``WHERE split = 'train'`` never touches other directories).
+    """
+    if partition_by:
+        df = df.repartition(
+            int(shards_per_partition), *[F.col(c) for c in partition_by]
+        )
+    else:
+        df = df.repartition(int(shards_per_partition))
+    if order_within_shards:
+        df = df.sortWithinPartitions(*order_within_shards)
+    w = df.write.mode(mode)
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

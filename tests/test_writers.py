@@ -154,3 +154,44 @@ def test_jsonlines_zip_multi_member(spark, tmp_path):
     rows = sorted((r.my_field1, r.my_field3) for r in df.collect())
     assert len(rows) == 12
     assert rows[0] == (0, "m0") and rows[-1] == (23, "m2")
+
+
+def test_corpus_sharded_layout(spark, sf_dir, tmp_path):
+    """write_corpus_sharded: directory-partitioned by split, at most
+    shards_per_partition data files per directory, rollover via
+    maxRecordsPerFile, lossless readback with partition pruning."""
+    import glob
+    import os
+
+    from flink_samples_spark.operators import hash_split
+    from flink_samples_spark.sources.readers import load_table
+    from flink_samples_spark.sources.writers import write_corpus_sharded
+
+    docs = hash_split(load_table(spark, sf_dir, "documents"), "doc_id")
+    out = str(tmp_path / "corpus")
+    write_corpus_sharded(
+        docs,
+        out,
+        partition_by=("split",),
+        shards_per_partition=3,
+        max_records_per_file=200,
+        order_within_shards=("source", "doc_id"),
+    )
+    splits = sorted(
+        os.path.basename(d) for d in glob.glob(os.path.join(out, "split=*"))
+    )
+    assert splits == ["split=test", "split=train", "split=val"]
+    n_total = 0
+    for d in glob.glob(os.path.join(out, "split=*")):
+        files = glob.glob(os.path.join(d, "*.parquet"))
+        # 3 shard tasks × possible rollover; never tasks×partitions
+        assert 1 <= len(files) <= 3 * 4, files
+        back = spark.read.parquet(d)
+        n_total += back.count()
+    full = spark.read.parquet(out)
+    assert full.count() == n_total == docs.count()
+    # partition pruning: a split filter reads only that directory
+    assert (
+        full.filter(F.col("split") == "train").count()
+        == docs.filter(F.col("split") == "train").count()
+    )
