@@ -64,6 +64,11 @@ HEADLINE = [
     "q_tfidf",                 # (doc,term) two-phase count + scalar-attach
     "q_corpus_shuffle",        # distributed total-order index (no global window)
     "q_merge_upsert",          # broadcast-anti MERGE change-set apply
+    # round-4 late additions: sub-document rewrites + model-based scoring
+    "q_dedup_span",            # corpus-frequent span deletion (hash-keyed)
+    "q_dedup_within",          # within-doc repeated-span rewrite (zero-shuffle)
+    "q_lm_score",              # corpus-trained bigram LM perplexity proxy
+    "q_join_bloom",            # runtime bloom-filter-pruned fact join
 ]
 
 
