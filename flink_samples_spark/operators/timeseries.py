@@ -105,3 +105,49 @@ def resample_interpolate(
         F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp).alias("value"),
         F.col("v").isNull().alias("filled"),
     )
+
+
+def ewma(
+    df: "DataFrame",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.25,
+) -> "DataFrame":
+    """Per-key exponentially-weighted moving average (adjust=False
+    recursion: s₁=v₁, sₜ = α·vₜ + (1-α)·sₜ₋₁) — the smoothing
+    primitive behind metric dashboards and drift monitors.
+
+    A window function cannot express this (each row depends on the
+    previous ROW'S RESULT, not on the previous rows' inputs), so it
+    runs as ``applyInPandas`` per key: ONE shuffle on the key, then
+    pandas' C-loop ``ewm`` inside each Arrow batch — the recursion is
+    sequential per key but keys parallelize across executors, which
+    is the only parallelism a per-key recursion admits. Memory is one
+    key-group per call; for unbounded/streaming keys the
+    applyInPandasWithState sessionizer pattern
+    (streaming/stateful.py) is the incremental twin.
+
+    Prefer a dyadic ``alpha`` (0.25, 0.5): α and 1-α are then exact
+    binary floats and the recursion is bit-reproducible across
+    engines.
+    """
+    import pandas as pd
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", ewma double"
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        s = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
+        # explicit half-away-from-zero at 6dp: ``.round`` is half-even
+        # while SQL round() is half-away — on a bit-identical
+        # recursion the conventions differ exactly at .5 boundaries,
+        # so both engines apply THIS same formula instead
+        pdf["ewma"] = np.sign(s) * np.floor(np.abs(s) * 1e6 + 0.5) / 1e6
+        return pdf
+
+    return df.groupBy(key).applyInPandas(smooth, schema=out_schema)

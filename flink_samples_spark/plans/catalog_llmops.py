@@ -1557,3 +1557,35 @@ def q_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.llmops.dedup import within_doc_span_dedup
 
     return within_doc_span_dedup(load_table(spark, sf_dir, "documents"), span_words=8)
+
+
+# Per-key EWMA: true row-recursion (not window-expressible) as ONE
+# key shuffle + pandas C-loop per group. Dyadic alpha=0.25 makes the
+# recursion bit-reproducible; the oracle replays it as a recursive
+# CTE stepping all keys in lockstep by row number.
+@query(
+    "q_ts_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, ts, value, rn, CAST(value AS DOUBLE) AS s
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_id, o.user_id, o.ts, o.value, o.rn,
+             0.25 * o.value + 0.75 * r.s
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ts, value,
+           sign(s) * floor(abs(s) * 1e6 + 0.5) / 1e6 AS ewma FROM rec
+    """,
+)
+def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.timeseries import ewma
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return ewma(ev, key="user_id", ts_col="ts", value_col="value", alpha=0.25)
