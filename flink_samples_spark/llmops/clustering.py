@@ -136,3 +136,106 @@ def kmeans_fit_assign(
         centroids, "cluster_id int, centroid array<double>"
     )
     return nearest_centroid_assign(vecs, cent_df)
+
+
+def pca_fit(
+    vectors: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+) -> tuple[int, "object", "object", "object", float]:
+    """Distributed PCA fit: returns (n, mean, eigenvalues desc,
+    components d×k, trace) for the population covariance of
+    ``vec_col``.
+
+    The classic one-pass scale shape: each Arrow batch reduces its
+    rows to a PARTIAL (count, column-sum, Gram matrix X'X) inside
+    ``mapInPandas`` (one BLAS call per batch); the partials explode
+    to (slot, value) pairs and a single groupBy-sum over d²+d+1 slots
+    merges them — the corpus streams through once and never shuffles;
+    the only shuffled data is O(partitions · d²). The driver holds
+    just the d×d covariance (the same bounded-driver-state contract
+    as k-means' k×dim), runs ``eigh`` there, and callers broadcast
+    the components back for projection. At 100 TB with d=64 the
+    reduce input is a few MB per thousand partitions.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from flink_samples_spark.utils import parallelize_narrow
+
+    d = len(vectors.select(vec_col).first()[0])
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            flat = np.concatenate(
+                ([float(len(X))], X.sum(axis=0), (X.T @ X).ravel())
+            )
+            yield pd.DataFrame({"p": [flat.tolist()]})
+
+    parts = parallelize_narrow(vectors.select(vec_col)).mapInPandas(
+        partials, schema="p array<double>"
+    )
+    merged = (
+        parts.select(F.posexplode("p").alias("slot", "v"))
+        .groupBy("slot")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    flat = np.zeros(1 + d + d * d)
+    for r in merged:
+        flat[r["slot"]] = r["v"]
+    n = int(flat[0])
+    mu = flat[1 : 1 + d] / n
+    gram = flat[1 + d :].reshape(d, d)
+    cov = gram / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    return n, mu, evals[order], evecs[:, order], float(np.trace(cov))
+
+
+def pca_project(
+    vectors: DataFrame,
+    mu,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "scores",
+) -> DataFrame:
+    """Project ``vec_col`` onto fitted components: a NARROW
+    Arrow-batched map with the (d×k) component matrix shipped by
+    closure broadcast — zero shuffles, scan-speed at any scale."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    mu_l, comp_l = list(map(float, mu)), [list(map(float, c)) for c in components]
+    keep_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in vectors.schema.fields
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as pd
+
+        mu_a = np.asarray(mu_l)
+        W = np.asarray(comp_l)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            S = (X - mu_a) @ W
+            out = pdf.copy()
+            out[out_col] = list(S)
+            yield out
+
+    return vectors.mapInPandas(
+        project, schema=f"{keep_schema}, {out_col} array<double>"
+    )

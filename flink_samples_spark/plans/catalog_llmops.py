@@ -1589,3 +1589,58 @@ def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "ts", "value"
     )
     return ewma(ev, key="user_id", ts_col="ts", value_col="value", alpha=0.25)
+
+
+# Distributed PCA over the embedding corpus (k=4 of d=64). Invariant
+# oracle in the kmeans style: the trace (total variance) IS
+# SQL-computable and is checked exactly (to 4dp); the eigenstructure
+# is certified by in-plan invariants — eigenvalues descending,
+# non-negative, summing under the trace, and each component's
+# DISTRIBUTED projected variance matching its eigenvalue (rtol 1e-6),
+# which is false for any wrong covariance/projection pairing.
+@query(
+    "q_embed_pca",
+    oracle="""
+    WITH dims AS (
+      SELECT unnest(embedding) AS val, unnest(range(1, 65)) AS dim
+      FROM embeddings
+    ), pv AS (
+      SELECT dim, var_pop(val) AS v FROM dims GROUP BY dim
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_points,
+           round(SUM(v), 4) AS trace,
+           TRUE AS pca_ok
+    FROM pv
+    """,
+)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from flink_samples_spark.llmops.clustering import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    n, mu, lam, W, trace = pca_fit(emb, k=k, vec_col="embedding")
+    proj = pca_project(emb, mu, W, vec_col="embedding", out_col="scores")
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.var_pop(F.element_at("scores", i + 1)).alias(f"v{i}")
+            for i in range(k)
+        ],
+    ).first()
+    pvars = np.array([stats[f"v{i}"] for i in range(k)])
+    ok = (
+        stats["n"] == n
+        and np.all(lam[:-1] >= lam[1:])
+        and np.all(lam >= -1e-9)
+        and float(lam.sum()) <= trace + 1e-6
+        and np.allclose(pvars, lam, rtol=1e-6, atol=1e-9)
+        # orthonormal components: W'W == I
+        and np.allclose(np.asarray(W).T @ np.asarray(W), np.eye(k), atol=1e-9)
+    )
+    return spark.range(1).select(
+        F.lit(n).cast("bigint").alias("n_points"),
+        F.lit(round(trace, 4)).alias("trace"),
+        F.lit(bool(ok)).alias("pca_ok"),
+    )

@@ -174,3 +174,35 @@ def test_total_order_ops_avoid_single_partition_data_window(spark):
     # the intra-partition window must be keyed by the pid column
     assert "windowspecdefinition(__to_pid" in plan.replace(" ", "").lower() or \
         "__to_pid" in plan, plan[:3000]
+
+
+def test_pca_matches_single_node_numpy(spark, sf_dir):
+    """Distributed PCA (batch-partial Gram + one slot-sum shuffle)
+    must reproduce single-node numpy PCA: same eigenvalues, same
+    subspace (components equal up to per-column sign)."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.clustering import pca_fit, pca_project
+    from flink_samples_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, mu, lam, W, trace = pca_fit(emb, k=4)
+
+    X = np.stack([r["embedding"] for r in emb.select("embedding").collect()])
+    assert n == len(X)
+    mu_ref = X.mean(axis=0)
+    cov_ref = np.cov(X, rowvar=False, bias=True)
+    ev_ref, evec_ref = np.linalg.eigh(cov_ref)
+    order = np.argsort(ev_ref)[::-1][:4]
+    assert np.allclose(mu, mu_ref, atol=1e-9)
+    assert np.allclose(lam, ev_ref[order], rtol=1e-8, atol=1e-9)
+    assert abs(trace - np.trace(cov_ref)) < 1e-7
+    # subspace match: |W_dist . W_ref| == I (per-column sign freedom)
+    M = np.abs(np.asarray(W).T @ evec_ref[:, order])
+    assert np.allclose(M, np.eye(4), atol=1e-6), M
+    # projected variance equals the eigenvalues (distributed check)
+    proj = pca_project(emb, mu, W)
+    row = proj.agg(
+        *[F.var_pop(F.element_at("scores", i + 1)).alias(f"v{i}") for i in range(4)]
+    ).first()
+    assert np.allclose([row[f"v{i}"] for i in range(4)], lam, rtol=1e-8)
