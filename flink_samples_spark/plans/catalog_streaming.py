@@ -775,3 +775,124 @@ def q_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# Per-key EWMA as a REAL streaming run under the SAME recursive-CTE
+# oracle as the batch operator (q_ts_ewma): custom stateful recursion
+# via applyInPandasWithState, bit-identical to batch for the ordered
+# replay — batch/stream parity for a user-managed-state operator.
+@query(
+    "q_stream_ewma",
+    oracle="""
+    WITH RECURSIVE ordered AS (
+      SELECT event_id, user_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ), rec AS (
+      SELECT event_id, user_id, ts, value, rn, CAST(value AS DOUBLE) AS s
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.event_id, o.user_id, o.ts, o.value, o.rn,
+             0.25 * o.value + 0.75 * r.s
+      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
+    )
+    SELECT event_id, user_id, ts, value,
+           sign(s) * floor(abs(s) * 1e6 + 0.5) / 1e6 AS ewma FROM rec
+    """,
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.stateful import ewma_with_state
+
+    def build(stream: DataFrame) -> DataFrame:
+        return ewma_with_state(stream, alpha=0.25)
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("user_id") != -1)
+    )
+
+
+# Stream-stream LEFT OUTER interval join: matches emit immediately;
+# an unmatched click emits its null-purchase row only when the
+# WATERMARK proves no purchase can still arrive (watermark passes
+# click_ts + upper). Two far-future sentinels (one per side) advance
+# the final watermark past every real row, flushing the whole outer
+# tail — so the replayed result equals the batch LEFT JOIN, a strict
+# oracle over the hardest emission semantics in §2.9.
+@query(
+    "q_stream_join_outer",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM events c LEFT JOIN events p
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+)
+def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.jobs import interval_join_stream
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        write_replay_files(events, replay, n_files=8, order_col="ts")
+        max_ts = events.agg(F.max("ts")).first()[0]
+        # one sentinel PER SIDE: the outer join's emission watermark is
+        # the min of both input watermarks, so both must advance
+        sent = spark.createDataFrame(
+            [
+                (-1, max_ts, -1, "click", 0.0),
+                (-2, max_ts, -2, "purchase", 0.0),
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+        path = os.path.join(replay, "chunk_99999.parquet")
+        sent.toPandas().to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_700_000_099, 1_700_000_099))
+
+        stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA_TYPED)
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        purch = stream.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_id_r"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        out = interval_join_stream(
+            clicks,
+            purch,
+            key="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            upper="1 hour",
+            watermark="2 hours",
+            how="left_outer",
+            right_key="user_id_r",
+        ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming replay did not finish within 300s")
+        result = (
+            read_sink(spark, sink).filter(F.col("user_id") >= 0).toPandas()
+        )
+        result = result[[c for c in result.columns if c != "batch"]]
+        return spark.createDataFrame(result, schema=out.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

@@ -93,6 +93,8 @@ def interval_join_stream(
     upper: str,
     lower: str = "0 seconds",
     watermark: str = "1 hour",
+    how: str = "inner",
+    right_key: str | None = None,
 ) -> DataFrame:
     """Stream-stream interval join: pairs (l, r) with matching ``key``
     and ``r[right_ts]`` in ``[l[left_ts] + lower, l[left_ts] + upper]``
@@ -107,12 +109,27 @@ def interval_join_stream(
     forever). Inner join ⇒ matches emit as soon as both rows have
     arrived, no watermark-flush latency. Caller renames non-key
     columns to distinct names; the duplicate key column from the
-    right side is dropped."""
+    right side is dropped.
+
+    ``how="left_outer"`` adds Flink's outer-interval-join semantics:
+    an unmatched left row emits (with null right columns) only once
+    the WATERMARK passes its join-window end — that is what proves
+    no match can still arrive, so the watermark choice is the
+    latency/completeness trade, and a replay harness must advance
+    the watermark past the data (sentinel) to flush the tail.
+
+    Both inputs often derive from ONE source stream (a self-join on
+    event type); Spark's column resolution on such shared lineage can
+    silently bind the key to the wrong side in OUTER joins — pass
+    ``right_key`` (a pre-renamed right-side key column) to make the
+    resolution unambiguous; the right key is dropped either way.
+    """
+    rk = right_key or key
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = (
-        (l[key] == r[key])
+        (l[key] == r[rk])
         & (r[right_ts] >= l[left_ts] + F.expr(f"INTERVAL {lower}"))
         & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond, "inner").drop(r[key])
+    return l.join(r, cond, how).drop(r[rk])

@@ -121,3 +121,72 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+EWMA_OUTPUT_SCHEMA = (
+    "event_id bigint, user_id bigint, ts timestamp, value double, ewma double"
+)
+EWMA_STATE_SCHEMA = "s double"
+
+
+def ewma_with_state(
+    events: DataFrame,
+    alpha: float = 0.25,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming per-key EWMA: the incremental twin of the batch
+    :func:`~flink_samples_spark.operators.timeseries.ewma` — identical
+    recursion (s₁=v₁, sₜ = α·vₜ + (1-α)·sₜ₋₁), user-managed state of
+    ONE double per key, one output row per event, emitted in the
+    event's own micro-batch (no watermark-flush latency, no timeout).
+
+    The recursion uses the same IEEE ops in the same order as the
+    batch operator's pandas ``ewm`` C-loop, and the same explicit
+    half-away rounding, so for per-key time-ordered arrival the
+    streamed results are BIT-IDENTICAL to the batch oracle — the
+    batch/stream-parity contract (StreamingFlinkSQL.java's premise)
+    extended to a custom stateful operator. State is O(keys) doubles:
+    unconditionally bounded, no eviction needed.
+    """
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        import pandas as pd
+
+        rows: list[dict] = []
+        s = state.get[0] if state.exists else None
+        evs = []
+        for pdf in batches:
+            for eid, t, v in zip(pdf["event_id"], pdf[ts_col], pdf[value_col]):
+                evs.append((int(t.value // 1000), int(eid), float(v)))
+        evs.sort()
+        for t_us, eid, v in evs:
+            s = v if s is None else alpha * v + (1.0 - alpha) * s
+            rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": key[0],
+                    "ts": pd.Timestamp(t_us, unit="us"),
+                    "value": v,
+                    "ewma": math.copysign(
+                        math.floor(abs(s) * 1e6 + 0.5) / 1e6, s
+                    ),
+                }
+            )
+        if s is not None:
+            state.update((s,))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
