@@ -386,6 +386,20 @@ def minhash_lsh_pairs_cross(
     ).unionByName(
         hb.mapInPandas(_band_fn(signature), schema).withColumn("side", F.lit(1))
     )
+    return _cross_pairs_from_tagged(bands, ha, hb, threshold, max_bucket_pairs)
+
+
+def _cross_pairs_from_tagged(
+    bands: DataFrame,
+    ha: DataFrame,
+    hb: DataFrame,
+    threshold: float,
+    max_bucket_pairs: int,
+) -> DataFrame:
+    """Shared tail of the cross-corpus path: side-tagged band rows →
+    per-bucket A×B expansion (within-side pairs never generated) →
+    exact hashed-shingle Jaccard verify. ``ha``/``hb`` carry
+    (doc_id, shingle_hashes) for the verify join."""
     da, db = F.col("da"), F.col("db")
     buckets = (
         bands.groupBy("band", "band_hash")
@@ -746,3 +760,56 @@ def within_doc_span_dedup(docs: DataFrame, span_words: int = 8) -> DataFrame:
         F.size(kept).cast("bigint").alias("n_kept"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def build_dedup_index(docs: DataFrame, k: int = 3, signature: str = "oph") -> DataFrame:
+    """Persistable near-dup INDEX of a corpus: one row per document
+    with its hashed-shingle sketch and LSH band keys —
+    ``(doc_id, shingle_hashes array<bigint>,
+    bands array<struct<band int, band_hash bigint>>)``.
+
+    Sign the corpus ONCE, write this frame to parquet, and every
+    future ingestion batch dedups against it via
+    :func:`dedup_against_index` without touching corpus text again —
+    the index is ~1-2 KB/doc regardless of document size, so the
+    100 TB corpus compacts to a re-joinable sketch table. Build cost
+    is the signature stage plus one doc_id regroup shuffle
+    (amortized across every later batch)."""
+    hashed = parallelize_narrow(_shingle_hashes(docs, k))
+    bands = hashed.mapInPandas(
+        _band_fn(signature), "doc_id bigint, band int, band_hash bigint"
+    )
+    grouped = bands.groupBy("doc_id").agg(
+        F.collect_list(F.struct("band", "band_hash")).alias("bands")
+    )
+    return hashed.join(grouped, "doc_id")
+
+
+def dedup_against_index(
+    batch: DataFrame,
+    index: DataFrame,
+    k: int = 3,
+    threshold: float = 0.8,
+    max_bucket_pairs: int = 250_000,
+    signature: str = "oph",
+) -> DataFrame:
+    """Incremental ingestion dedup: near-dup pairs (doc_a ∈ index,
+    doc_b ∈ batch) with word-``k``-gram Jaccard ≥ threshold — only
+    the BATCH is signed; the indexed corpus contributes its stored
+    sketches (``signature``/``k`` must match the index build).
+
+    Same bucketed A×B path as :func:`minhash_lsh_pairs_cross`
+    (batch-internal and index-internal pairs are never generated);
+    at 100 TB the per-batch cost is O(|batch| + collisions), not
+    O(|corpus|) — the corpus participates only through the band join
+    and the sketch-verify join of actual candidates."""
+    hb = parallelize_narrow(_shingle_hashes(batch, k)).cache()
+    schema = "doc_id bigint, band int, band_hash bigint"
+    index_bands = index.select(
+        "doc_id", F.explode("bands").alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+    bands = index_bands.withColumn("side", F.lit(0)).unionByName(
+        hb.mapInPandas(_band_fn(signature), schema).withColumn("side", F.lit(1))
+    )
+    ha = index.select("doc_id", "shingle_hashes")
+    return _cross_pairs_from_tagged(bands, ha, hb, threshold, max_bucket_pairs)

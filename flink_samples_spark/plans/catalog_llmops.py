@@ -1644,3 +1644,58 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(round(trace, 4)).alias("trace"),
         F.lit(bool(ok)).alias("pca_ok"),
     )
+
+
+# Incremental ingestion dedup against a PERSISTED signature index:
+# the corpus (doc_id % 10 != 0) is signed once, round-tripped
+# through parquet as a sketch table, and the arriving batch
+# (doc_id % 10 == 0) dedups against it — only the batch is signed at
+# query time. Same exact-Jaccard oracle shape as q_dedup_cross.
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+      FROM words
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_samples_spark.llmops.dedup import build_dedup_index, dedup_against_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    idx_dir = tempfile.mkdtemp(prefix="dedup_index_")
+    try:
+        build_dedup_index(corpus, k=3).write.mode("overwrite").parquet(idx_dir)
+        index = spark.read.parquet(idx_dir)
+        # materialize while the temp index exists (the dir is deleted
+        # before returning)
+        result = dedup_against_index(batch, index, k=3, threshold=0.8).toPandas()
+        return spark.createDataFrame(
+            result, schema="doc_a bigint, doc_b bigint, jaccard double"
+        )
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
