@@ -29,7 +29,11 @@ from flink_samples_spark.operators.joins import (
     sort_merge_join,
     star_join,
 )
-from flink_samples_spark.operators.bucketing import colocated_join, write_bucketed
+from flink_samples_spark.operators.bucketing import (
+    colocated_join,
+    write_bucketed,
+    zorder_key,
+)
 from flink_samples_spark.operators.sampling import (
     hash_sample,
     hash_split,
@@ -81,6 +85,7 @@ __all__ = [
     "salted_broadcast_replicate_join",
     "colocated_join",
     "write_bucketed",
+    "zorder_key",
     "semi_join",
     "session_window_agg",
     "sliding_window_agg",

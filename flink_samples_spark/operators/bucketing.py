@@ -56,3 +56,35 @@ def colocated_join(
     lt = spark.table(left_table).hint("merge")
     rt = spark.table(right_table)
     return lt.join(rt, on, how)
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Z-order (Morton) locality key: interleave the low ``bits`` bits
+    of two integer columns — rows close in BOTH dimensions get close
+    keys, so sorting/range-partitioning by the key clusters them into
+    the same parquet row groups and files.
+
+    THE data-layout lever for multi-dimension selective scans at
+    100 TB (the Delta/Iceberg OPTIMIZE ZORDER primitive): min/max
+    row-group stats on z-sorted files prune on BOTH columns, where a
+    lexicographic sort prunes only the leading one. Pure codegen'd
+    bit arithmetic (shiftleft/and/or via bit ops on BIGINT) — exact,
+    engine-independent, zero cost at write time.
+
+    Columns must be non-negative; values above 2^bits-1 cluster by
+    their low bits (callers bucketize first for skewed ranges).
+    """
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    ca = a if isinstance(a, Column) else F.col(a)
+    cb = b if isinstance(b, Column) else F.col(b)
+    ca, cb = ca.cast("bigint"), cb.cast("bigint")
+    out = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftright(ca, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(cb, i).bitwiseAND(F.lit(1))
+        out = out.bitwiseOR(F.shiftleft(bit_a, 2 * i)).bitwiseOR(
+            F.shiftleft(bit_b, 2 * i + 1)
+        )
+    return out

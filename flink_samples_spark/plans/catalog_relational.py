@@ -1717,3 +1717,34 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         ),
     )
+
+
+# Z-order (Morton) locality key — the Delta/Iceberg OPTIMIZE ZORDER
+# primitive as a pure codegen'd bit-interleave; exact oracle (DuckDB
+# replays the same bit arithmetic).
+@query(
+    "q_fn_zorder",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_partkey AS BIGINT) AS pa, CAST(l_suppkey AS BIGINT) AS sb
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST((
+             SELECT SUM(
+               (((pa >> i) & 1) << (2*i)) + (((sb >> i) & 1) << (2*i + 1))
+             ) FROM range(16) t(i)
+           ) AS BIGINT) AS zkey
+    FROM b
+    """,
+)
+def q_fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_key("l_partkey", "l_suppkey", bits=16).alias("zkey"),
+    )
