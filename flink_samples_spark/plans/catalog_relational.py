@@ -1748,3 +1748,31 @@ def q_fn_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         zorder_key("l_partkey", "l_suppkey", bits=16).alias("zkey"),
     )
+
+
+# §2.4 EXACT distinct at scale via roaring-style bitmaps: per-bucket
+# bitmap_construct_agg partials OR-merge (bitmap_or_agg) to the exact
+# distinct count — the pre-aggregable exact alternative to both the
+# shuffle-heavy COUNT(DISTINCT) expansion and the approximate HLL
+# path (q_agg_approx_distinct / q_agg_hll_sketch): bitmap partials
+# can be persisted per data increment and merged incrementally.
+# bitmap positions are 1-based, hence the +1 shift (count unchanged).
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_suppkey + 1)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_suppkey + 1))").alias("bm")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").cast("bigint").alias("n_suppliers")
+    )
