@@ -150,3 +150,82 @@ def scd2_intervals(
         F.lead(ts_col).over(w2).alias("valid_to"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str | Sequence[str],
+    compare: Sequence[str],
+) -> DataFrame:
+    """Snapshot diff: classify every key as ``added`` / ``removed`` /
+    ``changed`` (any ``compare`` column differs) between two corpus
+    versions — the audit/maintenance primitive behind incremental
+    refresh validation and change-data-feed generation when no
+    transactional table format records it for you.
+
+    ONE full-outer shuffle join on the key; the change test compares
+    an xxhash64 over the compare columns computed map-side, so wide
+    payloads never cross the shuffle twice — at 100 TB the shuffle
+    carries (key, 8-byte hash) per side plus the join's row pairing.
+    Unchanged keys are dropped (the overwhelmingly common case, so
+    output ≪ input).
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    oh = old.select(*keys, F.xxhash64(*compare).alias("__h_old"))
+    nh = new.select(*keys, F.xxhash64(*compare).alias("__h_new"))
+    j = oh.join(nh, keys, "full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
+def data_quality_report(
+    df: DataFrame,
+    not_null: Sequence[str] = (),
+    unique: Sequence[str] = (),
+    ranges: Sequence[tuple[str, float, float]] = (),
+) -> DataFrame:
+    """Declarative data-quality audit: one row per check with its
+    violation count — null checks, key-uniqueness checks, and
+    numeric range checks over a table, all folded into ONE scan plus
+    one tiny agg per uniqueness key.
+
+    The null and range checks are conditional counts in a single
+    two-phase aggregate (one pass, no shuffle of data rows);
+    uniqueness is count(*) - count_distinct(key) (one shuffle of the
+    key column only). Output is O(checks) rows — the shape a CI gate
+    or freshness monitor consumes.
+    """
+    aggs = []
+    names = []
+    for c in not_null:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")))
+        names.append(f"null:{c}")
+    for c, lo, hi in ranges:
+        aggs.append(
+            F.sum(((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("bigint"))
+        )
+        names.append(f"range:{c}")
+    base = df.agg(*[a.alias(f"c{i}") for i, a in enumerate(aggs)])
+    spark = df.sparkSession
+    long = base.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(n).alias("check"), F.col(f"c{i}").alias("violations"))
+                for i, n in enumerate(names)
+            ])
+        ).alias("r")
+    ).select("r.check", "r.violations")
+    for c in unique:
+        u = df.agg(
+            (F.count(F.lit(1)) - F.count_distinct(F.col(c))).alias("violations")
+        ).select(F.lit(f"unique:{c}").alias("check"), "violations")
+        long = long.unionByName(u)
+    return long

@@ -1776,3 +1776,86 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_bucket.groupBy("l_returnflag").agg(
         F.expr("bitmap_count(bitmap_or_agg(bm))").cast("bigint").alias("n_suppliers")
     )
+
+
+# Snapshot diff: v2 derived deterministically from v1 (drop
+# doc_id%11==0, uppercase text of doc_id%13==0, append two new docs)
+# so the classification is oracle-checkable end-to-end.
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, text FROM documents
+    ), v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN upper(text) ELSE text END AS text
+      FROM documents WHERE doc_id % 11 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new doc' FROM documents WHERE doc_id < 2
+    )
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.text <> v2.text THEN 'changed'
+           END AS status
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.text <> v2.text
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.behavior import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    v2 = (
+        docs.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 13 == 0, F.upper("text"))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") < 2).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.lit("new doc").alias("text"),
+            )
+        )
+    )
+    return snapshot_diff(docs, v2, key="doc_id", compare=["text"])
+
+
+# Declarative data-quality audit: null / range / uniqueness checks in
+# one scan + per-key tiny aggs; oracle recomputes each check in SQL.
+@query(
+    "q_data_quality",
+    oracle="""
+    SELECT 'null:l_shipdate' AS check,
+           CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_quantity',
+           CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'range:l_discount',
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.behavior import data_quality_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return data_quality_report(
+        li,
+        not_null=["l_shipdate"],
+        unique=["l_orderkey"],
+        ranges=[("l_quantity", 1, 50), ("l_discount", 0, 0.05)],
+    ).select("check", F.col("violations").cast("bigint").alias("violations"))
