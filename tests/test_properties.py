@@ -101,3 +101,100 @@ def test_hll_sketch_union_estimate_accuracy(spark, sf_dir):
 
     rows = QUERIES["q_agg_hll_sketch"](spark, sf_dir).collect()
     assert len(rows) == 1 and rows[0].within_tol is True, rows
+
+
+def test_span_dedup_identity_when_nothing_frequent(spark, sf_dir):
+    """With an impossible df threshold, span_dedup must return every
+    document verbatim (the rewrite is lossless when nothing is
+    deleted) — the reassembly separator contract."""
+    from flink_samples_spark.llmops.dedup import span_dedup
+    from flink_samples_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = span_dedup(docs, span_words=8, df_threshold=10**9)
+    joined = out.join(docs, "doc_id")
+    assert joined.count() == docs.count()
+    assert joined.filter(F.col("clean_text") != F.col("text")).count() == 0
+    assert out.filter(F.col("n_kept") != F.col("n_spans")).count() == 0
+
+
+def test_within_doc_dedup_idempotent(spark, sf_dir):
+    """Applying the within-doc rewrite twice equals applying it once
+    (no span repeats survive the first pass)."""
+    from flink_samples_spark.llmops.dedup import within_doc_span_dedup
+    from flink_samples_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    once = within_doc_span_dedup(docs).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    twice = within_doc_span_dedup(once).select(
+        "doc_id", F.col("clean_text").alias("t2")
+    )
+    j = once.join(twice, "doc_id")
+    # idempotence can only be checked where pass-1 output spans align
+    # with pass-2 input spans, which holds because spans are cut at
+    # fixed word offsets of the CURRENT text
+    assert j.filter(F.col("text") != F.col("t2")).count() == 0
+
+
+def test_ewma_bounded_by_running_extremes(spark, sf_dir):
+    """EWMA is a convex combination: every smoothed value must lie
+    within [running min, running max] of its key's values so far."""
+    from pyspark.sql import Window
+
+    from flink_samples_spark.operators.timeseries import ewma
+    from flink_samples_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = ewma(ev)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chk = out.withColumn("lo", F.min("value").over(w)).withColumn(
+        "hi", F.max("value").over(w)
+    )
+    eps = 1e-6
+    assert (
+        chk.filter(
+            (F.col("ewma") < F.col("lo") - eps) | (F.col("ewma") > F.col("hi") + eps)
+        ).count()
+        == 0
+    )
+
+
+def test_zorder_key_locality(spark):
+    """Neighboring cells in (x, y) must differ in few z-key bits:
+    the key of (x, y) and (x+1, y) share the high bits whenever x+1
+    doesn't carry past the interleave — spot-check the round trip by
+    de-interleaving."""
+    from flink_samples_spark.operators import zorder_key
+
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("bigint").alias("y")
+    )
+    keyed = df.select("x", "y", zorder_key("x", "y", bits=8).alias("z"))
+    # de-interleave and compare: even bits → x, odd bits → y
+    xs = sum((F.shiftright(F.col("z"), 2 * i).bitwiseAND(F.lit(1)) * (1 << i)) for i in range(8))
+    ys = sum((F.shiftright(F.col("z"), 2 * i + 1).bitwiseAND(F.lit(1)) * (1 << i)) for i in range(8))
+    bad = keyed.filter((xs != F.col("x")) | (ys != F.col("y"))).count()
+    assert bad == 0
+
+
+def test_snapshot_diff_no_false_positives(spark, sf_dir):
+    """Diffing a snapshot against itself must be empty; against a
+    one-row change, exactly that classification."""
+    from flink_samples_spark.operators.behavior import snapshot_diff
+    from flink_samples_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assert snapshot_diff(docs, docs, "doc_id", ["text"]).count() == 0
+    v2 = docs.withColumn(
+        "text", F.when(F.col("doc_id") == 0, F.lit("CHANGED")).otherwise(F.col("text"))
+    ).filter(F.col("doc_id") != 1)
+    d = {r["doc_id"]: r["status"] for r in snapshot_diff(docs, v2, "doc_id", ["text"]).collect()}
+    assert d == {0: "changed", 1: "removed"}
