@@ -113,3 +113,24 @@ def priority_label_arrow_udf(orders: DataFrame) -> DataFrame:
         "o_orderkey",
         label("o_orderstatus", "o_totalprice").alias("order_label"),
     )
+
+
+def register_ngrams_udtf(spark) -> None:
+    """Register the Python UDTF ``doc_ngrams(text, n)`` for SQL
+    LATERAL use — the table-function API surface (SURVEY §2.10): a
+    class-based generator the SQL planner invokes per row, Arrow-
+    serialized (``useArrow=True`` ⇒ ArrowEvalPythonUDTF, not the
+    banned row-pickling BatchEvalPython node). Distinct from the
+    mapInPandas UDTF path (:func:`words_udtf`): this one is callable
+    from SQL text, composes with LATERAL correlation, and carries
+    its own output schema."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string", useArrow=True)
+    class DocNgrams:
+        def eval(self, text: str, n: int):
+            ws = text.split(" ")
+            for i in range(max(len(ws) - n + 1, 0)):
+                yield i, " ".join(ws[i : i + n])
+
+    spark.udtf.register("doc_ngrams", DocNgrams)

@@ -501,3 +501,37 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
             "starts_lower_word"
         ),
     )
+
+
+# SQL-callable Python table function (CREATE/registered UDTF +
+# LATERAL correlation) — the §2.10 surface the mapInPandas UDTF
+# doesn't cover. Arrow-serialized; the oracle replays the n-gram
+# lateral as an unnest.
+@query(
+    "q_udtf_lateral",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             array_to_string(ws[i:i+1], ' ') AS gram
+      FROM words, LATERAL unnest(range(1, greatest(len(ws) - 1, 0) + 1)) AS t(i)
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           MIN(gram) AS first_gram
+    FROM grams GROUP BY doc_id
+    """,
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.functions.udfs import register_ngrams_udtf
+
+    register_ngrams_udtf(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               MIN(f.gram) AS first_gram
+        FROM docs_udtf_src d, LATERAL doc_ngrams(d.text, 2) f
+        GROUP BY d.doc_id
+        """
+    )
