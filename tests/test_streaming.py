@@ -389,3 +389,58 @@ def test_interval_join_across_batches(spark, tmpdirs):
     _run_available_now(out, sink, cp)
     got = {(r.l_id, r.r_id) for r in read_sink(spark, sink).collect()}
     assert got == {(1, 10), (1, 95), (2, 160)}
+
+
+def test_ewma_state_restart_continues_recursion(spark, tmpdirs):
+    """Kill/restart for the custom stateful EWMA: after a restart
+    from checkpoint, the recursion CONTINUES from the persisted
+    per-key state (no reset to v₁, no double-emission) — the
+    exactly-once contract for user-managed state."""
+    import pandas as pd
+
+    from flink_samples_spark.streaming.stateful import ewma_with_state
+
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def write_events(name, rows, seq):
+        path = os.path.join(replay, f"{name}.parquet")
+        pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "user_id": [r[2] for r in rows],
+                "value": [r[3] for r in rows],
+            }
+        ).to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
+
+    def run():
+        stream = file_replay_stream(spark, replay, schema)
+        _run_available_now(ewma_with_state(stream, alpha=0.25), sink, cp)
+
+    # first run: values 4, 8 for user 7 → ewma 4.0, then .25*8+.75*4=5
+    write_events("c000", [(0, s(0), 7, 4.0), (1, s(1), 7, 8.0)], 0)
+    run()
+    # restart with NEW data: continuation must smooth from s=5.0
+    # (.25*12 + .75*5 = 6.75), NOT restart at 12.0
+    write_events("c001", [(2, s(2), 7, 12.0)], 1)
+    run()
+    run()  # idle restart: no new rows, no duplicates
+
+    got = {
+        r.event_id: r.ewma
+        for r in read_sink(spark, sink).collect()
+    }
+    assert got == {0: 4.0, 1: 5.0, 2: 6.75}, got
