@@ -39,6 +39,7 @@ from flink_samples_spark.operators.sampling import (
     hash_split,
     reservoir_per_group,
     stratified_sample,
+    weighted_sample,
 )
 from flink_samples_spark.operators.skew import (
     salted_agg,
@@ -59,6 +60,7 @@ __all__ = [
     "banded_range_join",
     "resample_interpolate",
     "stratified_sample",
+    "weighted_sample",
     "reservoir_per_group",
     "hash_sample",
     "hash_split",

@@ -140,3 +140,27 @@ def reservoir_per_group(
         k,
     )
     return out.drop("rn")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    key_col: str = "doc_id",
+    salt: int = 29,
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sampling: keep a row iff its
+    hash-uniform u(key) < weight — per-row inclusion probability
+    equals the (0..1-clamped) weight, reproducible across runs,
+    partitionings, and engines (no RNG state; the same
+    multiplicative-hash uniform as hash_sample/hash_split, so any
+    ANSI engine replays the identical decision).
+
+    The curation primitive behind quality-weighted corpus downsampling
+    ("keep high-quality docs with probability ∝ quality"): a pure
+    narrow filter, zero shuffles, composable with any upstream score.
+    """
+    from pyspark.sql import Column
+
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    u = _hash_unit(F.col(key_col), salt)
+    return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))

@@ -1699,3 +1699,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+# Deterministic weighted Bernoulli sampling: inclusion probability =
+# quality weight, decided by the engine-portable multiplicative-hash
+# uniform (same int64 arithmetic as hash_sample/hash_split) — the
+# oracle replays the identical hash, so the kept set matches exactly.
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id,
+             LEAST(len(str_split(text, ' ')) / 200.0, 1.0) AS w
+      FROM documents
+    )
+    SELECT doc_id, round(w, 6) AS w
+    FROM q
+    WHERE (((doc_id + 29) % 2147483648) * 2654435761 % 2147483648)
+          / 2147483648.0 < w
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(F.size(F.split(F.col("text"), " ")) / 200.0, F.lit(1.0))
+    base = docs.select("doc_id", "text", w.alias("w"))
+    return weighted_sample(base, "w", key_col="doc_id").select(
+        "doc_id", F.round("w", 6).alias("w")
+    )

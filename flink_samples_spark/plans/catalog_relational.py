@@ -1859,3 +1859,39 @@ def q_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique=["l_orderkey"],
         ranges=[("l_quantity", 1, 50), ("l_discount", 0, 0.05)],
     ).select("check", F.col("violations").cast("bigint").alias("violations"))
+
+
+# §2.7 multiplicity-preserving (ALL) set-operation variants: bag
+# semantics differ materially from the set forms above — EXCEPT ALL
+# keeps leftover multiplicity per key, INTERSECT ALL keeps
+# min(multiplicity) copies; Spark plans both as count-compare aggs.
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.select(F.col("c_nationkey").alias("nationkey"))
+    b = s.select(F.col("s_nationkey").alias("nationkey"))
+    return a.intersectAll(b)
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    a = c.select(F.col("c_nationkey").alias("nationkey"))
+    b = s.select(F.col("s_nationkey").alias("nationkey"))
+    return a.exceptAll(b)
