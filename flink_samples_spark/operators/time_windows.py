@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window, Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,41 @@ def sliding_window_agg(
     aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("total")]
     grouped = df.groupBy(F.window(F.col(ts_col), size, slide).alias("window"), *keys)
     return _finish(grouped.agg(*aggs), keys)
+
+
+def session_window_dynamic_gap(
+    df: DataFrame,
+    ts_col: str,
+    gap_col: Column | str,
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Batch session windows with a PER-EVENT gap (Flink's
+    ``SessionWindowTimeGapExtractor`` semantics): each event spans
+    [ts, ts + gap); overlapping spans merge; a session's end is
+    max(tsᵢ + gapᵢ) over its members.
+
+    Gaps-and-islands with a dynamic reach: a session breaks where
+    ts exceeds the running max of previous span ends — one window
+    pass (running max + running sum share one shuffle+sort on the
+    key) and one groupBy on (key, session_id); the same two-stage
+    cost shape as the fixed-gap rewrite, scale-indifferent to the
+    gap being a column.
+    """
+    gap = F.col(gap_col) if isinstance(gap_col, str) else gap_col
+    span_end = F.col(ts_col) + F.make_interval(secs=gap)
+    w_all = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy(F.lit(1))
+    w_ord = w_all.orderBy(F.col(ts_col))
+    prev_end = F.max(span_end).over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (prev_end.isNull() | (F.col(ts_col) > prev_end)).cast("int")
+    sid = F.sum(brk).over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    base = df.withColumn("__end", span_end).withColumn("__sid", sid)
+    aggs = list(aggs) if aggs else [F.count(F.lit(1)).alias("total")]
+    out = base.groupBy(*keys, F.col("__sid")).agg(
+        F.min(ts_col).alias("window_start"),
+        F.max("__end").alias("window_end"),
+        *aggs,
+    )
+    return out.drop("__sid")

@@ -896,3 +896,78 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+_DYN_SESSION_ORACLE = """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN value < 100 THEN 2 ELSE 5 END AS gap_s
+      FROM events
+    ), m AS (
+      SELECT *, MAX(ts + to_seconds(gap_s)) OVER (
+        PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM e
+    ), b AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR ts > prev_end THEN 1 ELSE 0 END AS brk
+      FROM m
+    ), s AS (
+      SELECT *, SUM(brk) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM b
+    )
+    SELECT user_id, MIN(ts) AS window_start,
+           MAX(ts + to_seconds(gap_s)) AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS total,
+           round(SUM(value), 6) AS sum_value
+    FROM s GROUP BY user_id, sid
+"""
+
+
+# Dynamic per-event session gaps (Flink SessionWindowTimeGapExtractor):
+# low-value events hold the session only 2 s, everything else 5 s.
+# Batch rewrite: gaps-and-islands with a RUNNING-MAX reach.
+@query("q_session_dynamic", oracle=_DYN_SESSION_ORACLE)
+def q_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.time_windows import session_window_dynamic_gap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(F.col("value") < 100, 2).otherwise(5).alias("gap_s"),
+    )
+    return session_window_dynamic_gap(
+        ev,
+        ts_col="ts",
+        gap_col="gap_s",
+        keys=["user_id"],
+        aggs=[
+            F.count(F.lit(1)).cast("bigint").alias("total"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        ],
+    ).select("user_id", "window_start", "window_end", "total", "sum_value")
+
+
+# ...and the same semantics as a REAL streaming run through the
+# dynamic-gap state operator, under the SAME oracle (ordered replay ⇒
+# the interval merge is exact).
+@query("q_stream_session_dynamic", oracle=_DYN_SESSION_ORACLE)
+def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.stateful import sessionize_dynamic_gap
+
+    def build(stream: DataFrame) -> DataFrame:
+        ev = stream.select(
+            "user_id",
+            "ts",
+            "value",
+            F.when(F.col("value") < 100, 2).otherwise(5).alias("gap_s"),
+        )
+        # ordered replay ⇒ nothing is late; the +40d sentinel then
+        # pushes the watermark past every session end, firing all
+        # timeouts (a 60-day bound would out-delay the sentinel)
+        return sessionize_dynamic_gap(ev, gap_col="gap_s", watermark="10 seconds")
+
+    return _run_streaming(
+        spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("user_id") != -1)
+    )

@@ -190,3 +190,101 @@ def ewma_with_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DYN_STATE_SCHEMA = "start long, send long, total long, sum_value double"
+
+
+def sessionize_dynamic_gap(
+    events: DataFrame,
+    gap_col: str = "gap_s",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Dynamic-gap sessionizer — the analog of Flink's
+    ``SessionWindowTimeGapExtractor``: every event carries its own
+    gap (``gap_col``, seconds), defines the interval
+    [ts, ts + gap), and overlapping intervals merge into one session
+    whose end is max(tsᵢ + gapᵢ). Spark's built-in session_window
+    takes only a constant (or expression evaluated per event — but
+    not merge-correct for shrinking gaps); this state op implements
+    the full interval-merge semantics with one open session per key,
+    finalized by event-time timeout at the session end.
+
+    For a CONSTANT gap column this reduces exactly to
+    :func:`sessionize_with_state` (end ≡ last + gap). Same
+    scale/approximation contract: state is O(keys), an out-of-order
+    event whose interval closes before the open session's start
+    emits as a singleton.
+    """
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        rows = []
+
+        def close(start_us: int, end_us: int, total: int, sv: float) -> None:
+            rows.append(
+                {
+                    "user_id": key[0],
+                    "window_start": pd.Timestamp(start_us, unit="us"),
+                    "window_end": pd.Timestamp(end_us, unit="us"),
+                    "total": total,
+                    "sum_value": round(sv, 6),
+                }
+            )
+
+        if state.hasTimedOut:
+            if state.exists:
+                close(*state.get)
+                state.remove()
+        else:
+            evs = []
+            for pdf in batches:
+                for t, g, v in zip(pdf[ts_col], pdf[gap_col], pdf[value_col]):
+                    evs.append(
+                        (int(t.value // 1000), int(g) * 1_000_000, float(v))
+                    )
+            evs.sort()
+            if state.exists:
+                start, send, total, sv = state.get
+            else:
+                start, send, total, sv = None, None, 0, 0.0
+            for t, g, v in evs:
+                if start is None:
+                    start, send, total, sv = t, t + g, 1, v
+                elif t + g < start:
+                    # interval ends before the open session starts:
+                    # a separate earlier session (singleton emission —
+                    # same single-open-session approximation as the
+                    # fixed-gap operator)
+                    close(t, t + g, 1, v)
+                elif t <= send:
+                    # overlapping interval: merge (may extend backward)
+                    start = min(start, t)
+                    send = max(send, t + g)
+                    total, sv = total + 1, sv + v
+                else:
+                    close(start, send, total, sv)
+                    start, send, total, sv = t, t + g, 1, v
+            if start is not None:
+                state.update((start, send, total, sv))
+                state.setTimeoutTimestamp(send // 1000 + 1)
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=DYN_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
