@@ -273,18 +273,26 @@ def _ann_recall(spark, sf_dir, ann_fn) -> DataFrame:
 
 @query("q_sim_topk_lsh", oracle=_ANN_RECALL_ORACLE)
 def q_sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # 4 planes × 8 tables: measured recall 20-22/30 on this corpus
-    # (the 8×4 default recalled ≤3/30 — too selective at 500 vectors)
+    # 4 planes × 12 tables: measured min-hits ≥1 (usually 2-3 of the
+    # true top-3) at sf0.001/0.01/0.1 alike — 8 tables left one query
+    # at 0 hits once the corpus hit 2,000 vectors, and the 8×4
+    # default recalled ≤3/30 even at 500 vectors (too selective).
     return _ann_recall(
         spark,
         sf_dir,
-        lambda q, c: lsh_bucketed_topk(q, c, k=3, n_planes=4, n_tables=8),
+        lambda q, c: lsh_bucketed_topk(q, c, k=3, n_planes=4, n_tables=12),
     )
 
 
 @query("q_sim_topk_ivf", oracle=_ANN_RECALL_ORACLE)
 def q_sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _ann_recall(spark, sf_dir, lambda q, c: ivf_cosine_topk(q, c, k=3))
+    # n_probe 6 of 16 cells: the 4-probe default dropped one query to
+    # 0 hits at the 2,000-vector scale (cluster boundary effect);
+    # probing 6 keeps min-hits ≥1 at every test sf while still
+    # touching ~3/8 of the corpus per query.
+    return _ann_recall(
+        spark, sf_dir, lambda q, c: ivf_cosine_topk(q, c, k=3, n_probe=6)
+    )
 
 
 # Embedding-cosine near-dup pairs, exact all-pairs with exact oracle

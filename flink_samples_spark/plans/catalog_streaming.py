@@ -971,3 +971,103 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_streaming(
         spark, sf_dir, build, post=lambda df, _mx: df.filter(F.col("user_id") != -1)
     )
+
+
+# STREAMING INGESTION DEDUP against the growing signature index: the
+# documents corpus arrives in doc_id-ordered micro-batches; each
+# foreachBatch (1) dedups the batch against the index of everything
+# ingested before it, (2) dedups the batch against itself, and
+# (3) appends the batch's signatures to the index. Because ingestion
+# order is doc_id order, the union of per-batch pair emissions is
+# EXACTLY the batch-mode corpus dedup (all pairs a<b with word
+# 3-gram Jaccard ≥ 0.8) — the same oracle as q_dedup_near, now
+# certified for incremental arrival. The corpus text is touched once
+# per document, ever: later batches join only signatures.
+@query(
+    "q_stream_dedup_index",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+      FROM words
+    ), counts AS (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.8
+    """,
+)
+def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        minhash_lsh_pairs,
+    )
+    from flink_samples_spark.streaming.sinks import idempotent_parquet_sink
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_", "idx_")]
+    replay, sink, cp, idx = dirs
+    sink_fn = idempotent_parquet_sink(sink)
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        write_replay_files(docs, replay, n_files=6, order_col="doc_id")
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+            ]
+        )
+        stream = file_replay_stream(spark, replay, schema)
+        idx_state = {"exists": False}
+
+        def process(batch: DataFrame, batch_id: int) -> None:
+            batch = batch.cache()
+            within = minhash_lsh_pairs(batch, k=3, threshold=0.8)
+            if idx_state["exists"]:
+                index = spark.read.parquet(idx)
+                cross = dedup_against_index(batch, index, k=3, threshold=0.8)
+                pairs = within.unionByName(cross)
+            else:
+                pairs = within
+            sink_fn(pairs, batch_id)
+            # append AFTER emission: a doc never pairs with itself via
+            # the index. (Retry idempotency note: the sink is
+            # batch-id-idempotent; index append assumes the replay
+            # harness's no-retry execution.)
+            build_dedup_index(batch, k=3).write.mode("append").parquet(idx)
+            idx_state["exists"] = True
+            batch.unpersist()
+            spark.catalog.clearCache()  # per-batch minhash caches
+
+        q = (
+            stream.writeStream.foreachBatch(process)
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming replay did not finish within 300s")
+        from flink_samples_spark.streaming.sinks import read_sink
+
+        result = read_sink(spark, sink).toPandas()
+        result = result[[c for c in result.columns if c != "batch"]]
+        return spark.createDataFrame(
+            result, schema="doc_a bigint, doc_b bigint, jaccard double"
+        )
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
