@@ -802,7 +802,12 @@ def dedup_against_index(
     (batch-internal and index-internal pairs are never generated);
     at 100 TB the per-batch cost is O(|batch| + collisions), not
     O(|corpus|) — the corpus participates only through the band join
-    and the sketch-verify join of actual candidates."""
+    and the sketch-verify join of actual candidates.
+
+    Caching contract: the batch's hashed shingles are ``.cache()``d
+    (feed banding + verify, same contract as minhash_lsh_pairs);
+    repeated per-micro-batch callers should ``clearCache()`` between
+    batches, as q_stream_dedup_index does."""
     hb = parallelize_narrow(_shingle_hashes(batch, k)).cache()
     schema = "doc_id bigint, band int, band_hash bigint"
     index_bands = index.select(
