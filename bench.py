@@ -69,6 +69,7 @@ HEADLINE = [
     "q_dedup_within",          # within-doc repeated-span rewrite (zero-shuffle)
     "q_lm_score",              # corpus-trained bigram LM perplexity proxy
     "q_join_bloom",            # runtime bloom-filter-pruned fact join
+    "q_curation_v2",           # composed round-4 pipeline (ensemble→rewrites→chunk)
 ]
 
 

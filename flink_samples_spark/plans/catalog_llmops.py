@@ -1736,3 +1736,83 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(base, "w", key_col="doc_id").select(
         "doc_id", F.round("w", 6).alias("w")
     )
+
+
+def _curation_v2_oracle() -> str:
+    """Nested-CTE oracle for the round-4 composed pipeline, built by
+    chaining the component oracles' known-good fragments and closing
+    with the generated chunk twin over the final CTE."""
+    from flink_samples_spark.llmops.chunking import chunk_oracle_sql
+
+    chunk = chunk_oracle_sql(32, 24, relation="clean").strip()
+    # splice the chunk oracle's WITH-chain into ours
+    assert chunk.startswith("WITH ")
+    chunk_body = chunk[len("WITH "):]
+    return f"""
+    WITH ens AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               len(str_split(text, ' ')) AS n_words,
+               len(list_filter(str_split(text, ' '),
+                   w -> list_contains(['the','and','of','to','a','in','is'], lower(w))))
+                 AS n_stop,
+               len(list_distinct(str_split(text, ' '))) AS n_distinct
+        FROM documents)
+      WHERE 1.0 / (1.0 + exp(-(-2.0 + 0.6 * ln(n_words)
+                   + 4.0 * (n_stop / CAST(n_words AS DOUBLE))
+                   - 3.0 * (1.0 - n_distinct / CAST(n_words AS DOUBLE))))) >= 0.5
+    ), w1 AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM ens
+    ), sp1 AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span
+      FROM w1, LATERAL unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+    ), firsts AS (
+      SELECT doc_id, pos, span FROM sp1
+      QUALIFY pos = MIN(pos) OVER (PARTITION BY doc_id, span)
+    ), rew AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+      FROM firsts GROUP BY doc_id
+    ), w2 AS (
+      SELECT doc_id, str_split(text, ' ') AS ws FROM rew
+    ), sp2 AS (
+      SELECT doc_id, i AS pos, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS span
+      FROM w2, LATERAL unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+    ), dfc AS (
+      SELECT span, COUNT(DISTINCT doc_id) AS df FROM sp2 GROUP BY span
+    ), kept AS (
+      SELECT s.doc_id, s.pos, s.span FROM sp2 s JOIN dfc USING (span)
+      WHERE dfc.df <= 3
+    ), clean AS (
+      SELECT doc_id, string_agg(span, ' ' ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    ), {chunk_body}
+    """
+
+
+# Round-4 composed curation pipeline v2: model-based quality gate →
+# within-doc repeated-span rewrite → corpus-frequent span deletion →
+# context-window chunking. Three rewrite stages are narrow or
+# hash-keyed (the only shuffles: the ensemble-keep join, the span-df
+# count on 8-byte hashes, and the two doc_id reassemblies); the
+# oracle chains the component oracles' exact fragments, so the
+# composition cannot drift from its parts.
+@query("q_curation_v2", oracle=_curation_v2_oracle())
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.chunking import chunk_documents
+    from flink_samples_spark.llmops.dedup import span_dedup, within_doc_span_dedup
+    from flink_samples_spark.llmops.text import quality_ensemble
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    keep_ids = (
+        quality_ensemble(load_table(spark, sf_dir, "documents"))
+        .filter(F.col("keep") == 1)
+        .select("doc_id")
+    )
+    kept = docs.join(keep_ids, "doc_id")
+    rew = within_doc_span_dedup(kept, span_words=8).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    sd = span_dedup(rew, span_words=8, df_threshold=3).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    return chunk_documents(sd, chunk_words=32, stride=24)
