@@ -1816,3 +1816,57 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("clean_text").alias("text")
     )
     return chunk_documents(sd, chunk_words=32, stride=24)
+
+
+# Rolling-window outlier flags: per-user rolling mean/stddev over the
+# trailing 20 events, |z| > 2.5 flags the spike. The time-series
+# monitoring primitive (rolling frame, not running prefix): one
+# shuffle+sort per key, O(1) frame state per row.
+@query(
+    "q_ts_outliers",
+    oracle="""
+    WITH r AS (
+      SELECT event_id, user_id, ts, value,
+             AVG(value) OVER w AS roll_mean,
+             stddev_samp(value) OVER w AS roll_sd,
+             COUNT(*) OVER w AS n_win
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, ts, value,
+           round(roll_mean, 6) AS roll_mean,
+           CAST(CASE WHEN n_win >= 5 AND roll_sd > 0
+                     AND abs(value - roll_mean) / roll_sd > 2.5
+                THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM r
+    """,
+)
+def q_ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    roll_mean = F.avg("value").over(w)
+    roll_sd = F.stddev_samp("value").over(w)
+    n_win = F.count(F.lit(1)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.round(roll_mean, 6).alias("roll_mean"),
+        (
+            (n_win >= 5)
+            & (roll_sd > 0)
+            & (F.abs(F.col("value") - roll_mean) / roll_sd > 2.5)
+        )
+        .cast("int")
+        .alias("is_outlier"),
+    )

@@ -1895,3 +1895,25 @@ def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = c.select(F.col("c_nationkey").alias("nationkey"))
     b = s.select(F.col("s_nationkey").alias("nationkey"))
     return a.exceptAll(b)
+
+
+# §2.4 ordered string aggregation (LISTAGG ... WITHIN GROUP): the
+# ANSI 2023 form, deterministic via the explicit ORDER BY.
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS statuses,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "listagg(DISTINCT o_orderstatus, ',') WITHIN GROUP (ORDER BY o_orderstatus)"
+        ).alias("statuses"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
