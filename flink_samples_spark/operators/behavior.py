@@ -229,3 +229,57 @@ def data_quality_report(
         ).select(F.lit(f"unique:{c}").alias("check"), "violations")
         long = long.unionByName(u)
     return long
+
+
+def detect_sequence(
+    events: DataFrame,
+    pattern: Sequence[str],
+    within_seconds: float,
+    type_col: str = "event_type",
+    key: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """CEP-style sequence detection — the Flink-CEP "A followed-by B
+    followed-by C within T" pattern (relaxed contiguity, earliest
+    match) re-expressed relationally: for every occurrence of
+    ``pattern[0]``, chain the EARLIEST later occurrence of each
+    subsequent type (events of other types may interleave), and keep
+    chains whose total span fits ``within_seconds``.
+
+    Each "followed by earliest" step is one forward
+    :func:`~flink_samples_spark.operators.joins.as_of_join` — the
+    union + reversed running-window trick — so a k-step pattern costs
+    k-1 key-shuffles with O(1) window state per row, never a
+    per-event NFA or a range-join blowup. Output: one row per
+    pattern-0 occurrence that completes the chain, with each stage's
+    timestamp (``ts_0`` … ``ts_{k-1}``).
+
+    Greedy-earliest semantics (each stage binds to the first eligible
+    event after the previous stage) — the standard CEP
+    ``followedBy`` + ``AFTER MATCH SKIP TO NEXT ROW`` interpretation;
+    overlapping matches anchored at different pattern-0 events are
+    all reported.
+    """
+    from flink_samples_spark.operators.joins import as_of_join
+    from flink_samples_spark.utils import epoch_double
+
+    if len(pattern) < 2:
+        raise ValueError("pattern needs at least two stages")
+    cur = (
+        events.filter(F.col(type_col) == pattern[0])
+        .select(key, F.col(ts_col).alias("ts_0"))
+    )
+    for i, p in enumerate(pattern[1:], start=1):
+        right = events.filter(F.col(type_col) == p).select(key, ts_col)
+        cur = as_of_join(
+            cur,
+            right,
+            key=key,
+            left_ts=f"ts_{i-1}",
+            right_ts=ts_col,
+            payload=[],
+            direction="forward",
+            matched_ts_col=f"ts_{i}",
+        ).filter(F.col(f"ts_{i}").isNotNull())
+    span = epoch_double(cur, f"ts_{len(pattern)-1}") - epoch_double(cur, "ts_0")
+    return cur.filter(span <= F.lit(float(within_seconds)))

@@ -1870,3 +1870,36 @@ def q_ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_outlier"),
     )
+
+
+# CEP-style sequence pattern (Flink CEP "followedBy" analog): for
+# every click, the earliest later error, then the earliest later
+# purchase, chain span ≤ 2 h. Each stage is one forward as-of join
+# (union + reversed running window — k-1 key shuffles for a k-step
+# pattern, no NFA, no range-join blowup).
+@query(
+    "q_pattern_seq",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS ts_0 FROM events WHERE event_type = 'click'),
+    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s1 AS (
+      SELECT c.user_id, ts_0, MIN(e.ts) AS ts_1
+      FROM c JOIN e ON e.user_id = c.user_id AND e.ts >= c.ts_0
+      GROUP BY c.user_id, ts_0
+    ), s2 AS (
+      SELECT s1.user_id, ts_0, ts_1, MIN(p.ts) AS ts_2
+      FROM s1 JOIN p ON p.user_id = s1.user_id AND p.ts >= s1.ts_1
+      GROUP BY s1.user_id, ts_0, ts_1
+    )
+    SELECT user_id, ts_0, ts_1, ts_2 FROM s2
+    WHERE epoch(ts_2) - epoch(ts_0) <= 7200
+    """,
+)
+def q_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.behavior import detect_sequence
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return detect_sequence(
+        ev, ["click", "error", "purchase"], within_seconds=7200
+    )
