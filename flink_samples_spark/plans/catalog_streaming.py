@@ -1071,3 +1071,61 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# Streaming CEP: the same click→error→purchase pattern as
+# q_pattern_seq, run as a per-key NFA in applyInPandasWithState over
+# the ordered replay — completions emit in their own micro-batch and
+# the result set equals the batch chained-as-of-join operator, so
+# both share ONE oracle (the true Flink-CEP parity story).
+@query(
+    "q_stream_pattern_seq",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS ts_0 FROM events WHERE event_type = 'click'),
+    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    s1 AS (
+      SELECT c.user_id, ts_0, MIN(e.ts) AS ts_1
+      FROM c JOIN e ON e.user_id = c.user_id AND e.ts >= c.ts_0
+      GROUP BY c.user_id, ts_0
+    ), s2 AS (
+      SELECT s1.user_id, ts_0, ts_1, MIN(p.ts) AS ts_2
+      FROM s1 JOIN p ON p.user_id = s1.user_id AND p.ts >= s1.ts_1
+      GROUP BY s1.user_id, ts_0, ts_1
+    )
+    SELECT user_id, ts_0, ts_1, ts_2 FROM s2
+    WHERE epoch(ts_2) - epoch(ts_0) <= 7200
+    """,
+)
+def q_stream_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.stateful import cep_with_state
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        write_replay_files(events, replay, n_files=8, order_col="ts")
+        stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA_TYPED)
+        out = cep_with_state(
+            stream.select("user_id", "event_type", "ts"),
+            ["click", "error", "purchase"],
+            within_seconds=7200,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming replay did not finish within 300s")
+        result = read_sink(spark, sink).toPandas()
+        result = result[[c for c in result.columns if c != "batch"]]
+        return spark.createDataFrame(result, schema=out.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

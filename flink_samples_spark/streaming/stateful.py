@@ -288,3 +288,91 @@ def sessionize_dynamic_gap(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def cep_with_state(
+    events: DataFrame,
+    pattern: list[str],
+    within_seconds: float,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming CEP — the per-key NFA Flink-CEP runs, as a custom
+    state operator: each ``pattern[0]`` event opens an anchor; every
+    pending anchor at stage s advances when an event of type
+    ``pattern[s+1]`` arrives (earliest-match, relaxed contiguity —
+    the same semantics as the batch
+    :func:`~flink_samples_spark.operators.behavior.detect_sequence`,
+    so for ordered replay the two agree exactly and share one
+    oracle). A chain completing its last stage within
+    ``within_seconds`` of its anchor emits immediately, in its own
+    micro-batch — no watermark-flush latency.
+
+    State is the pending-anchor list per key: each entry is
+    (anchor_ts, stage, ts_0..ts_{k-1}); anchors older than the
+    pattern window are pruned on every call, so state is bounded by
+    the anchor arrival rate × window — the same bound Flink's CEP
+    operator carries. Stored as a flattened long array in one state
+    column.
+    """
+    k = len(pattern)
+    win_us = int(within_seconds * 1_000_000)
+    out_cols = ", ".join(f"ts_{i} timestamp" for i in range(k))
+    output_schema = f"user_id bigint, {out_cols}"
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        # pending: list of [stage, ts_0 .. ts_{k-1}] (µs; unfilled = 0)
+        if state.exists:
+            flat = list(state.get[0])
+            pending = [flat[i : i + k + 1] for i in range(0, len(flat), k + 1)]
+        else:
+            pending = []
+        rows = []
+        evs = []
+        for pdf in batches:
+            for t, ty in zip(pdf[ts_col], pdf[type_col]):
+                evs.append((int(t.value // 1000), str(ty)))
+        evs.sort()
+        for t_us, ty in evs:
+            # prune anchors that can no longer complete in-window
+            pending = [a for a in pending if t_us - a[1] <= win_us]
+            if ty == pattern[0]:
+                anchor = [1] + [0] * k
+                anchor[1] = t_us
+                pending.append(anchor)
+            advanced = []
+            for a in pending:
+                stage = a[0]
+                if stage < k and ty == pattern[stage]:
+                    a[stage + 1] = t_us
+                    a[0] = stage + 1
+                    if a[0] == k:
+                        if t_us - a[1] <= win_us:
+                            rows.append(
+                                {
+                                    "user_id": key[0],
+                                    **{
+                                        f"ts_{i}": pd.Timestamp(a[i + 1], unit="us")
+                                        for i in range(k)
+                                    },
+                                }
+                            )
+                        continue  # completed (or expired): drop from pending
+                advanced.append(a)
+            pending = advanced
+        state.update((sum(pending, []),))
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=output_schema,
+        stateStructType="flat array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
