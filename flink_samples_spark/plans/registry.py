@@ -125,7 +125,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # q_fn_zorder q_agg_bitmap_distinct q_snapshot_diff q_data_quality
 # q_udtf_lateral q_intersect_all q_except_all q_sample_weighted
 # q_session_dynamic q_stream_session_dynamic q_stream_dedup_index
-# q_curation_v2 q_agg_listagg q_ts_outliers q_pattern_seq)
+# q_curation_v2 q_agg_listagg q_ts_outliers q_pattern_seq
+# q_stream_pattern_seq)
 # and
 # anything that failed in the r4 window — they all fit alongside the
 # 9-query spine with slots to spare for round-5 additions.
