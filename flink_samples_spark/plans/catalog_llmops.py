@@ -1903,3 +1903,46 @@ def q_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_sequence(
         ev, ["click", "error", "purchase"], within_seconds=7200
     )
+
+
+# CEP absence pattern ("A NOT followed by B within T"): clicks with
+# no purchase in the next 2 h — one forward as-of join, keep nulls
+# and out-of-window matches. The dual of q_pattern_seq; at scale the
+# same one-shuffle union-window plan (an anti range-join would be a
+# nested loop).
+@query(
+    "q_pattern_absence",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS ts_0 FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    nxt AS (
+      SELECT c.user_id, ts_0, MIN(p.ts) AS nts
+      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts_0
+      GROUP BY c.user_id, ts_0
+    )
+    SELECT user_id, ts_0
+    FROM nxt
+    WHERE nts IS NULL OR epoch(nts) - epoch(ts_0) > 7200
+    """,
+)
+def q_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.operators.joins import as_of_join
+    from flink_samples_spark.utils import epoch_double
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("ts_0")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = as_of_join(
+        clicks,
+        purch,
+        key="user_id",
+        left_ts="ts_0",
+        right_ts="ts",
+        payload=[],
+        direction="forward",
+        matched_ts_col="nts",
+    )
+    gap = epoch_double(j, "nts") - epoch_double(j, "ts_0")
+    return j.filter(F.col("nts").isNull() | (gap > 7200)).select("user_id", "ts_0")
