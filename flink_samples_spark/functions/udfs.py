@@ -129,6 +129,8 @@ def register_ngrams_udtf(spark) -> None:
     @udtf(returnType="pos int, gram string", useArrow=True)
     class DocNgrams:
         def eval(self, text: str, n: int):
+            if text is None:
+                return
             ws = text.split(" ")
             for i in range(max(len(ws) - n + 1, 0)):
                 yield i, " ".join(ws[i : i + n])

@@ -203,6 +203,8 @@ def data_quality_report(
     key column only). Output is O(checks) rows — the shape a CI gate
     or freshness monitor consumes.
     """
+    if not (not_null or unique or ranges):
+        raise ValueError("data_quality_report: no checks requested")
     aggs = []
     names = []
     for c in not_null:
@@ -213,21 +215,22 @@ def data_quality_report(
             F.sum(((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("bigint"))
         )
         names.append(f"range:{c}")
-    base = df.agg(*[a.alias(f"c{i}") for i, a in enumerate(aggs)])
-    spark = df.sparkSession
-    long = base.select(
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(n).alias("check"), F.col(f"c{i}").alias("violations"))
-                for i, n in enumerate(names)
-            ])
-        ).alias("r")
-    ).select("r.check", "r.violations")
+    long = None
+    if aggs:
+        base = df.agg(*[a.alias(f"c{i}") for i, a in enumerate(aggs)])
+        long = base.select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(n).alias("check"), F.col(f"c{i}").alias("violations"))
+                    for i, n in enumerate(names)
+                ])
+            ).alias("r")
+        ).select("r.check", "r.violations")
     for c in unique:
         u = df.agg(
             (F.count(F.lit(1)) - F.count_distinct(F.col(c))).alias("violations")
         ).select(F.lit(f"unique:{c}").alias("check"), "violations")
-        long = long.unionByName(u)
+        long = u if long is None else long.unionByName(u)
     return long
 
 
@@ -265,6 +268,14 @@ def detect_sequence(
 
     if len(pattern) < 2:
         raise ValueError("pattern needs at least two stages")
+    if any(a == b for a, b in zip(pattern, pattern[1:])):
+        raise ValueError(
+            "adjacent stages of equal type need strictly-after "
+            "semantics the at-or-after as-of rewrite cannot express "
+            "(and (key, ts)-unique data makes them equivalent "
+            "otherwise); use streaming.stateful.cep_with_state, whose "
+            "NFA opens an anchor only after the advance pass"
+        )
     cur = (
         events.filter(F.col(type_col) == pattern[0])
         .select(key, F.col(ts_col).alias("ts_0"))

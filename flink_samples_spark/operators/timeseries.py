@@ -131,6 +131,13 @@ def ewma(
     Prefer a dyadic ``alpha`` (0.25, 0.5): α and 1-α are then exact
     binary floats and the recursion is bit-reproducible across
     engines.
+
+    Precondition: ``(key, ts_col)`` unique (holds for the driver
+    events table). On duplicate timestamps ANY engine's recursion
+    order is ambiguous — this operator breaks ties by the remaining
+    columns for run-to-run determinism, but a SQL oracle's
+    ``row_number() OVER (ORDER BY ts)`` would not, so parity is only
+    guaranteed under the precondition.
     """
     import pandas as pd
 
@@ -141,7 +148,8 @@ def ewma(
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        others = [c for c in pdf.columns if c != ts_col]
+        pdf = pdf.sort_values([ts_col, *others], kind="mergesort")
         s = pdf[value_col].ewm(alpha=alpha, adjust=False).mean()
         # explicit half-away-from-zero at 6dp: ``.round`` is half-even
         # while SQL round() is half-away — on a bit-identical

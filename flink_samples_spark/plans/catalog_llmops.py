@@ -49,6 +49,10 @@ from flink_samples_spark.llmops.text import (
     token_counts,
 )
 from flink_samples_spark.plans.registry import query
+from flink_samples_spark.plans.shared_oracles import (
+    EWMA_ORACLE,
+    PATTERN_SEQ_ORACLE,
+)
 from flink_samples_spark.sources.readers import load_table
 
 # Canonical fingerprint in DuckDB — must mirror llmops.text.document_fingerprint.
@@ -1571,25 +1575,7 @@ def q_dedup_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key shuffle + pandas C-loop per group. Dyadic alpha=0.25 makes the
 # recursion bit-reproducible; the oracle replays it as a recursive
 # CTE stepping all keys in lockstep by row number.
-@query(
-    "q_ts_ewma",
-    oracle="""
-    WITH RECURSIVE ordered AS (
-      SELECT event_id, user_id, ts, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-      FROM events
-    ), rec AS (
-      SELECT event_id, user_id, ts, value, rn, CAST(value AS DOUBLE) AS s
-      FROM ordered WHERE rn = 1
-      UNION ALL
-      SELECT o.event_id, o.user_id, o.ts, o.value, o.rn,
-             0.25 * o.value + 0.75 * r.s
-      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
-    )
-    SELECT event_id, user_id, ts, value,
-           sign(s) * floor(abs(s) * 1e6 + 0.5) / 1e6 AS ewma FROM rec
-    """,
-)
+@query("q_ts_ewma", oracle=EWMA_ORACLE)
 def q_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.operators.timeseries import ewma
 
@@ -1804,9 +1790,7 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     keep_ids = (
-        quality_ensemble(load_table(spark, sf_dir, "documents"))
-        .filter(F.col("keep") == 1)
-        .select("doc_id")
+        quality_ensemble(docs).filter(F.col("keep") == 1).select("doc_id")
     )
     kept = docs.join(keep_ids, "doc_id")
     rew = within_doc_span_dedup(kept, span_words=8).select(
@@ -1877,25 +1861,7 @@ def q_ts_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # purchase, chain span ≤ 2 h. Each stage is one forward as-of join
 # (union + reversed running window — k-1 key shuffles for a k-step
 # pattern, no NFA, no range-join blowup).
-@query(
-    "q_pattern_seq",
-    oracle="""
-    WITH c AS (SELECT user_id, ts AS ts_0 FROM events WHERE event_type = 'click'),
-    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
-    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-    s1 AS (
-      SELECT c.user_id, ts_0, MIN(e.ts) AS ts_1
-      FROM c JOIN e ON e.user_id = c.user_id AND e.ts >= c.ts_0
-      GROUP BY c.user_id, ts_0
-    ), s2 AS (
-      SELECT s1.user_id, ts_0, ts_1, MIN(p.ts) AS ts_2
-      FROM s1 JOIN p ON p.user_id = s1.user_id AND p.ts >= s1.ts_1
-      GROUP BY s1.user_id, ts_0, ts_1
-    )
-    SELECT user_id, ts_0, ts_1, ts_2 FROM s2
-    WHERE epoch(ts_2) - epoch(ts_0) <= 7200
-    """,
-)
+@query("q_pattern_seq", oracle=PATTERN_SEQ_ORACLE)
 def q_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.operators.behavior import detect_sequence
 

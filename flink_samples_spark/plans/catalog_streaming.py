@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_samples_spark.plans.registry import query
+from flink_samples_spark.plans.shared_oracles import (
+    EWMA_ORACLE,
+    PATTERN_SEQ_ORACLE,
+)
 from flink_samples_spark.sources.readers import load_table
 from flink_samples_spark.streaming.jobs import stream_dedup, windowed_sum_stream
 from flink_samples_spark.streaming.sinks import idempotent_parquet_sink, read_sink
@@ -781,25 +785,7 @@ def q_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle as the batch operator (q_ts_ewma): custom stateful recursion
 # via applyInPandasWithState, bit-identical to batch for the ordered
 # replay — batch/stream parity for a user-managed-state operator.
-@query(
-    "q_stream_ewma",
-    oracle="""
-    WITH RECURSIVE ordered AS (
-      SELECT event_id, user_id, ts, value,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
-      FROM events
-    ), rec AS (
-      SELECT event_id, user_id, ts, value, rn, CAST(value AS DOUBLE) AS s
-      FROM ordered WHERE rn = 1
-      UNION ALL
-      SELECT o.event_id, o.user_id, o.ts, o.value, o.rn,
-             0.25 * o.value + 0.75 * r.s
-      FROM ordered o JOIN rec r ON o.user_id = r.user_id AND o.rn = r.rn + 1
-    )
-    SELECT event_id, user_id, ts, value,
-           sign(s) * floor(abs(s) * 1e6 + 0.5) / 1e6 AS ewma FROM rec
-    """,
-)
+@query("q_stream_ewma", oracle=EWMA_ORACLE)
 def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.streaming.stateful import ewma_with_state
 
@@ -1078,25 +1064,7 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the ordered replay — completions emit in their own micro-batch and
 # the result set equals the batch chained-as-of-join operator, so
 # both share ONE oracle (the true Flink-CEP parity story).
-@query(
-    "q_stream_pattern_seq",
-    oracle="""
-    WITH c AS (SELECT user_id, ts AS ts_0 FROM events WHERE event_type = 'click'),
-    e AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
-    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
-    s1 AS (
-      SELECT c.user_id, ts_0, MIN(e.ts) AS ts_1
-      FROM c JOIN e ON e.user_id = c.user_id AND e.ts >= c.ts_0
-      GROUP BY c.user_id, ts_0
-    ), s2 AS (
-      SELECT s1.user_id, ts_0, ts_1, MIN(p.ts) AS ts_2
-      FROM s1 JOIN p ON p.user_id = s1.user_id AND p.ts >= s1.ts_1
-      GROUP BY s1.user_id, ts_0, ts_1
-    )
-    SELECT user_id, ts_0, ts_1, ts_2 FROM s2
-    WHERE epoch(ts_2) - epoch(ts_0) <= 7200
-    """,
-)
+@query("q_stream_pattern_seq", oracle=PATTERN_SEQ_ORACLE)
 def q_stream_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.streaming.stateful import cep_with_state
 

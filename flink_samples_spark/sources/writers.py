@@ -95,6 +95,7 @@ def write_corpus_sharded(
     max_records_per_file: int | None = None,
     order_within_shards: Sequence[str] = (),
     mode: str = "overwrite",
+    shard_by: str | None = None,
 ) -> None:
     """Training-corpus parquet layout writer: directory-partitioned by
     the split/domain columns, a CONTROLLED shard count per partition,
@@ -102,11 +103,15 @@ def write_corpus_sharded(
 
     The three file-layout levers a 100 TB curation run needs:
 
-    - ``repartition(shards, partition_by)`` hash-routes rows into
-      ``shards_per_partition`` writer tasks, capping files per output
-      directory at that count — without it, every upstream task
-      writes a file into every directory (tasks × partitions small
-      files, the classic small-file explosion).
+    - a computed SHARD column (``pmod(xxhash64(shard_by), shards)``;
+      ``shard_by`` defaults to the first non-partition column) joins
+      the partition columns in the ``repartition``, so each output
+      directory is written by exactly ``shards_per_partition``
+      PARALLEL tasks — repartitioning on the partition columns alone
+      would serialize each directory onto ONE task (the write
+      bottleneck), while no repartition at all makes every upstream
+      task write a file into every directory (tasks × partitions
+      small files, the classic explosion).
     - ``max_records_per_file`` caps file size regardless of skew —
       oversized shards roll over instead of producing 10 GB files.
     - ``sortWithinPartitions`` clusters similar rows (e.g. by source
@@ -116,14 +121,15 @@ def write_corpus_sharded(
     Loaders read back any subset via partition pruning
     (``WHERE split = 'train'`` never touches other directories).
     """
-    if partition_by:
-        df = df.repartition(
-            int(shards_per_partition), *[F.col(c) for c in partition_by]
-        )
-    else:
-        df = df.repartition(int(shards_per_partition))
+    shard_src = shard_by or next(
+        c for c in df.columns if c not in set(partition_by)
+    )
+    shard = F.pmod(F.xxhash64(F.col(shard_src)), F.lit(int(shards_per_partition)))
+    df = df.withColumn("__shard", shard)
+    df = df.repartition(*[F.col(c) for c in partition_by], F.col("__shard"))
     if order_within_shards:
         df = df.sortWithinPartitions(*order_within_shards)
+    df = df.drop("__shard")  # routing column only — not part of the data
     w = df.write.mode(mode)
     if max_records_per_file is not None:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))

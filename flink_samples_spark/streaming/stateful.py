@@ -123,9 +123,6 @@ def sessionize_with_state(
     )
 
 
-EWMA_OUTPUT_SCHEMA = (
-    "event_id bigint, user_id bigint, ts timestamp, value double, ewma double"
-)
 EWMA_STATE_SCHEMA = "s double"
 
 
@@ -135,6 +132,7 @@ def ewma_with_state(
     ts_col: str = "ts",
     key_col: str = "user_id",
     value_col: str = "value",
+    id_col: str = "event_id",
 ) -> DataFrame:
     """Streaming per-key EWMA: the incremental twin of the batch
     :func:`~flink_samples_spark.operators.timeseries.ewma` — identical
@@ -151,6 +149,11 @@ def ewma_with_state(
     unconditionally bounded, no eviction needed.
     """
 
+    output_schema = (
+        f"{id_col} bigint, {key_col} bigint, {ts_col} timestamp, "
+        f"{value_col} double, ewma double"
+    )
+
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -162,17 +165,19 @@ def ewma_with_state(
         s = state.get[0] if state.exists else None
         evs = []
         for pdf in batches:
-            for eid, t, v in zip(pdf["event_id"], pdf[ts_col], pdf[value_col]):
+            for eid, t, v in zip(pdf[id_col], pdf[ts_col], pdf[value_col]):
                 evs.append((int(t.value // 1000), int(eid), float(v)))
+        # (ts, id) order: the id is the deterministic tie-break the
+        # batch operator documents as a uniqueness precondition
         evs.sort()
         for t_us, eid, v in evs:
             s = v if s is None else alpha * v + (1.0 - alpha) * s
             rows.append(
                 {
-                    "event_id": eid,
-                    "user_id": key[0],
-                    "ts": pd.Timestamp(t_us, unit="us"),
-                    "value": v,
+                    id_col: eid,
+                    key_col: key[0],
+                    ts_col: pd.Timestamp(t_us, unit="us"),
+                    value_col: v,
                     "ewma": math.copysign(
                         math.floor(abs(s) * 1e6 + 0.5) / 1e6, s
                     ),
@@ -185,7 +190,7 @@ def ewma_with_state(
 
     return events.groupBy(key_col).applyInPandasWithState(
         fn,
-        outputStructType=EWMA_OUTPUT_SCHEMA,
+        outputStructType=output_schema,
         stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -220,6 +225,11 @@ def sessionize_dynamic_gap(
     emits as a singleton.
     """
 
+    output_schema = (
+        f"{key_col} bigint, window_start timestamp, window_end timestamp, "
+        "total bigint, sum_value double"
+    )
+
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -230,7 +240,7 @@ def sessionize_dynamic_gap(
         def close(start_us: int, end_us: int, total: int, sv: float) -> None:
             rows.append(
                 {
-                    "user_id": key[0],
+                    key_col: key[0],
                     "window_start": pd.Timestamp(start_us, unit="us"),
                     "window_end": pd.Timestamp(end_us, unit="us"),
                     "total": total,
@@ -282,7 +292,7 @@ def sessionize_dynamic_gap(
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=output_schema,
             stateStructType=DYN_STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
@@ -341,10 +351,6 @@ def cep_with_state(
         for t_us, ty in evs:
             # prune anchors that can no longer complete in-window
             pending = [a for a in pending if t_us - a[1] <= win_us]
-            if ty == pattern[0]:
-                anchor = [1] + [0] * k
-                anchor[1] = t_us
-                pending.append(anchor)
             advanced = []
             for a in pending:
                 stage = a[0]
@@ -365,6 +371,14 @@ def cep_with_state(
                         continue  # completed (or expired): drop from pending
                 advanced.append(a)
             pending = advanced
+            # open the new anchor AFTER the advance pass: an event
+            # never satisfies two adjacent stages of its own chain,
+            # so patterns with equal adjacent types (A followed-by A)
+            # get true strictly-later semantics
+            if ty == pattern[0]:
+                anchor = [1] + [0] * k
+                anchor[1] = t_us
+                pending.append(anchor)
         state.update((sum(pending, []),))
         if rows:
             yield pd.DataFrame(rows)

@@ -187,7 +187,12 @@ def test_corpus_sharded_layout(spark, sf_dir, tmp_path):
         # 3 shard tasks × possible rollover; never tasks×partitions
         assert 1 <= len(files) <= 3 * 4, files
         back = spark.read.parquet(d)
+        assert "__shard" not in back.columns
         n_total += back.count()
+    # the big split must actually be written by PARALLEL shard tasks
+    # (the partition-cols-only repartition bug serialized it to one)
+    train_files = glob.glob(os.path.join(out, "split=train", "*.parquet"))
+    assert len(train_files) >= 2, train_files
     full = spark.read.parquet(out)
     assert full.count() == n_total == docs.count()
     # partition pruning: a split filter reads only that directory
