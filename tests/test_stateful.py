@@ -192,3 +192,53 @@ def test_custom_sessionizer_checkpoint_restart(spark, tmpdirs):
         (1, s(0)): (2, 2.0, s(7)),
         (2, s(100)): (2, 12.0, s(108)),  # extended ACROSS the restart
     }
+
+
+def test_cep_repeated_stage_types_strictly_later(spark, tmpdirs):
+    """'A followed-by A': an event must never satisfy two adjacent
+    stages of its own chain — two clicks are needed, in strict time
+    order; the batch as-of rewrite refuses the pattern outright."""
+    from flink_samples_spark.operators.behavior import detect_sequence
+    from flink_samples_spark.streaming.stateful import cep_with_state
+
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    rows = [(7, s(0), "click"), (7, s(5), "click"), (7, s(9), "view")]
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = os.path.join(replay, "c0.parquet")
+    pd.DataFrame(
+        {
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+        }
+    ).to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    os.utime(path, (1_700_000_000, 1_700_000_000))
+
+    stream = file_replay_stream(spark, replay, schema)
+    out = cep_with_state(stream, ["click", "click"], within_seconds=60)
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r.ts_0, r.ts_1)
+        for r in read_sink(spark, sink).collect()
+    )
+    # exactly ONE chain: click@0 → click@5 (the 2nd click also opens
+    # its own anchor, which never completes); never (t, t) self-pairs
+    assert got == [(s(0), s(5))], got
+
+    df = spark.createDataFrame(rows, schema)
+    with pytest.raises(ValueError, match="adjacent stages"):
+        detect_sequence(df, ["click", "click"], within_seconds=60)
