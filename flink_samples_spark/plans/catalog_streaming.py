@@ -1097,3 +1097,69 @@ def q_stream_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
+
+
+# Streaming ABSENCE pattern: clicks with no purchase within 2 h —
+# rows may only emit once the watermark proves the window closed
+# empty (timer-based negative CEP, Flink's notFollowedBy+within).
+# Sentinel advances the final watermark so the tail's timers fire.
+# Shares q_pattern_absence's oracle: streamed == batch as-of dual.
+@query(
+    "q_stream_pattern_absence",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS ts_0 FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    nxt AS (
+      SELECT c.user_id, ts_0, MIN(p.ts) AS nts
+      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts_0
+      GROUP BY c.user_id, ts_0
+    )
+    SELECT user_id, ts_0
+    FROM nxt
+    WHERE nts IS NULL OR epoch(nts) - epoch(ts_0) > 7200
+    """,
+)
+def q_stream_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.streaming.stateful import absence_with_state
+
+    dirs = [tempfile.mkdtemp(prefix=p) for p in ("replay_", "sink_", "cp_")]
+    replay, sink, cp = dirs
+    try:
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        write_replay_files(events, replay, n_files=8, order_col="ts")
+        max_ts = events.agg(F.max("ts")).first()[0]
+        sent = spark.createDataFrame(
+            [(-1, max_ts, -1, "view", 0.0)],
+            "event_id long, ts timestamp, user_id long, event_type string, value double",
+        ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
+        path = os.path.join(replay, "chunk_99999.parquet")
+        sent.toPandas().to_parquet(
+            path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+        os.utime(path, (1_700_000_099, 1_700_000_099))
+
+        stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA_TYPED)
+        out = absence_with_state(
+            stream.select("user_id", "event_type", "ts"),
+            first="click",
+            absent="purchase",
+            within_seconds=7200,
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(sink))
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming replay did not finish within 300s")
+        result = read_sink(spark, sink).filter(F.col("user_id") >= 0).toPandas()
+        result = result[[c for c in result.columns if c != "batch"]]
+        return spark.createDataFrame(result, schema=out.schema)
+    finally:
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)

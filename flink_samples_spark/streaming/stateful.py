@@ -390,3 +390,89 @@ def cep_with_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def absence_with_state(
+    events: DataFrame,
+    first: str,
+    absent: str,
+    within_seconds: float,
+    type_col: str = "event_type",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Streaming CEP ABSENCE pattern — "``first`` NOT followed by
+    ``absent`` within T": the hardest emission semantics in CEP,
+    because a match is the NON-arrival of an event, so a row may only
+    emit once the WATERMARK proves the window closed empty (Flink's
+    notFollowedBy + within, which Flink itself only allows with a
+    window bound, for exactly this reason).
+
+    Per-key state: the pending ``first``-anchor timestamps. An
+    ``absent`` event at-or-after an anchor inside the window kills
+    that anchor; an event-time timer at the earliest anchor's window
+    end fires when the watermark passes it, emitting every anchor
+    whose window is provably over. Matches the batch
+    :func:`~flink_samples_spark.operators.behavior` as-of dual
+    (q_pattern_absence) exactly, so both share one oracle. State is
+    bounded by anchors-per-window, same as the positive-pattern NFA.
+    """
+    win_us = int(within_seconds * 1_000_000)
+
+    def fn(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        pending = list(state.get[0]) if state.exists else []
+        rows = []
+
+        def emit_expired(horizon_us: int) -> None:
+            nonlocal pending
+            done = [a for a in pending if a + win_us < horizon_us]
+            pending = [a for a in pending if a + win_us >= horizon_us]
+            rows.extend(
+                {"user_id": key[0], "ts_0": pd.Timestamp(a, unit="us")}
+                for a in sorted(done)
+            )
+
+        if state.hasTimedOut:
+            emit_expired(state.getCurrentWatermarkMs() * 1000)
+        else:
+            evs = []
+            for pdf in batches:
+                for t, ty in zip(pdf[ts_col], pdf[type_col]):
+                    evs.append((int(t.value // 1000), str(ty)))
+            evs.sort()
+            for t_us, ty in evs:
+                # anchors whose window closed before this event can no
+                # longer be killed (per-key arrival is time-ordered in
+                # the replay) — emit them eagerly; the timer covers the
+                # stream tail
+                emit_expired(t_us)
+                if ty == absent:
+                    pending = [
+                        a for a in pending if not (t_us >= a and t_us - a <= win_us)
+                    ]
+                if ty == first:
+                    pending.append(t_us)
+        if pending:
+            state.update((pending,))
+            state.setTimeoutTimestamp((min(pending) + win_us) // 1000 + 1)
+        elif state.exists:
+            state.remove()
+        if rows:
+            yield pd.DataFrame(rows)
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{key_col} bigint, ts_0 timestamp",
+            stateStructType="anchors array<long>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
