@@ -126,7 +126,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 # q_udtf_lateral q_intersect_all q_except_all q_sample_weighted
 # q_session_dynamic q_stream_session_dynamic q_stream_dedup_index
 # q_curation_v2 q_agg_listagg q_ts_outliers q_pattern_seq
-# q_stream_pattern_seq q_pattern_absence)
+# q_stream_pattern_seq q_pattern_absence q_stream_pattern_absence)
 # and
 # anything that failed in the r4 window — they all fit alongside the
 # 9-query spine with slots to spare for round-5 additions.
