@@ -63,7 +63,9 @@ def main() -> None:
 
     docs01 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     li01 = load_table(spark, sf_dir, "lineitem")
-    o01 = load_table(spark, sf_dir, "orders")
+    ev01 = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
 
     docs = amplify_docs(docs01, n_amp).localCheckpoint()  # materialize once
     li = li01
@@ -73,10 +75,22 @@ def main() -> None:
         )
     li = li.localCheckpoint()
 
+    # events amplified by SHIFTING user_id per copy: per-key series
+    # stay the same length, so per-key sequential ops (EWMA recursion,
+    # CEP chains) scale by KEY parallelism — the axis that matters
+    ev = ev01
+    for k in range(1, max(2, n_amp // 2)):
+        ev = ev.unionByName(
+            ev01.withColumn("user_id", F.col("user_id") + F.lit(k * 10**9))
+            .withColumn("event_id", F.col("event_id") + F.lit(k * 10**12))
+        )
+    ev = ev.localCheckpoint()
+
     n_docs_small, n_docs_big = docs01.count(), docs.count()
     n_li_small, n_li_big = li01.count(), li.count()
+    n_ev_small, n_ev_big = ev01.count(), ev.count()
 
-    def probes(d: DataFrame, l: DataFrame) -> dict[str, DataFrame]:
+    def probes(d: DataFrame, l: DataFrame, e: DataFrame) -> dict[str, DataFrame]:
         from flink_samples_spark.llmops.chunking import chunk_documents
         from flink_samples_spark.llmops.dedup import (
             exact_dedup,
@@ -85,6 +99,8 @@ def main() -> None:
             within_doc_span_dedup,
         )
         from flink_samples_spark.llmops.text import lm_bigram_score, quality_ensemble
+        from flink_samples_spark.operators.behavior import detect_sequence
+        from flink_samples_spark.operators.timeseries import ewma
 
         lang_stub = d.withColumn("lang", F.lit("xx")).withColumn(
             "source", F.lit("amp")
@@ -99,6 +115,14 @@ def main() -> None:
             "chunk_documents": chunk_documents(d, chunk_words=32, stride=24),
             "agg_q1_shape": l.groupBy("l_returnflag", "l_linestatus").agg(
                 F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+            ),
+            "ewma_per_key": ewma(
+                e.select("event_id", "user_id", "ts", "value")
+            ),
+            "cep_pattern_seq": detect_sequence(
+                e.select("user_id", "event_type", "ts"),
+                ["click", "error", "purchase"],
+                within_seconds=7200,
             ),
             "join_smj_self": l.alias("a")
             .join(
@@ -121,16 +145,18 @@ def main() -> None:
 
     # full warm-up pass at each size (JVM JIT + python worker pool +
     # shuffle services), then time the SECOND run of each
-    run(probes(docs01, li01))
-    small = run(probes(docs01, li01))
-    run(probes(docs, li))
-    big = run(probes(docs, li))
+    run(probes(docs01, li01, ev01))
+    small = run(probes(docs01, li01, ev01))
+    run(probes(docs, li, ev))
+    big = run(probes(docs, li, ev))
 
     import math
 
     amp_rows = {  # rows driving each probe
         k: (n_li_small, n_li_big)
         if k in ("agg_q1_shape", "join_smj_self")
+        else (n_ev_small, n_ev_big)
+        if k in ("ewma_per_key", "cep_pattern_seq")
         else (n_docs_small, n_docs_big)
         for k in small
     }
@@ -140,7 +166,10 @@ def main() -> None:
         f"Amplified corpus: documents ×{n_amp} ({n_docs_small:,} → "
         f"{n_docs_big:,} docs; copies are deliberate near-dups), lineitem "
         f"×{max(2, n_amp // 2) } ({n_li_small:,} → {n_li_big:,} rows, "
-        "disjoint keys). local[32]; times are noop-materialized wall",
+        f"disjoint keys), events ×{max(2, n_amp // 2)} "
+        f"({n_ev_small:,} → {n_ev_big:,}, shifted user keys — per-key"
+        " series length constant). local[32]; times are"
+        " noop-materialized wall",
         "seconds. `exp` = log(time ratio)/log(rows ratio): 1.0 is linear,",
         "<1 means fixed costs still dominate at this size, >1.1 would flag",
         "a superlinear operator (none).",
