@@ -321,13 +321,30 @@ def cep_with_state(
 
     State is the pending-anchor list per key: each entry is
     (anchor_ts, stage, ts_0..ts_{k-1}); anchors older than the
-    pattern window are pruned on every call, so state is bounded by
-    the anchor arrival rate × window — the same bound Flink's CEP
+    pattern window are pruned on every call and the state row is
+    removed outright when no anchor is pending, so state is bounded
+    by the anchor arrival rate × window — the same bound Flink's CEP
     operator carries. Stored as a flattened long array in one state
-    column.
+    column. A key that goes quiescent while holding a live anchor
+    keeps it until the next event for that key arrives (NoTimeout
+    operator — bounded replays and tests don't care; a long-running
+    deployment that does should front a watermark and periodic
+    heartbeat events, or accept ≤ anchors-per-window residue per
+    idle key).
+
+    Equal-timestamp events are applied in PATTERN-STAGE order (the
+    stage each type first occupies), not arrival/lexicographic order:
+    the batch as-of rewrite gives every stage at-or-after (>=)
+    semantics, so an advancing event at the same timestamp as its
+    anchor must still advance regardless of how the type names sort.
     """
     k = len(pattern)
     win_us = int(within_seconds * 1_000_000)
+    # first stage each event type occupies; unknown types sort last
+    # (they can never advance an anchor, so their slot is irrelevant)
+    stage_of: dict[str, int] = {}
+    for i, p in enumerate(pattern):
+        stage_of.setdefault(p, i)
     out_cols = ", ".join(f"ts_{i} timestamp" for i in range(k))
     output_schema = f"user_id bigint, {out_cols}"
 
@@ -346,9 +363,10 @@ def cep_with_state(
         evs = []
         for pdf in batches:
             for t, ty in zip(pdf[ts_col], pdf[type_col]):
-                evs.append((int(t.value // 1000), str(ty)))
+                ty = str(ty)
+                evs.append((int(t.value // 1000), stage_of.get(ty, k), ty))
         evs.sort()
-        for t_us, ty in evs:
+        for t_us, _stage, ty in evs:
             # prune anchors that can no longer complete in-window
             pending = [a for a in pending if t_us - a[1] <= win_us]
             advanced = []
@@ -379,7 +397,12 @@ def cep_with_state(
                 anchor = [1] + [0] * k
                 anchor[1] = t_us
                 pending.append(anchor)
-        state.update((sum(pending, []),))
+        if pending:
+            state.update((sum(pending, []),))
+        elif state.exists:
+            # drained keys drop their state row entirely — no empty
+            # arrays accumulating for every key ever seen
+            state.remove()
         if rows:
             yield pd.DataFrame(rows)
 
@@ -417,6 +440,12 @@ def absence_with_state(
     :func:`~flink_samples_spark.operators.behavior` as-of dual
     (q_pattern_absence) exactly, so both share one oracle. State is
     bounded by anchors-per-window, same as the positive-pattern NFA.
+
+    Equal-timestamp events are applied ``first``-before-``absent``
+    (stage order, not lexicographic): the batch dual kills an anchor
+    on an ``absent`` event AT-or-after it, so an absent event sharing
+    the anchor's timestamp must see the anchor already open no matter
+    how the two type names sort.
     """
     win_us = int(within_seconds * 1_000_000)
 
@@ -441,11 +470,13 @@ def absence_with_state(
             emit_expired(state.getCurrentWatermarkMs() * 1000)
         else:
             evs = []
+            stage = {first: 0, absent: 1}
             for pdf in batches:
                 for t, ty in zip(pdf[ts_col], pdf[type_col]):
-                    evs.append((int(t.value // 1000), str(ty)))
+                    ty = str(ty)
+                    evs.append((int(t.value // 1000), stage.get(ty, 2), ty))
             evs.sort()
-            for t_us, ty in evs:
+            for t_us, _stage, ty in evs:
                 # anchors whose window closed before this event can no
                 # longer be killed (per-key arrival is time-ordered in
                 # the replay) — emit them eagerly; the timer covers the

@@ -27,11 +27,19 @@ WINDOW = 50
 FAMILY_REPRESENTATIVES = {
     "2.1 sources": {"q_scan_parquet", "q_source_range", "q_scan_json"},
     "2.2 projections/filters": {"q_project", "q_filter"},
-    "2.3 joins": {"q_join_broadcast", "q_join_smj"},
-    "2.4 aggregations": {"q_agg_count_group", "q_agg_approx_distinct"},
+    "2.3 joins": {"q_join_broadcast", "q_join_smj", "q_join_bloom", "q_merge_upsert"},
+    "2.4 aggregations": {
+        "q_agg_count_group",
+        "q_agg_approx_distinct",
+        "q_pivot",
+        "q_unpivot",
+        "q_agg_percentiles",
+        "q_agg_bitmap_distinct",
+        "q_agg_listagg",
+    },
     "2.5 analytic windows": {"q_win_rank", "q_win_laglead"},
     "2.6 top-k": {"q_topk", "q_topk_per_group"},
-    "2.7 set ops": {"q_union_all", "q_except"},
+    "2.7 set ops": {"q_union_all", "q_except", "q_intersect_all", "q_except_all"},
     "2.8 scalar functions": {
         "q_fn_string",
         "q_fn_date",
@@ -47,6 +55,9 @@ FAMILY_REPRESENTATIVES = {
         "q_fn_try",
         "q_fn_array2",
         "q_fn_variant",
+        # third tier (round 4)
+        "q_fn_regex",
+        "q_fn_zorder",
     },
     "2.9 time windows": {"q_session_window", "q_tumbling_window"},
     "2.9 real streaming": {
@@ -56,6 +67,16 @@ FAMILY_REPRESENTATIVES = {
         "q_stream_custom_sessionizer",
         "q_stream_enrich",
         "q_stream_dedup",
+        # round-4 strict-oracle streaming runs
+        "q_stream_upsert",
+        "q_stream_update_counts",
+        "q_stream_complete_counts",
+        "q_stream_ewma",
+        "q_stream_join_outer",
+        "q_stream_pattern_seq",
+        "q_stream_pattern_absence",
+        "q_stream_session_dynamic",
+        "q_stream_dedup_index",
     },
     "2.10 UDFs": {
         "q_udf_scalar",
@@ -63,8 +84,18 @@ FAMILY_REPRESENTATIVES = {
         "q_udtf",
         "q_apply_in_pandas",
         "q_udf_arrow",
+        "q_udtf_lateral",
     },
-    "tier X": {"q_dedup_exact", "q_dedup_near", "q_sim_topk", "q_text_stats"},
+    "tier X": {
+        "q_dedup_exact",
+        "q_dedup_near",
+        "q_sim_topk",
+        "q_text_stats",
+        "q_dedup_ngram",
+        "q_dedup_simhash",
+        "q_tfidf",
+        "q_embed_pca",
+    },
     "SQL entry": {
         "q_sql_session_window",
         "q_sql_cte",

@@ -242,3 +242,95 @@ def test_cep_repeated_stage_types_strictly_later(spark, tmpdirs):
     df = spark.createDataFrame(rows, schema)
     with pytest.raises(ValueError, match="adjacent stages"):
         detect_sequence(df, ["click", "click"], within_seconds=60)
+
+
+def _write_event_chunk(replay, rows, idx=0, mtime=1_700_000_000):
+    schema_cols = ["user_id", "ts", "event_type"]
+    path = os.path.join(replay, f"tie{idx:03d}.parquet")
+    pd.DataFrame({c: [r[i] for r in rows] for i, c in enumerate(schema_cols)}).to_parquet(
+        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    os.utime(path, (mtime + idx,) * 2)
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def test_cep_tie_timestamp_types_sorting_against_stage_order(spark, tmpdirs):
+    """ADVICE r4 (medium): equal-timestamp events must apply in
+    pattern-STAGE order, not lexicographic type order. Pattern
+    ['zebra', 'apple']: 'apple' sorts before 'zebra' but is stage 1,
+    so zebra@T followed by apple@T (same T) is a match under the
+    batch at-or-after semantics — the NFA must agree."""
+    from flink_samples_spark.operators.behavior import detect_sequence
+    from flink_samples_spark.streaming.stateful import cep_with_state
+
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    rows = [
+        (1, s(10), "zebra"),
+        (1, s(10), "apple"),   # same ts, type sorts BEFORE the anchor type
+        (2, s(20), "apple"),
+        (2, s(20), "zebra"),   # anchor; earliest at-or-after apple is
+        (2, s(25), "apple"),   # ... the SAME-ts one (stage order), not @25
+    ]
+    _write_event_chunk(replay, rows)
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    out = cep_with_state(stream, ["zebra", "apple"], within_seconds=60)
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted((r.user_id, r.ts_0, r.ts_1) for r in read_sink(spark, sink).collect())
+    want = [(1, s(10), s(10)), (2, s(20), s(20))]
+    # batch twin agrees row-for-row (shared-oracle parity contract)
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+    batch = sorted(
+        (r.user_id, r.ts_0, r.ts_1)
+        for r in detect_sequence(df, ["zebra", "apple"], within_seconds=60).collect()
+    )
+    assert batch == want, batch
+    assert got == want, got
+
+
+def test_absence_tie_timestamp_kill_types_sorting_against_stage_order(spark, tmpdirs):
+    """ADVICE r4 (medium): an 'absent' event at the SAME timestamp as
+    its anchor must kill it (at-or-after), even when the absent type
+    sorts lexicographically before the first type."""
+    from flink_samples_spark.streaming.stateful import absence_with_state
+
+    replay, sink, cp = tmpdirs
+    s = lambda sec: BASE + dt.timedelta(seconds=sec)
+    rows = [
+        (1, s(10), "zulu"),
+        (1, s(10), "alpha"),   # same-ts killer, sorts before 'zulu'
+        (2, s(20), "zulu"),    # never killed → must emit
+        (9, s(900), "zulu"),   # sentinel pushes watermark past key 2's window
+    ]
+    _write_event_chunk(replay, rows)
+
+    stream = file_replay_stream(spark, replay, EVENT_SCHEMA)
+    out = absence_with_state(
+        stream, first="zulu", absent="alpha", within_seconds=30, watermark="0 seconds"
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(sink))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted((r.user_id, r.ts_0) for r in read_sink(spark, sink).collect())
+    assert got == [(2, s(20))], got
