@@ -170,20 +170,34 @@ def snapshot_diff(
     carries (key, 8-byte hash) per side plus the join's row pairing.
     Unchanged keys are dropped (the overwhelmingly common case, so
     output ≪ input).
+
+    The key join is NULL-safe (``<=>``): a row whose key is NULL on
+    both sides pairs up like any other value instead of surfacing as
+    a spurious added+removed pair. Caveat shared with the repo's
+    other hash-compare operators: two versions whose compare columns
+    collide under xxhash64 (probability 2⁻⁶⁴ per key) report as
+    unchanged.
     """
     keys = [key] if isinstance(key, str) else list(key)
     oh = old.select(*keys, F.xxhash64(*compare).alias("__h_old"))
-    nh = new.select(*keys, F.xxhash64(*compare).alias("__h_new"))
-    j = oh.join(nh, keys, "full_outer")
+    nh = new.select(
+        *[F.col(k).alias(f"__n_{k}") for k in keys],
+        F.xxhash64(*compare).alias("__h_new"),
+    )
+    cond = None
+    for k in keys:
+        c = oh[k].eqNullSafe(nh[f"__n_{k}"])
+        cond = c if cond is None else cond & c
+    j = oh.join(nh, cond, "full_outer")
     status = (
         F.when(F.col("__h_old").isNull(), F.lit("added"))
         .when(F.col("__h_new").isNull(), F.lit("removed"))
         .when(F.col("__h_old") != F.col("__h_new"), F.lit("changed"))
     )
-    return (
-        j.select(*keys, status.alias("status"))
-        .filter(F.col("status").isNotNull())
-    )
+    return j.select(
+        *[F.coalesce(oh[k], nh[f"__n_{k}"]).alias(k) for k in keys],
+        status.alias("status"),
+    ).filter(F.col("status").isNotNull())
 
 
 def data_quality_report(
@@ -194,14 +208,17 @@ def data_quality_report(
 ) -> DataFrame:
     """Declarative data-quality audit: one row per check with its
     violation count — null checks, key-uniqueness checks, and
-    numeric range checks over a table, all folded into ONE scan plus
-    one tiny agg per uniqueness key.
+    numeric range checks over a table, all folded into ONE aggregate
+    over ONE scan of the input.
 
-    The null and range checks are conditional counts in a single
-    two-phase aggregate (one pass, no shuffle of data rows);
-    uniqueness is count(*) - count_distinct(key) (one shuffle of the
-    key column only). Output is O(checks) rows — the shape a CI gate
-    or freshness monitor consumes.
+    The null and range checks are conditional counts and uniqueness
+    is count(*) - count_distinct(key), all in the same ``df.agg``:
+    Catalyst plans the mixed distinct/non-distinct aggregate as a
+    single scan feeding an Expand (one duplicated pass per distinct
+    key IN THE SHUFFLE, never a re-read of the table — the 100 TB
+    cost that separate per-key aggregates would incur). Output is
+    O(checks) rows — the shape a CI gate or freshness monitor
+    consumes.
     """
     if not (not_null or unique or ranges):
         raise ValueError("data_quality_report: no checks requested")
@@ -215,23 +232,18 @@ def data_quality_report(
             F.sum(((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("bigint"))
         )
         names.append(f"range:{c}")
-    long = None
-    if aggs:
-        base = df.agg(*[a.alias(f"c{i}") for i, a in enumerate(aggs)])
-        long = base.select(
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(n).alias("check"), F.col(f"c{i}").alias("violations"))
-                    for i, n in enumerate(names)
-                ])
-            ).alias("r")
-        ).select("r.check", "r.violations")
     for c in unique:
-        u = df.agg(
-            (F.count(F.lit(1)) - F.count_distinct(F.col(c))).alias("violations")
-        ).select(F.lit(f"unique:{c}").alias("check"), "violations")
-        long = u if long is None else long.unionByName(u)
-    return long
+        aggs.append(F.count(F.lit(1)) - F.count_distinct(F.col(c)))
+        names.append(f"unique:{c}")
+    base = df.agg(*[a.alias(f"c{i}") for i, a in enumerate(aggs)])
+    return base.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(n).alias("check"), F.col(f"c{i}").alias("violations"))
+                for i, n in enumerate(names)
+            ])
+        ).alias("r")
+    ).select("r.check", "r.violations")
 
 
 def detect_sequence(

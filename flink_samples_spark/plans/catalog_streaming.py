@@ -1023,17 +1023,22 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch = batch.cache()
             within = minhash_lsh_pairs(batch, k=3, threshold=0.8)
             if idx_state["exists"]:
-                index = spark.read.parquet(idx)
+                index = spark.read.parquet(idx).drop("batch")
                 cross = dedup_against_index(batch, index, k=3, threshold=0.8)
                 pairs = within.unionByName(cross)
             else:
                 pairs = within
             sink_fn(pairs, batch_id)
             # append AFTER emission: a doc never pairs with itself via
-            # the index. (Retry idempotency note: the sink is
-            # batch-id-idempotent; index append assumes the replay
-            # harness's no-retry execution.)
-            build_dedup_index(batch, k=3).write.mode("append").parquet(idx)
+            # the index. The append lands in a per-batch_id partition
+            # directory with overwrite — the same idempotency contract
+            # as idempotent_parquet_sink — so a micro-batch retry or
+            # checkpoint restart replaces its own signatures instead
+            # of double-appending them (which would fabricate
+            # duplicate and index-vs-self pairs).
+            build_dedup_index(batch, k=3).write.mode("overwrite").parquet(
+                os.path.join(idx, f"batch={batch_id}")
+            )
             idx_state["exists"] = True
             batch.unpersist()
             spark.catalog.clearCache()  # per-batch minhash caches

@@ -60,3 +60,50 @@ def test_scd2_collapses_runs_and_flags_current(spark):
     assert [r.is_current for r in rows] == [False, False, True]
     assert rows[0].valid_to == rows[1].valid_from
     assert rows[-1].valid_to is None
+
+
+def test_snapshot_diff_null_keys_pair_null_safe(spark):
+    """ADVICE r4: a NULL key must pair across versions (null-safe
+    join), not surface as a spurious added+removed split."""
+    from flink_samples_spark.operators.behavior import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(None, "same"), (1, "x"), (2, "gone")], "k int, v string"
+    )
+    new = spark.createDataFrame(
+        [(None, "same"), (1, "y"), (3, "fresh")], "k int, v string"
+    )
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    # NULL key unchanged -> dropped entirely; 1 changed; 2 removed; 3 added
+    assert got == {1: "changed", 2: "removed", 3: "added"}, got
+
+    old2 = spark.createDataFrame([(None, "a")], "k int, v string")
+    new2 = spark.createDataFrame([(None, "b")], "k int, v string")
+    got2 = [(r.k, r.status) for r in snapshot_diff(old2, new2, "k", ["v"]).collect()]
+    assert got2 == [(None, "changed")], got2
+
+
+def test_data_quality_report_is_one_scan(spark, sf_dir):
+    """ADVICE r4: every check — nulls, ranges, AND uniqueness — folds
+    into one aggregate over one scan; no per-key re-read of the
+    input."""
+    from flink_samples_spark.operators.behavior import data_quality_report
+    from flink_samples_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = data_quality_report(
+        docs,
+        not_null=["text", "lang"],
+        unique=["doc_id", "source"],
+        ranges=[("n_chars", 0, 10_000_000)],
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # exactly one scan of the parquet source in the whole plan (the
+    # mixed distinct/non-distinct agg plans as Expand over that scan)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Expand" in plan, plan
+    rows = {r.check: r.violations for r in rep.collect()}
+    assert set(rows) == {
+        "null:text", "null:lang", "unique:doc_id", "unique:source", "range:n_chars"
+    }
+    assert rows["unique:doc_id"] == 0
