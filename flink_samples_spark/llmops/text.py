@@ -368,10 +368,19 @@ def lm_bigram_score(docs: DataFrame) -> DataFrame:
     narrow JVM projection, so the count shuffles and the probability
     joins all key on 8-byte hashes (equal to string keys modulo 2⁻⁶⁴
     collisions). The model tables are Zipf-small relative to the
-    corpus (distinct bigrams ≪ bigram occurrences at 100 TB), so AQE
-    broadcasts them back onto the occurrence stream; the only big
-    shuffle is the final doc_id re-aggregation, which carries one
-    (doc_id, logp) pair per bigram occurrence.
+    corpus (distinct bigrams ≪ bigram OCCURRENCES), but at 100 TB the
+    distinct-bigram table is still billions of rows — too big to
+    broadcast. The probs join therefore runs as a sort-merge join on
+    the 8-byte h12 key (scale-safe: both sides shuffle compact
+    fixed-width rows); when the model table does fit under Spark's
+    autoBroadcastJoinThreshold, AQE upgrades it to a broadcast join
+    at runtime from the measured shuffle-stage size — no size gate is
+    hand-coded because AQE's runtime statistics make the same
+    decision with real numbers. The only per-occurrence shuffle is
+    the final doc_id re-aggregation, which carries one
+    (doc_id, logp) pair per bigram occurrence. Either join strategy
+    is hash-keyed — a plan test asserts no cartesian/BNLJ can appear
+    on the probs join.
     """
     # word-hash array materialized in its own projection — inlining it
     # makes Catalyst re-hash all words per element access (see

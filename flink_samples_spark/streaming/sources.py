@@ -74,17 +74,24 @@ def write_replay_files(
     """Materialize a batch DataFrame as N single-file parquet chunks in
     event-time order — one micro-batch each under
     ``maxFilesPerTrigger=1``. Deterministic harness for
-    watermark/late-data/restart tests (SURVEY.md §5.3)."""
+    watermark/late-data/restart tests (SURVEY.md §5.3).
+
+    .. warning:: TEST HARNESS ONLY — do not promote to production.
+       The global ``orderBy`` + ``toPandas`` below materializes the
+       whole input on the driver; the hard 1M-row refusal exists so
+       this path can never silently ride into a real pipeline. For
+       production replays, write range-partitioned sorted chunks with
+       Spark itself (``df.repartitionByRange(order_col).sortWithin
+       Partitions(order_col).write.parquet(...)``) and feed them to
+       :func:`file_replay_stream` directly.
+    """
     out_dir = out_dir or tempfile.mkdtemp(prefix="replay_")
     os.makedirs(out_dir, exist_ok=True)
-    # Test harness only: materializes on the driver. Refuse big inputs
-    # rather than dying slowly — at scale, write sorted chunks with
-    # Spark itself (df.repartitionByRange(order_col).write...).
     n_rows = df.count()
-    if n_rows > 5_000_000:
+    if n_rows > 1_000_000:
         raise ValueError(
             f"write_replay_files is a driver-side test harness; got {n_rows} "
-            "rows (>5M). Use a Spark-native sorted write for large replays."
+            "rows (>1M). Use a Spark-native sorted write for large replays."
         )
     pdf = df.orderBy(order_col).toPandas()
     n = len(pdf)

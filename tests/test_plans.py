@@ -210,3 +210,21 @@ def test_within_doc_dedup_is_narrow(spark, sf_dir):
     no exchange of any kind in its plan."""
     p = plan_of(QUERIES["q_dedup_within"](spark, sf_dir), mode="simple")
     assert "Exchange" not in p, p
+
+
+def test_lm_bigram_probs_join_is_hash_keyed_at_sf01(spark):
+    """VERDICT r4 item 4: the bigram-LM probs join must plan as a
+    hash-keyed join (sort-merge, or AQE-upgraded broadcast) on the
+    8-byte h12 key — never a cartesian/nested-loop — at the largest
+    local scale factor, where the model table is its biggest."""
+    from flink_samples_spark.llmops.text import lm_bigram_score
+    from flink_samples_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents").select(
+        "doc_id", "text"
+    )
+    p = plan_of(lm_bigram_score(docs), mode="simple")
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    # the probs join keys on h12 via an equi hash join family
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p, p

@@ -444,3 +444,16 @@ def test_ewma_state_restart_continues_recursion(spark, tmpdirs):
         for r in read_sink(spark, sink).collect()
     }
     assert got == {0: 4.0, 1: 5.0, 2: 6.75}, got
+
+
+def test_write_replay_files_refuses_large_inputs(spark):
+    """The replay harness materializes on the driver (toPandas): it
+    must hard-refuse >1M rows so the test-only path can never ride
+    into a production pipeline (ADVICE r3/r4 guard)."""
+    import pytest
+
+    from flink_samples_spark.streaming.sources import write_replay_files
+
+    big = spark.range(1_000_001).selectExpr("id as ts", "id as value")
+    with pytest.raises(ValueError, match="driver-side test harness"):
+        write_replay_files(big, order_col="ts")
