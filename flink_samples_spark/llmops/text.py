@@ -437,6 +437,9 @@ def quality_ensemble(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     stop_arr = F.array(*[F.lit(w) for w in _LANG_PROFILES["en"]])
+    # O(|stopwords|) per token by linear array scan — acceptable only
+    # because the list is a fixed ~30 entries (a Spark map literal
+    # would scan linearly too; neither is a hash probe)
     n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
     stop_ratio = n_stop.cast("double") / n_words
     dup_frac = F.lit(1.0) - F.size(F.array_distinct(words)).cast("double") / n_words

@@ -1012,7 +1012,10 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_fn = idempotent_parquet_sink(sink)
     try:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        write_replay_files(docs, replay, n_files=6, order_col="doc_id")
+        # 4 micro-batches: still a genuine incremental run (batch 0
+        # has no index; batches 1-3 dedup against a growing one) at
+        # two fewer rounds of per-batch signature/join stage spin-up
+        write_replay_files(docs, replay, n_files=4, order_col="doc_id")
         schema = T.StructType(
             [
                 T.StructField("doc_id", T.LongType()),
