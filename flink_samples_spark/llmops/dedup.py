@@ -25,6 +25,7 @@ definition) or salt the band key. The cap is exposed as
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -783,6 +784,34 @@ def build_dedup_index(docs: DataFrame, k: int = 3, signature: str = "oph") -> Da
         F.collect_list(F.struct("band", "band_hash")).alias("bands")
     )
     return hashed.join(grouped, "doc_id")
+
+
+def read_prior_index(spark, idx_dir: str, batch_id: int) -> DataFrame | None:
+    """Storage-derived view of a per-micro-batch partitioned signature
+    index (``batch=<id>`` subdirectories, each written with overwrite
+    by its own micro-batch) holding ONLY batches BEFORE ``batch_id``
+    — or ``None`` when no prior batch exists.
+
+    This is the retry/restart-safe read side of streaming ingestion
+    dedup: after a micro-batch retry the directory already holds THIS
+    batch's own signatures (joining them would fabricate self-pairs),
+    and after a checkpoint restart any in-memory "index exists" flag
+    is gone (skipping the join would drop cross-batch pairs) — so
+    both the existence test and the self-exclusion derive from
+    storage, keyed by the batch_id the checkpoint replays. Uses a
+    local-filesystem listing (this engine's checkpoint/index dirs are
+    driver-visible paths; an object-store deployment would swap in
+    the Hadoop FileSystem API)."""
+    if not os.path.isdir(idx_dir):
+        return None
+    if not any(
+        d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
+        for d in os.listdir(idx_dir)
+    ):
+        return None
+    return (
+        spark.read.parquet(idx_dir).filter(F.col("batch") < batch_id).drop("batch")
+    )
 
 
 def dedup_against_index(

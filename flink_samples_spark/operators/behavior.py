@@ -274,6 +274,14 @@ def detect_sequence(
     ``followedBy`` + ``AFTER MATCH SKIP TO NEXT ROW`` interpretation;
     overlapping matches anchored at different pattern-0 events are
     all reported.
+
+    Tie caveat for repeated non-adjacent types (e.g. A,B,A): the
+    at-or-after (>=) chaining can bind ONE physical event to two
+    stages of the repeated type when timestamps tie, where the
+    streaming NFA (:func:`~flink_samples_spark.streaming.stateful.
+    cep_with_state`), like Flink CEP, consumes each event once. The
+    two agree exactly for distinct-type patterns, and for repeated
+    types whenever (key, ts) is unique.
     """
     from flink_samples_spark.operators.joins import as_of_join
     from flink_samples_spark.utils import epoch_double

@@ -1004,6 +1004,7 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_dedup_index,
         dedup_against_index,
         minhash_lsh_pairs,
+        read_prior_index,
     )
     from flink_samples_spark.streaming.sinks import idempotent_parquet_sink
 
@@ -1023,13 +1024,14 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         stream = file_replay_stream(spark, replay, schema)
-        idx_state = {"exists": False}
 
         def process(batch: DataFrame, batch_id: int) -> None:
             batch = batch.cache()
             within = minhash_lsh_pairs(batch, k=3, threshold=0.8)
-            if idx_state["exists"]:
-                index = spark.read.parquet(idx).drop("batch")
+            # ONLY prior-batch signatures: retry/restart-safe read
+            # derived from storage (see read_prior_index docstring)
+            index = read_prior_index(spark, idx, batch_id)
+            if index is not None:
                 cross = dedup_against_index(batch, index, k=3, threshold=0.8)
                 pairs = within.unionByName(cross)
             else:
@@ -1038,14 +1040,11 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             # append AFTER emission: a doc never pairs with itself via
             # the index. The append lands in a per-batch_id partition
             # directory with overwrite — the same idempotency contract
-            # as idempotent_parquet_sink — so a micro-batch retry or
-            # checkpoint restart replaces its own signatures instead
-            # of double-appending them (which would fabricate
-            # duplicate and index-vs-self pairs).
+            # as idempotent_parquet_sink — so a retry replaces its own
+            # signatures instead of double-appending them.
             build_dedup_index(batch, k=3).write.mode("overwrite").parquet(
                 os.path.join(idx, f"batch={batch_id}")
             )
-            idx_state["exists"] = True
             batch.unpersist()
             spark.catalog.clearCache()  # per-batch minhash caches
 

@@ -337,6 +337,13 @@ def cep_with_state(
     the batch as-of rewrite gives every stage at-or-after (>=)
     semantics, so an advancing event at the same timestamp as its
     anchor must still advance regardless of how the type names sort.
+    Exact tie parity holds for patterns of DISTINCT types. For a
+    repeated non-adjacent type (e.g. A,B,A) the two sides diverge on
+    ties by design: the as-of rewrite can bind ONE physical A event
+    to both stage 0 and stage 2 at the same timestamp, while the NFA
+    — like Flink CEP — consumes each event once and requires a
+    second A. Per-key (key, ts)-unique data (the same precondition
+    ewma documents) makes them identical for repeated types too.
     """
     k = len(pattern)
     win_us = int(within_seconds * 1_000_000)

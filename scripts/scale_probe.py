@@ -109,7 +109,10 @@ def main() -> None:
 
     def probes(
         d: DataFrame, l: DataFrame, e: DataFrame, em: DataFrame, idx: DataFrame
-    ) -> dict[str, DataFrame]:
+    ) -> "dict[str, object]":
+        # values are DataFrames (noop-materialized by run()) or
+        # zero-arg thunks for operators that execute jobs during
+        # construction (PCA's partial-Gram collect)
         from flink_samples_spark.llmops.chunking import chunk_documents
         from flink_samples_spark.llmops.dedup import (
             exact_dedup,
@@ -181,7 +184,7 @@ def main() -> None:
 
         return go
 
-    def run(qs: dict[str, DataFrame]) -> dict[str, float]:
+    def run(qs: "dict[str, object]") -> dict[str, float]:
         t = {}
         for name, df in qs.items():
             t0 = time.time()

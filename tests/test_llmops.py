@@ -326,3 +326,45 @@ def test_vocab_encode_big_vocab_broadcast_path(spark, sf_dir):
     b = {r["doc_id"]: (r["n_tokens"], r["n_oov"], r["ids_checksum"])
          for r in small_path.collect()}
     assert a == b
+
+
+def test_read_prior_index_is_retry_and_restart_safe(spark, tmp_path):
+    """Code-review r5: the streaming ingestion-dedup read side must
+    (a) exclude the current batch's own signatures — a RETRIED batch
+    has already written its batch=N partition, and joining it would
+    fabricate self-pairs — and (b) detect prior batches from STORAGE,
+    so a checkpoint RESTART (fresh driver memory) still joins them."""
+    from flink_samples_spark.llmops.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        read_prior_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    d0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id bigint, text string",
+    )
+    d1 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta")],  # near-dup of doc 1
+        "doc_id bigint, text string",
+    )
+    # batch 0 commits, then batch 1 writes its partition and RETRIES
+    build_dedup_index(d0, k=3).write.mode("overwrite").parquet(f"{idx}/batch=0")
+    build_dedup_index(d1, k=3).write.mode("overwrite").parquet(f"{idx}/batch=1")
+
+    # no prior index before the first batch, ever
+    assert read_prior_index(spark, idx, 0) is None
+    assert read_prior_index(spark, str(tmp_path / "missing"), 5) is None
+
+    # the retried batch 1 sees ONLY batch 0 (fresh driver state — the
+    # restart scenario — is inherent: nothing in memory is consulted)
+    prior = read_prior_index(spark, idx, 1)
+    assert sorted(r.doc_id for r in prior.select("doc_id").collect()) == [1, 2]
+
+    pairs = dedup_against_index(d1, prior, k=3, threshold=0.8)
+    got = sorted((r.doc_a, r.doc_b) for r in pairs.collect())
+    # doc 3 pairs with its batch-0 twin doc 1; never with itself
+    assert got == [(1, 3)], got
+    spark.catalog.clearCache()
