@@ -86,3 +86,18 @@ def run_check(spark, sf_dir: str, name: str) -> None:
     con = duckdb_con(sf_dir)
     oracle_pdf = con.execute(ORACLES[name]).df()
     compare(spark_pdf, oracle_pdf, name)
+
+
+def write_replay_chunk(dirpath: str, name: str, data: dict, seq: int = 0) -> str:
+    """One µs-coerced parquet replay chunk with mtime == replay order.
+
+    The µs coercion matters: the engine session reads parquet NANOS as
+    int64 (nanosAsLong), which would break a declared TimestampType
+    stream schema; the mtime stamp makes file order the replay order
+    under maxFilesPerTrigger."""
+    path = os.path.join(dirpath, f"{name}.parquet")
+    pd.DataFrame(data).to_parquet(
+        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    os.utime(path, (1_700_000_000 + seq,) * 2)
+    return path

@@ -244,13 +244,16 @@ def test_cep_repeated_stage_types_strictly_later(spark, tmpdirs):
         detect_sequence(df, ["click", "click"], within_seconds=60)
 
 
-def _write_event_chunk(replay, rows, idx=0, mtime=1_700_000_000):
-    schema_cols = ["user_id", "ts", "event_type"]
-    path = os.path.join(replay, f"tie{idx:03d}.parquet")
-    pd.DataFrame({c: [r[i] for r in rows] for i, c in enumerate(schema_cols)}).to_parquet(
-        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+def _write_event_chunk(replay, rows, idx=0):
+    from tests._harness import write_replay_chunk
+
+    cols = ["user_id", "ts", "event_type"]
+    write_replay_chunk(
+        replay,
+        f"tie{idx:03d}",
+        {c: [r[i] for r in rows] for i, c in enumerate(cols)},
+        seq=idx,
     )
-    os.utime(path, (mtime + idx,) * 2)
 
 
 EVENT_SCHEMA = T.StructType(

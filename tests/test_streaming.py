@@ -38,15 +38,14 @@ SENTINEL_TS = BASE + dt.timedelta(hours=6)
 
 
 def _write_chunk(dirpath: str, name: str, rows, seq: int) -> None:
-    import pandas as pd
+    from tests._harness import write_replay_chunk
 
-    path = os.path.join(dirpath, f"{name}.parquet")
-    # µs timestamps: the engine session reads parquet NANOS as int64
-    # (nanosAsLong), which would break the declared stream schema.
-    pd.DataFrame({"id": [r[0] for r in rows], "ts": [r[1] for r in rows]}).to_parquet(
-        path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    write_replay_chunk(
+        dirpath,
+        name,
+        {"id": [r[0] for r in rows], "ts": [r[1] for r in rows]},
+        seq=seq,
     )
-    os.utime(path, (1_700_000_000 + seq, 1_700_000_000 + seq))
 
 
 def _run_available_now(stream_df, sink_dir: str, cp_dir: str) -> None:
