@@ -786,6 +786,63 @@ def build_dedup_index(docs: DataFrame, k: int = 3, signature: str = "oph") -> Da
     return hashed.join(grouped, "doc_id")
 
 
+def _index_band_rows(bidx: DataFrame, side: int | None = None) -> DataFrame:
+    """(doc_id, band, band_hash) rows restored from an index frame's
+    packed ``bands`` array (:func:`build_dedup_index` output) — the
+    exact rows the banding stage produced, with zero re-hashing."""
+    out = bidx.select("doc_id", F.explode("bands").alias("b")).select(
+        "doc_id",
+        F.col("b.band").alias("band"),
+        F.col("b.band_hash").alias("band_hash"),
+    )
+    return out.withColumn("side", F.lit(side)) if side is not None else out
+
+
+def minhash_lsh_pairs_from_index(
+    bidx: DataFrame, threshold: float = 0.8, max_bucket: int = 1000
+) -> DataFrame:
+    """Within-corpus near-dup pairs derived from a PRE-BUILT signature
+    index frame — identical results to :func:`minhash_lsh_pairs` on
+    the corpus the index was built from (a pytest differential pins
+    this), but the shingle/banding stages run ZERO times: the stored
+    sketches feed bucketing and the exact-Jaccard verify directly.
+
+    This is the ingestion-loop shape: a micro-batch builds its index
+    frame ONCE and reuses it for within-batch pairs, cross-index
+    pairs, and the index append — the batch text is touched once,
+    ever (q_stream_dedup_index)."""
+    candidates = _bucket_candidate_pairs(
+        _index_band_rows(bidx), ["band", "band_hash"], max_bucket
+    )
+    return _verify_jaccard_pairs(
+        bidx.select("doc_id", "shingle_hashes"), candidates, threshold
+    )
+
+
+def dedup_against_index_banded(
+    bidx_batch: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.8,
+    max_bucket_pairs: int = 250_000,
+) -> DataFrame:
+    """Incremental ingestion dedup where the BATCH side is already an
+    index frame too: near-dup pairs (doc_a ∈ index, doc_b ∈ batch)
+    with both sides contributing stored sketches — no signature work
+    at all (the streaming ingestion loop builds the batch's index
+    frame once and feeds it here AND to the index append). Same
+    bucketed A×B semantics as :func:`dedup_against_index`."""
+    bands = _index_band_rows(index, side=0).unionByName(
+        _index_band_rows(bidx_batch, side=1)
+    )
+    return _cross_pairs_from_tagged(
+        bands,
+        index.select("doc_id", "shingle_hashes"),
+        bidx_batch.select("doc_id", "shingle_hashes"),
+        threshold,
+        max_bucket_pairs,
+    )
+
+
 def read_prior_index(spark, idx_dir: str, batch_id: int) -> DataFrame | None:
     """Storage-derived view of a per-micro-batch partitioned signature
     index (``batch=<id>`` subdirectories, each written with overwrite

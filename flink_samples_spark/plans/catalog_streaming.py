@@ -1002,8 +1002,8 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.llmops.dedup import (
         build_dedup_index,
-        dedup_against_index,
-        minhash_lsh_pairs,
+        dedup_against_index_banded,
+        minhash_lsh_pairs_from_index,
         read_prior_index,
     )
     from flink_samples_spark.streaming.sinks import idempotent_parquet_sink
@@ -1026,13 +1026,16 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream = file_replay_stream(spark, replay, schema)
 
         def process(batch: DataFrame, batch_id: int) -> None:
-            batch = batch.cache()
-            within = minhash_lsh_pairs(batch, k=3, threshold=0.8)
+            # the batch is signed and banded EXACTLY ONCE: its index
+            # frame feeds within-batch pairs, cross-index pairs, and
+            # the index append — the corpus text is touched once, ever
+            bidx = build_dedup_index(batch, k=3).cache()
+            within = minhash_lsh_pairs_from_index(bidx, threshold=0.8)
             # ONLY prior-batch signatures: retry/restart-safe read
             # derived from storage (see read_prior_index docstring)
             index = read_prior_index(spark, idx, batch_id)
             if index is not None:
-                cross = dedup_against_index(batch, index, k=3, threshold=0.8)
+                cross = dedup_against_index_banded(bidx, index, threshold=0.8)
                 pairs = within.unionByName(cross)
             else:
                 pairs = within
@@ -1042,11 +1045,11 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             # directory with overwrite — the same idempotency contract
             # as idempotent_parquet_sink — so a retry replaces its own
             # signatures instead of double-appending them.
-            build_dedup_index(batch, k=3).write.mode("overwrite").parquet(
+            bidx.write.mode("overwrite").parquet(
                 os.path.join(idx, f"batch={batch_id}")
             )
-            batch.unpersist()
-            spark.catalog.clearCache()  # per-batch minhash caches
+            bidx.unpersist()
+            spark.catalog.clearCache()  # per-batch shingle caches
 
         q = (
             stream.writeStream.foreachBatch(process)

@@ -368,3 +368,45 @@ def test_read_prior_index_is_retry_and_restart_safe(spark, tmp_path):
     # doc 3 pairs with its batch-0 twin doc 1; never with itself
     assert got == [(1, 3)], got
     spark.catalog.clearCache()
+
+
+def test_minhash_pairs_from_index_match_direct_path(spark, sf_dir):
+    """The index-frame-derived pair paths must reproduce the direct
+    signature paths exactly — they restore the SAME band rows from
+    the packed index, so results are equal row-for-row."""
+    from flink_samples_spark.llmops.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+        dedup_against_index_banded,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_from_index,
+    )
+    from flink_samples_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half_a = docs.filter("doc_id % 2 = 0")
+    half_b = docs.filter("doc_id % 2 = 1")
+
+    direct = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, k=3, threshold=0.8).collect()
+    )
+    bidx = build_dedup_index(docs, k=3).cache()
+    via_index = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs_from_index(bidx, threshold=0.8).collect()
+    )
+    assert via_index == direct, (len(via_index), len(direct))
+
+    idx_a = build_dedup_index(half_a, k=3).cache()
+    cross_direct = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_against_index(half_b, idx_a, k=3, threshold=0.8).collect()
+    )
+    bidx_b = build_dedup_index(half_b, k=3).cache()
+    cross_banded = sorted(
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup_against_index_banded(bidx_b, idx_a, threshold=0.8).collect()
+    )
+    assert cross_banded == cross_direct, (len(cross_banded), len(cross_direct))
+    spark.catalog.clearCache()
