@@ -130,6 +130,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_data_quality",
 )
 
+# Round-6 allocation (write it when the r5 CORRECTNESS lands; run
+# scripts/update_green_manifest.py first): the never-checked backlog
+# should then be exactly q_agg_salted / q_join_salted /
+# q_join_colocated — give them three slots, restore the wider
+# ever-green sentinel spine (one canary per §2 family, as in r3/r4),
+# and spend any remaining slots re-certifying the flagship-adjacent
+# streaming set plus whatever failed in the r5 window. Registration
+# stays FROZEN unless a verdict demands a new operator.
+
 
 def ordered_queries() -> dict[str, QueryFn]:
     """All registered queries, DRIVER_PRIORITY first, remainder in
