@@ -45,6 +45,19 @@ def _ranged_with_offsets(
     ranged = df.repartitionByRange(*order_cols).withColumn(
         _PID, F.spark_partition_id()
     )
+    # Materialize ONCE: the offsets frame and the final join would
+    # otherwise evaluate the range exchange independently (verified:
+    # with payload columns Spark plans two rangepartitioning
+    # exchanges, no ReusedExchange), and the RangePartitioner's
+    # reservoir sample is not stable under nondeterministic upstream
+    # order or task retry — boundary rows could be counted under one
+    # pid and joined under another, silently corrupting positions.
+    # localCheckpoint pins a single pid assignment (fail-loud on
+    # executor loss; a production pipeline wanting fault tolerance
+    # swaps in a reliable checkpoint dir). One extra linear
+    # materialization — the price of a correct distributed total
+    # order.
+    ranged = ranged.localCheckpoint()
     parts = ranged.groupBy(_PID).agg(per_partition_agg.alias(_CNT))
     # single-partition window over n_partitions rows — the whole point
     w = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)

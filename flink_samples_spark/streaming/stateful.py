@@ -28,11 +28,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = (
-    "user_id bigint, window_start timestamp, window_end timestamp, "
-    "total bigint, sum_value double"
-)
 STATE_SCHEMA = "start long, last long, total long, sum_value double"
+
+# Rounding contract for emitted sums: half-away-from-zero to 6 places
+# (SQL ROUND; Python round() is half-even — they diverge exactly on
+# the boundary products the parity fixtures exercise). The formula is
+# INLINED inside each state fn rather than shared at module level:
+# the pickled fn must stay self-contained because executors' Python
+# workers do not have this package importable (same reason every fn
+# re-imports pandas locally).
 
 
 def sessionize_with_state(
@@ -46,10 +50,16 @@ def sessionize_with_state(
     """Custom sessionizer: groupBy(key).applyInPandasWithState with
     event-time timeout. Emits one row per closed session."""
     gap_us = gap_seconds * 1_000_000
+    output_schema = (
+        f"{key_col} bigint, window_start timestamp, window_end timestamp, "
+        "total bigint, sum_value double"
+    )
 
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         import pandas as pd
 
         rows = []
@@ -57,11 +67,13 @@ def sessionize_with_state(
         def close(start_us: int, last_us: int, total: int, sv: float) -> None:
             rows.append(
                 {
-                    "user_id": key[0],
+                    key_col: key[0],
                     "window_start": pd.Timestamp(start_us, unit="us"),
                     "window_end": pd.Timestamp(last_us + gap_us, unit="us"),
                     "total": total,
-                    "sum_value": round(sv, 6),
+                    "sum_value": math.copysign(
+                        math.floor(abs(sv) * 1e6 + 0.5) / 1e6, sv
+                    ),
                 }
             )
 
@@ -115,7 +127,7 @@ def sessionize_with_state(
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
-            outputStructType=OUTPUT_SCHEMA,
+            outputStructType=output_schema,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
@@ -233,6 +245,8 @@ def sessionize_dynamic_gap(
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import math
+
         import pandas as pd
 
         rows = []
@@ -244,7 +258,9 @@ def sessionize_dynamic_gap(
                     "window_start": pd.Timestamp(start_us, unit="us"),
                     "window_end": pd.Timestamp(end_us, unit="us"),
                     "total": total,
-                    "sum_value": round(sv, 6),
+                    "sum_value": math.copysign(
+                        math.floor(abs(sv) * 1e6 + 0.5) / 1e6, sv
+                    ),
                 }
             )
 
@@ -256,8 +272,10 @@ def sessionize_dynamic_gap(
             evs = []
             for pdf in batches:
                 for t, g, v in zip(pdf[ts_col], pdf[gap_col], pdf[value_col]):
+                    # float first: a fractional gap (2.5 s) must keep
+                    # its sub-second part in the µs interval end
                     evs.append(
-                        (int(t.value // 1000), int(g) * 1_000_000, float(v))
+                        (int(t.value // 1000), int(float(g) * 1_000_000), float(v))
                     )
             evs.sort()
             if state.exists:
@@ -346,6 +364,11 @@ def cep_with_state(
     ewma documents) makes them identical for repeated types too.
     """
     k = len(pattern)
+    if k < 2:
+        # same contract as the batch twin (behavior.detect_sequence):
+        # a one-stage "pattern" is a filter, and the NFA's
+        # open-anchor-after-advance design could never complete it
+        raise ValueError("pattern needs at least two stages")
     win_us = int(within_seconds * 1_000_000)
     # first stage each event type occupies; unknown types sort last
     # (they can never advance an anchor, so their slot is irrelevant)
@@ -353,7 +376,7 @@ def cep_with_state(
     for i, p in enumerate(pattern):
         stage_of.setdefault(p, i)
     out_cols = ", ".join(f"ts_{i} timestamp" for i in range(k))
-    output_schema = f"user_id bigint, {out_cols}"
+    output_schema = f"{key_col} bigint, {out_cols}"
 
     def fn(
         key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
@@ -386,7 +409,7 @@ def cep_with_state(
                         if t_us - a[1] <= win_us:
                             rows.append(
                                 {
-                                    "user_id": key[0],
+                                    key_col: key[0],
                                     **{
                                         f"ts_{i}": pd.Timestamp(a[i + 1], unit="us")
                                         for i in range(k)
@@ -469,7 +492,7 @@ def absence_with_state(
             done = [a for a in pending if a + win_us < horizon_us]
             pending = [a for a in pending if a + win_us >= horizon_us]
             rows.extend(
-                {"user_id": key[0], "ts_0": pd.Timestamp(a, unit="us")}
+                {key_col: key[0], "ts_0": pd.Timestamp(a, unit="us")}
                 for a in sorted(done)
             )
 
@@ -484,17 +507,19 @@ def absence_with_state(
                     evs.append((int(t.value // 1000), stage.get(ty, 2), ty))
             evs.sort()
             for t_us, _stage, ty in evs:
-                # anchors whose window closed before this event can no
-                # longer be killed (per-key arrival is time-ordered in
-                # the replay) — emit them eagerly; the timer covers the
-                # stream tail
-                emit_expired(t_us)
                 if ty == absent:
                     pending = [
                         a for a in pending if not (t_us >= a and t_us - a <= win_us)
                     ]
                 if ty == first:
                     pending.append(t_us)
+            # emit ONLY what the WATERMARK proves closed — never the
+            # current event time: an out-of-order (but non-late)
+            # 'absent' in a later micro-batch can still kill any
+            # anchor whose window end is past the watermark, so
+            # event-horizon emission would fabricate matches the
+            # batch dual never reports. The timer covers quiescence.
+            emit_expired(state.getCurrentWatermarkMs() * 1000)
         if pending:
             state.update((pending,))
             state.setTimeoutTimestamp((min(pending) + win_us) // 1000 + 1)
