@@ -47,11 +47,20 @@ def nearest_centroid_assign(
     window sort. Ties break toward the lowest cluster_id via the
     (cos, -cluster_id) struct ordering; the ranking compares RAW
     cosines (bit-identical across engines), rounding only the output.
+    The vector's own norm is hoisted to one fold per ROW instead of
+    one per (row, centroid) — the division sees the same two doubles,
+    so results are unchanged bit-for-bit.
     """
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    with_norm = vectors.withColumn(
+        "__nv", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = with_norm.crossJoin(F.broadcast(centroids)).select(
         "vec_id",
         "cluster_id",
-        _cosine(F.col("embedding"), F.col("centroid")).alias("cos_raw"),
+        (
+            _dot(F.col("embedding"), F.col("centroid"))
+            / (F.col("__nv") * F.sqrt(_dot(F.col("centroid"), F.col("centroid"))))
+        ).alias("cos_raw"),
     )
     best = scored.groupBy("vec_id").agg(
         F.max_by(
@@ -66,6 +75,57 @@ def nearest_centroid_assign(
     )
 
 
+def _literal_assign_expr(centroids: "list[tuple[int, list[float]]]") -> Column:
+    """Nearest-centroid argmax over LITERAL centroids as one narrow
+    expression — struct(cluster_id, cos_raw) per row, no crossJoin,
+    no groupBy, no shuffle.
+
+    Bit-compatible with :func:`nearest_centroid_assign`: the cosine
+    is the same formula with the same operation order (the per-row
+    vector norm is hoisted — dividing by the SAME two doubles — and
+    each centroid's norm is pre-folded in Python, which performs the
+    identical left-to-right IEEE-double accumulation as the JVM
+    fold), and ties break toward the lowest cluster_id via the same
+    (cos, -cluster_id) struct ordering, here under array_max.
+
+    The k·dim doubles live in the plan as literals — fine for
+    hyperparameter-sized k·dim (the same bound the driver state
+    carries); a huge codebook (k in the tens of thousands) should
+    use the broadcast-frame path in :func:`nearest_centroid_assign`
+    instead of bloating the plan.
+    """
+    norm_v = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    _dot(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                    )
+                    / (norm_v * F.lit(_py_norm(vec)))
+                ).alias("cos_raw"),
+                F.lit(-cid).alias("neg"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    best = F.array_max(scored)
+    return F.struct(
+        (-best["neg"]).cast("int").alias("cluster_id"),
+        best["cos_raw"].alias("cos_raw"),
+    )
+
+
+def _py_norm(vec: "list[float]") -> float:
+    """Left-to-right IEEE-double 2-norm — the same accumulation the
+    JVM ``aggregate`` fold in :func:`_dot` performs."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc**0.5
+
+
 def kmeans_fit_assign(
     emb: DataFrame, k: int = 8, n_iter: int = 5
 ) -> DataFrame:
@@ -78,40 +138,40 @@ def kmeans_fit_assign(
     whose accumulation-order noise (~1e-16) is orders of magnitude
     below any assignment margin after the first iteration.
 
-    Scale shape per iteration: one broadcast of k×dim centroids out,
-    one two-phase aggregation back (posexplode → partial sums per
-    (cluster, dim) map-side → k·dim final rows). The corpus is never
-    shuffled and never collected; driver state is the centroid
-    matrix. n_iter is a fixed hyperparameter, so the job count is
-    bounded; lineage stays shallow because each iteration's centroid
-    frame is literal data (createDataFrame), not a growing plan.
+    Scale shape per iteration: the k×dim centroids ship OUT as plan
+    literals, assignment is a NARROW per-row argmax expression (no
+    crossJoin, no per-vector groupBy, no join back — the corpus is
+    truly never shuffled), and the only exchange is the two-phase
+    (cluster, dim) aggregation whose reduce side is k·dim rows.
+    Driver state is the centroid matrix; n_iter is a fixed
+    hyperparameter, so the job count is bounded, and lineage stays
+    shallow because centroids re-enter each iteration as literals.
     """
     spark = emb.sparkSession
-    dim_df = emb.select(F.size("embedding").alias("d")).limit(1).collect()
-    dim = dim_df[0].d
-
     init = (
         emb.orderBy("vec_id")
         .limit(k)
         .select("vec_id", "embedding")
         .collect()
     )
+    if not init:
+        raise ValueError("kmeans_fit_assign: empty input frame")
+    dim = len(init[0].embedding)
     centroids = [
         (i, [float(x) for x in r.embedding]) for i, r in enumerate(init)
     ]
 
     vecs = emb.select("vec_id", "embedding")
-    assigned = None
     for _ in range(n_iter):
-        cent_df = spark.createDataFrame(
-            centroids, "cluster_id int, centroid array<double>"
-        )
-        assigned = nearest_centroid_assign(vecs, cent_df).select(
-            "vec_id", "cluster_id"
-        )
-        # per-cluster per-dimension mean: two-phase agg, k·dim output rows
+        # per-cluster per-dimension mean in ONE narrow pass + tiny agg
+        # (two select steps: putting the argmax struct access and the
+        # posexplode generator in one select trips the analyzer into
+        # renaming the struct's fields to col1/col2)
         means = (
-            vecs.join(assigned, "vec_id")
+            vecs.select(
+                _literal_assign_expr(centroids)["cluster_id"].alias("cluster_id"),
+                "embedding",
+            )
             .select("cluster_id", F.posexplode("embedding").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
             .agg(F.sum(F.col("val").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
@@ -132,10 +192,12 @@ def kmeans_fit_assign(
                 new_centroids.append((old_cid, old_vec))
         centroids = new_centroids
 
-    cent_df = spark.createDataFrame(
-        centroids, "cluster_id int, centroid array<double>"
+    best = _literal_assign_expr(centroids)
+    return vecs.select(
+        "vec_id",
+        best["cluster_id"].alias("cluster_id"),
+        F.round(best["cos_raw"], 6).alias("cos"),
     )
-    return nearest_centroid_assign(vecs, cent_df)
 
 
 def pca_fit(
@@ -165,7 +227,10 @@ def pca_fit(
 
     from flink_samples_spark.utils import parallelize_narrow
 
-    d = len(vectors.select(vec_col).first()[0])
+    first = vectors.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input frame")
+    d = len(first[0])
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
