@@ -28,8 +28,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "start long, last long, total long, sum_value double"
-
 # Rounding contract for emitted sums: half-away-from-zero to 6 places
 # (SQL ROUND; Python round() is half-even — they diverge exactly on
 # the boundary products the parity fixtures exercise). The formula is
@@ -48,90 +46,23 @@ def sessionize_with_state(
     watermark: str = "10 seconds",
 ) -> DataFrame:
     """Custom sessionizer: groupBy(key).applyInPandasWithState with
-    event-time timeout. Emits one row per closed session."""
-    gap_us = gap_seconds * 1_000_000
-    output_schema = (
-        f"{key_col} bigint, window_start timestamp, window_end timestamp, "
-        "total bigint, sum_value double"
-    )
+    event-time timeout. Emits one row per closed session.
 
-    def fn(
-        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        import math
+    Exact reduction to :func:`sessionize_dynamic_gap` with a constant
+    gap column (its own docstring proves the identity: end ≡ last +
+    gap, so merge/singleton/timeout conditions coincide term for
+    term) — one interval-merge state machine in the module to test
+    and fix, not two drifting copies."""
+    from pyspark.sql import functions as F
 
-        import pandas as pd
-
-        rows = []
-
-        def close(start_us: int, last_us: int, total: int, sv: float) -> None:
-            rows.append(
-                {
-                    key_col: key[0],
-                    "window_start": pd.Timestamp(start_us, unit="us"),
-                    "window_end": pd.Timestamp(last_us + gap_us, unit="us"),
-                    "total": total,
-                    "sum_value": math.copysign(
-                        math.floor(abs(sv) * 1e6 + 0.5) / 1e6, sv
-                    ),
-                }
-            )
-
-        if state.hasTimedOut:
-            if state.exists:
-                start, last, total, sv = state.get
-                close(start, last, total, sv)
-                state.remove()
-        else:
-            ts_list, v_list = [], []
-            for pdf in batches:
-                ts_list.extend(int(t.value // 1000) for t in pdf[ts_col])
-                v_list.extend(float(v) for v in pdf[value_col])
-            order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
-            if state.exists:
-                start, last, total, sv = state.get
-            else:
-                start, last, total, sv = None, None, 0, 0.0
-            for i in order:
-                t, v = ts_list[i], v_list[i]
-                if start is None:
-                    start, last, total, sv = t, t, 1, v
-                elif t < start - gap_us:
-                    # out-of-order event older than the open session by
-                    # more than the gap: a separate earlier session.
-                    # Single-open-session state can't hold both — emit
-                    # it as a singleton now (approximation vs the
-                    # built-in operator, which could still merge it
-                    # with other equally-late stragglers; exact only
-                    # for per-key ordered arrival)
-                    close(t, t, 1, v)
-                elif t <= last + gap_us:
-                    # within the session's reach on either side: merge,
-                    # extending BACKWARD too (t may precede start)
-                    start = min(start, t)
-                    last = max(last, t)
-                    total, sv = total + 1, sv + v
-                else:
-                    close(start, last, total, sv)
-                    start, last, total, sv = t, t, 1, v
-            if start is not None:
-                state.update((start, last, total, sv))
-                # finalize when the event-time watermark passes session
-                # end + gap (same horizon as the built-in operator)
-                state.setTimeoutTimestamp((last + gap_us) // 1000 + 1)
-        if rows:
-            yield pd.DataFrame(rows)
-
-    return (
-        events.withWatermark(ts_col, watermark)
-        .groupBy(key_col)
-        .applyInPandasWithState(
-            fn,
-            outputStructType=output_schema,
-            stateStructType=STATE_SCHEMA,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.EventTimeTimeout,
-        )
+    gap_col = "__session_gap_s"
+    return sessionize_dynamic_gap(
+        events.withColumn(gap_col, F.lit(int(gap_seconds))),
+        gap_col=gap_col,
+        ts_col=ts_col,
+        key_col=key_col,
+        value_col=value_col,
+        watermark=watermark,
     )
 
 
