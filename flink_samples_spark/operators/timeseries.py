@@ -5,9 +5,11 @@ hypertable-style rollup a metrics/time-series workload needs.
 Plan shape (scale notes): one groupBy shuffle for the bucket
 aggregate; the per-key spine is generated JVM-side with
 ``sequence()`` + ``explode`` (no driver loop, no cross join — each
-key's array is its own span only); gap values come from two windows
-over the SAME (key, bucket) ordering, so Catalyst runs them in one
-Window operator pass after one shuffle. Interpolation arithmetic is
+key's array is its own span only); the two gap-fill windows order
+bucket ASC and DESC respectively, so they share ONE (key) shuffle
+but each gets its own Window operator and local sort — two linear
+passes over co-partitioned data, no extra exchange. Interpolation
+arithmetic is
 plain double math on whole-second epochs — deterministic across
 engines, so the operator is oracle-checkable.
 """
@@ -47,7 +49,13 @@ def resample_interpolate(
     bucket = F.timestamp_seconds(
         (F.floor(epoch_double(df, ts_col) / ivl) * ivl).cast("bigint")
     )
-    agg_fn = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}[agg]
+    aggs = {"avg": F.avg, "max": F.max, "min": F.min, "sum": F.sum}
+    if agg not in aggs:
+        raise ValueError(
+            f"resample_interpolate: unsupported agg {agg!r}; "
+            f"expected one of {sorted(aggs)}"
+        )
+    agg_fn = aggs[agg]
     agg_col = agg_fn(value_col)
     if agg in ("avg", "sum"):
         agg_col = F.round(agg_col, 6)

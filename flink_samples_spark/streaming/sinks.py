@@ -21,23 +21,27 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Single source of truth for the connector's DSv2 format name; the
+# jar is absent in this sandbox (see readers.CASSANDRA_FORMAT).
+from flink_samples_spark.sources.readers import CASSANDRA_FORMAT
 
-# Public DSv2 format name from the spark-cassandra-connector project;
-# the jar is absent in this sandbox (see readers.CASSANDRA_FORMAT).
-CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
+# file formats the generic idempotent branch supports; read_sink can
+# only read parquet back, so the others are write-only sinks
+_FILE_FORMATS = {"parquet", "json", "csv", "orc", "text", "avro"}
 
 
-def idempotent_parquet_sink(out_dir: str):
+def idempotent_parquet_sink(out_dir: str, **options: str):
     """``foreachBatch`` function writing each micro-batch to an
     overwrite-on-replay partition directory (idempotent upsert keyed
     by batch id — the parquet analog of the reference's Cassandra
-    PRIMARY-KEY overwrite)."""
+    PRIMARY-KEY overwrite). ``options`` pass through to the parquet
+    writer (e.g. compression)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch={batch_id}")
-            )
+            batch_df.write.mode("overwrite")
+            .options(**options)
+            .parquet(os.path.join(out_dir, f"batch={batch_id}"))
         )
 
     return write_batch
@@ -60,7 +64,7 @@ def idempotent_sink(target: str, fmt: str = "parquet", **options: str):
     cassandra branch raises a clear error naming the package.
     """
     if fmt == "parquet":
-        return idempotent_parquet_sink(target)
+        return idempotent_parquet_sink(target, **options)
     if fmt == "cassandra":
         missing = {"keyspace"} - set(options)
         if missing:
@@ -75,15 +79,31 @@ def idempotent_sink(target: str, fmt: str = "parquet", **options: str):
                     .options(**opts)
                     .save()
                 )
-            except Exception as ex:  # pragma: no cover - jar absent here
-                raise RuntimeError(
-                    "Cassandra connector jar (com.datastax.spark:"
-                    "spark-cassandra-connector) is not on the classpath in "
-                    "this sandbox; add it via spark.jars.packages to write "
-                    f"{opts.get('keyspace')}.{target} live"
-                ) from ex
+            except Exception as ex:
+                # wrap ONLY the missing-connector case; a live write
+                # failure (timeout, auth, schema) must surface as
+                # itself, not as a phantom packaging problem
+                msg = str(ex)
+                if (
+                    "Failed to find data source" in msg
+                    or "ClassNotFound" in msg
+                    or CASSANDRA_FORMAT in msg
+                ):
+                    raise RuntimeError(
+                        "Cassandra connector jar (com.datastax.spark:"
+                        "spark-cassandra-connector) is not on the classpath in "
+                        "this sandbox; add it via spark.jars.packages to write "
+                        f"{opts.get('keyspace')}.{target} live"
+                    ) from ex
+                raise
 
         return write_batch_cassandra
+    if fmt not in _FILE_FORMATS:
+        # fail at construction, not inside the running StreamingQuery
+        raise ValueError(
+            f"idempotent_sink: unknown format {fmt!r}; expected 'cassandra' "
+            f"or one of {sorted(_FILE_FORMATS)}"
+        )
 
     def write_batch_generic(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -97,5 +117,14 @@ def idempotent_sink(target: str, fmt: str = "parquet", **options: str):
 
 
 def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read the idempotent sink's accumulated contents back."""
+    """Read the idempotent sink's accumulated contents back (parquet
+    sinks only). Raises a clear error when no batch has committed yet
+    — a poller should treat that as "not ready", not as corruption."""
+    if not any(
+        d.startswith("batch=") for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else ())
+    ):
+        raise FileNotFoundError(
+            f"read_sink: no batch=* directory under {out_dir} yet — the "
+            "streaming query has not committed its first micro-batch"
+        )
     return spark.read.option("basePath", out_dir).parquet(os.path.join(out_dir, "batch=*"))

@@ -87,13 +87,19 @@ def write_replay_files(
     """
     out_dir = out_dir or tempfile.mkdtemp(prefix="replay_")
     os.makedirs(out_dir, exist_ok=True)
-    n_rows = df.count()
-    if n_rows > 1_000_000:
+    # bounded probe (stops scanning at the limit) instead of a full
+    # count job over the whole input just to enforce the guard
+    if df.limit(1_000_001).count() > 1_000_000:
         raise ValueError(
-            f"write_replay_files is a driver-side test harness; got {n_rows} "
-            "rows (>1M). Use a Spark-native sorted write for large replays."
+            "write_replay_files is a driver-side test harness; got more "
+            "than 1M rows. Use a Spark-native sorted write for large replays."
         )
-    pdf = df.orderBy(order_col).toPandas()
+    # full-column tie-break: orderBy(order_col) alone leaves equal
+    # timestamps in nondeterministic relative order across runs, so a
+    # chunk boundary could split a tie differently run-to-run — the
+    # opposite of this harness's determinism contract
+    tiebreak = [c for c in df.columns if c != order_col]
+    pdf = df.orderBy(order_col, *tiebreak).toPandas()
     n = len(pdf)
     per = max(n // n_files, 1)
     for i in range(n_files):
