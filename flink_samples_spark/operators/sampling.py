@@ -38,22 +38,56 @@ from flink_samples_spark.operators.analytic import topk_per_group
 # domain (not 32) keeps the product under 2^63 — ANSI-mode Spark and
 # DuckDB both reject int64 overflow.
 _KNUTH = 2654435761
+# xxHash's PRIME32_2 — the second multiplier of the xor-shift
+# finalizer below (any odd 32-bit constant works; this one is public
+# and well-studied)
+_MIX = 2246822519
 
 
 def _hash_unit(key: Column, salt: int) -> Column:
     """Deterministic uniform-ish value in [0, 1) from an integer key.
-    int64 arithmetic only ((2^31-1) * K < 2^63), identical in any
-    ANSI SQL engine."""
-    masked = F.pmod(key.cast("bigint") + F.lit(salt), F.lit(1 << 31))
-    scrambled = F.pmod(masked * F.lit(_KNUTH), F.lit(1 << 31))
-    return scrambled / F.lit(float(1 << 31))
+    int64 arithmetic only (each product stays under 2^63), identical
+    in any ANSI SQL engine (the DuckDB oracle twins replay the same
+    five steps with xor()/>>).
+
+    The xor-shift finalizer after the first multiply is what makes
+    different salts give INDEPENDENT samples: a multiply alone is
+    linear in the salt, so u(key, s) would be u(key, 0) plus a
+    constant rotation — every pair of module operators with
+    different default salts would be deterministically coupled
+    (e.g. a weighted sample drawn entirely from the 'train' split).
+    The xor of shifted high bits breaks that linearity.
+    """
+    x = F.pmod(key.cast("bigint") + F.lit(salt), F.lit(1 << 31))
+    x = F.pmod(x * F.lit(_KNUTH), F.lit(1 << 31))
+    x = x.bitwiseXOR(F.shiftright(x, 15))
+    x = F.pmod(x * F.lit(_MIX), F.lit(1 << 31))
+    x = x.bitwiseXOR(F.shiftright(x, 13))
+    return x / F.lit(float(1 << 31))
+
+
+def _int_key(df: DataFrame, key: str) -> Column:
+    """Validate that ``key`` is an integral id column — the hash's
+    bijection/uniformity story is int64 arithmetic. A string id would
+    otherwise cast to NULL per row (non-ANSI: silently empty sample)
+    or throw CAST_INVALID_INPUT mid-job (ANSI)."""
+    from pyspark.sql import types as T
+
+    dt = df.schema[key].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"sampling key column {key!r} must be an integral id, got "
+            f"{dt.simpleString()}; hash non-integer ids to int64 first "
+            "(e.g. df.withColumn('k', F.xxhash64(...)))"
+        )
+    return F.col(key)
 
 
 def hash_sample(df: DataFrame, key: str, fraction: float, salt: int = 0) -> DataFrame:
     """Keep rows whose hashed ``key`` lands under ``fraction``.
     Reproducible: membership depends only on (key, salt, fraction);
     different ``salt`` values give independent samples."""
-    return df.filter(_hash_unit(F.col(key), salt) < fraction)
+    return df.filter(_hash_unit(_int_key(df, key), salt) < fraction)
 
 
 def stratified_sample(
@@ -81,7 +115,7 @@ def stratified_sample(
     frac = F.lit(None).cast("double")
     for v, f in fractions.items():
         frac = F.when(F.col(stratum) == v, F.lit(float(f))).otherwise(frac)
-    return df.filter(_hash_unit(F.col(key), salt) < frac)
+    return df.filter(_hash_unit(_int_key(df, key), salt) < frac)
 
 
 def hash_split(
@@ -107,8 +141,14 @@ def hash_split(
 
     Output: input columns + ``split``. Narrow map, no shuffle.
     """
+    if not weights:
+        raise ValueError("hash_split: weights must be non-empty")
+    if any(w < 0 for _, w in weights):
+        raise ValueError(f"hash_split: negative weight in {list(weights)!r}")
     total = sum(w for _, w in weights)
-    u = _hash_unit(F.col(key), salt)
+    if total <= 0:
+        raise ValueError("hash_split: weights sum to zero")
+    u = _hash_unit(_int_key(df, key), salt)
     expr = F.lit(weights[-1][0])
     cum = 0.0
     thresholds = []
@@ -133,10 +173,16 @@ def reservoir_per_group(
     depends on partition/sort order. With a unique key (the usual
     document-id case) the output is a pure function of (key, salt, k).
     """
+    if "rn" in df.columns:
+        raise ValueError(
+            "reservoir_per_group: input already has a column named 'rn', "
+            "which the internal rank would silently overwrite and drop — "
+            "rename it first"
+        )
     out = topk_per_group(
         df,
         list(group_by),
-        [_hash_unit(F.col(key), salt), F.col(key)],
+        [_hash_unit(_int_key(df, key), salt), F.col(key)],
         k,
     )
     return out.drop("rn")
@@ -144,7 +190,7 @@ def reservoir_per_group(
 
 def weighted_sample(
     df: DataFrame,
-    weight_col,
+    weight_col: str | Column,
     key_col: str = "doc_id",
     salt: int = 29,
 ) -> DataFrame:
@@ -159,8 +205,6 @@ def weighted_sample(
     ("keep high-quality docs with probability ∝ quality"): a pure
     narrow filter, zero shuffles, composable with any upstream score.
     """
-    from pyspark.sql import Column
-
     w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
-    u = _hash_unit(F.col(key_col), salt)
+    u = _hash_unit(_int_key(df, key_col), salt)
     return df.filter(u < F.least(F.greatest(w, F.lit(0.0)), F.lit(1.0)))

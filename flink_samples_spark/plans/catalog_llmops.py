@@ -58,6 +58,19 @@ from flink_samples_spark.sources.readers import load_table
 # Canonical fingerprint in DuckDB — must mirror llmops.text.document_fingerprint.
 _FP_SQL = "md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
+
+def _hash_unit_sql(key: str, salt: int) -> str:
+    """DuckDB replay of ``operators.sampling._hash_unit`` — the five
+    int64 steps (add-salt, Knuth multiply, xor-shift 15, mix
+    multiply, xor-shift 13) MUST stay in lockstep with the Spark
+    implementation; every sampling oracle builds its membership test
+    from this string."""
+    x1 = f"((({key}) + {salt}) % 2147483648 * 2654435761) % 2147483648"
+    x2 = f"xor({x1}, ({x1}) >> 15)"
+    x3 = f"(({x2}) * 2246822519) % 2147483648"
+    x4 = f"xor({x3}, ({x3}) >> 13)"
+    return f"(({x4}) / 2147483648.0)"
+
 # Exact word-3-gram Jaccard pairs ≥ 0.8 — shared oracle for both the
 # exact and the LSH implementations.
 _JACCARD_ORACLE = """
@@ -356,11 +369,10 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic, so both engines compute it identically — full oracle.
 @query(
     "q_sample_hash",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, source, n_chars
     FROM documents
-    WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648
-          / 2147483648.0 < 0.3
+    WHERE {_hash_unit_sql("doc_id", 0)} < 0.3
     """,
 )
 def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,11 +386,10 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_sample_reservoir",
-    oracle="""
+    oracle=f"""
     WITH h AS (
       SELECT event_id, user_id, event_type,
-             ((event_id % 2147483648) * 2654435761) % 2147483648
-             / 2147483648.0 AS hu
+             {_hash_unit_sql("event_id", 0)} AS hu
       FROM events
     )
     SELECT event_id, user_id, event_type FROM (
@@ -408,11 +419,10 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 # thresholds — pure int64 arithmetic, so the oracle replays it exactly.
 @query(
     "q_sample_stratified",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE ((doc_id + 7) % 2147483648 * 2654435761) % 2147483648
-          / 2147483648.0
+    WHERE {_hash_unit_sql("doc_id", 7)}
           < CASE lang WHEN 'en' THEN 0.5
                       WHEN 'de' THEN 0.25
                       WHEN 'fr' THEN 0.25 END
@@ -892,12 +902,10 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_split_corpus",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, source,
-           CASE WHEN ((doc_id + 13) % 2147483648 * 2654435761) % 2147483648
-                     / 2147483648.0 < 0.9 THEN 'train'
-                WHEN ((doc_id + 13) % 2147483648 * 2654435761) % 2147483648
-                     / 2147483648.0 < 0.95 THEN 'val'
+           CASE WHEN {_hash_unit_sql("doc_id", 13)} < 0.9 THEN 'train'
+                WHEN {_hash_unit_sql("doc_id", 13)} < 0.95 THEN 'val'
                 ELSE 'test' END AS split
     FROM documents
     """,
@@ -1007,8 +1015,7 @@ def _training_pipeline_oracle() -> str:
       ) WHERE doc_id = m
     ), tr AS (
       SELECT doc_id, text FROM d
-      WHERE ((doc_id + 13) % 2147483648 * 2654435761) % 2147483648
-            / 2147483648.0 < 0.9
+      WHERE {_hash_unit_sql("doc_id", 13)} < 0.9
     )
     SELECT * FROM ({inner})
     """
@@ -1701,7 +1708,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle replays the identical hash, so the kept set matches exactly.
 @query(
     "q_sample_weighted",
-    oracle="""
+    oracle=f"""
     WITH q AS (
       SELECT doc_id,
              LEAST(len(str_split(text, ' ')) / 200.0, 1.0) AS w
@@ -1709,8 +1716,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, round(w, 6) AS w
     FROM q
-    WHERE (((doc_id + 29) % 2147483648) * 2654435761 % 2147483648)
-          / 2147483648.0 < w
+    WHERE {_hash_unit_sql("doc_id", 29)} < w
     """,
 )
 def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -109,3 +109,34 @@ def test_resample_interpolate_gap_semantics(spark):
         (1, h(3)): (40.0, False),
         (2, h(5)): (7.0, False),
     }
+
+
+def test_different_salts_give_independent_samples(spark, sf_dir):
+    """Code-review r5: with a purely multiplicative scramble, u(key,
+    salt) was u(key, 0) plus a constant rotation, so samples under
+    different salts were deterministically coupled (a weighted sample
+    could land entirely inside the 'train' split band). The xor-shift
+    finalizer must make cross-salt selections behave independently:
+    overlap of two 30% samples under different salts ≈ 9%."""
+    from flink_samples_spark.operators.sampling import hash_sample
+
+    docs = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, salt=13).collect()}
+    b = {r.doc_id for r in hash_sample(docs, "doc_id", 0.3, salt=29).collect()}
+    overlap = len(a & b) / 20_000
+    # independent 0.3×0.3 → 0.09; the old rotation gave pathological
+    # values (0.3 when bands aligned, down to 0 when disjoint)
+    assert 0.06 < overlap < 0.12, overlap
+    # and each sample alone still keeps ~the requested fraction
+    assert 0.27 < len(a) / 20_000 < 0.33
+    assert 0.27 < len(b) / 20_000 < 0.33
+
+
+def test_sampling_rejects_non_integer_keys(spark):
+    import pytest
+
+    from flink_samples_spark.operators.sampling import hash_sample
+
+    docs = spark.createDataFrame([("a",), ("b",)], "doc_id string")
+    with pytest.raises(TypeError, match="integral id"):
+        hash_sample(docs, "doc_id", 0.5)
