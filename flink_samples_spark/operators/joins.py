@@ -119,52 +119,59 @@ def as_of_join(
     clash = (set(rpay) | {matched_ts_col}) & set(left.columns)
     if clash:
         raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
-    internal = {"__ts", "__tag"} & (set(left.columns) | set(right.columns))
+    if matched_ts_col in rpay:
+        raise ValueError(f"matched_ts_col {matched_ts_col!r} collides with a payload column")
+    internal = {"__ts", "__tag", "__match"} & (set(left.columns) | set(right.columns))
     if internal:
         raise ValueError(
             f"inputs may not contain the internal columns {sorted(internal)}: "
             "rename them before as_of_join"
         )
 
-    r = (
-        right.filter(F.col(right_ts).isNotNull())
-        .select(
-            *keys,
-            F.col(right_ts).alias("__ts"),
+    # the matched row travels as ONE struct: filling each payload
+    # column with its own last(ignorenulls) would let a NULL payload
+    # VALUE in the matched row pull a stale value from an older right
+    # row — a chimera of several right rows. last(ignorenulls) on the
+    # struct picks whole rows; NULL payload fields inside survive.
+    r = right.filter(F.col(right_ts).isNotNull()).select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.struct(
             F.col(right_ts).alias(matched_ts_col),
-            *rpay,
-        )
-        .withColumn("__tag", F.lit(0))
+            *[F.col(c) for c in rpay],
+        ).alias("__match"),
+        F.lit(0).alias("__tag"),
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__tag", F.lit(1))
     u = l.unionByName(r, allowMissingColumns=True)
 
-    fill_cols = [matched_ts_col, *rpay]
-    if direction == "backward":
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").asc(), F.col("__tag").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = [F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols]
-    else:
-        # growing frame over the REVERSED ordering, not a
-        # (currentRow → unboundedFollowing) shrinking frame — Spark
-        # re-evaluates shrinking frames from scratch per row, O(rows²)
-        # per key. Reversed, "first right row at-or-after" becomes
-        # "last right row in the prefix": right rows (tag 0) sort
-        # before left rows at equal __ts, so exact matches are taken.
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__ts").desc(), F.col("__tag").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        filled = [F.last(c, ignorenulls=True).over(w).alias(c) for c in fill_cols]
-
-    keep = [c for c in left.columns]
-    out = u.select(*keep, F.col("__tag").alias("__tag"), *filled).filter(
+    # Backward: growing prefix over ascending __ts; right rows (tag 0)
+    # sort before left rows at equal __ts, so exact matches are taken.
+    # Forward: growing frame over the REVERSED ordering, not a
+    # (currentRow → unboundedFollowing) shrinking frame — Spark
+    # re-evaluates shrinking frames from scratch per row, O(rows²)
+    # per key. NULL ordering is pinned on both directions so a left
+    # row with NULL left_ts sorts before every right row and gets
+    # NULL payload (desc's default NULLS LAST would hand it the
+    # whole-partition prefix — a spurious match to the min-ts row).
+    order = (
+        [F.col("__ts").asc_nulls_first(), F.col("__tag").asc()]
+        if direction == "backward"
+        else [F.col("__ts").desc_nulls_first(), F.col("__tag").asc()]
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = list(left.columns)
+    matched = F.last("__match", ignorenulls=True).over(w)
+    out = u.select(*keep, F.col("__tag"), matched.alias("__match")).filter(
         F.col("__tag") == 1
     )
+    fill_cols = [matched_ts_col, *rpay]
+    unpacked = [F.col("__match").getField(c).alias(c) for c in fill_cols]
+    out = out.select(*keep, F.lit(1).alias("__tag"), *unpacked)
     if tolerance_seconds is not None:
         # epoch_double, not cast("double"): left_ts may be
         # TIMESTAMP_NTZ (driver parquet), which refuses a direct
@@ -206,11 +213,26 @@ def banded_range_join(
     (array_distinct), and a left row has exactly one bucket, so no
     pair-dedup pass is needed.
     """
+    if "__bucket" in set(left.columns) | set(right.columns):
+        raise ValueError(
+            "inputs may not contain the internal column '__bucket': "
+            "rename it before banded_range_join"
+        )
     w = float(delta_seconds)
-    # epoch_double handles TIMESTAMP_NTZ (driver parquet) as well as
-    # LTZ and plain numeric point columns.
-    lp = epoch_double(left, left_point)
-    rp = epoch_double(right, right_point)
+
+    def _epoch(df: DataFrame, name: str) -> Column:
+        # DATAFRAME-BOUND epoch seconds (epoch_double binds by bare
+        # name, which is ambiguous after the join when both sides
+        # carry the same point-column name, e.g. ts vs ts); handles
+        # TIMESTAMP_NTZ (driver parquet) as well as LTZ and numerics.
+        dt = dict(df.dtypes).get(name)
+        c = df[name]
+        if dt is not None and dt.startswith("timestamp"):
+            return c.cast("timestamp_ltz").cast("double")
+        return c.cast("double")
+
+    lp = _epoch(left, left_point)
+    rp = _epoch(right, right_point)
     lb = F.floor(lp / F.lit(w)).alias("__bucket")
     r_lo = F.floor((rp - w) / F.lit(w))
     r_hi = F.floor((rp + w) / F.lit(w))
@@ -221,6 +243,9 @@ def banded_range_join(
             "__bucket"
         ),
     )
+    # lp/rp stay bound to the original frames' attribute ids, so the
+    # residual filter is unambiguous even when both sides share the
+    # point column name
     out = l.join(r, "__bucket").filter(F.abs(lp - rp) <= w)
     return out.drop("__bucket")
 
@@ -251,7 +276,21 @@ def merge_upsert(
     keep = target.join(
         F.broadcast(changes.select(key)), key, "left_anti"
     )
-    apply_rows = changes.filter(F.col(op_col) != "delete").drop(op_col)
+    # validate op per row IN the plan: a NULL/typo op would otherwise
+    # act as a silent DELETE (the anti join removes the key, and
+    # three-valued `op != 'delete'` drops the re-insert)
+    op_ok = F.when(
+        F.col(op_col).isin("upsert", "delete"), F.col(op_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"merge_upsert: invalid {op_col}="),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+                F.lit(" (expected 'upsert' or 'delete')"),
+            )
+        )
+    )
+    apply_rows = changes.filter(op_ok != "delete").drop(op_col)
     return keep.unionByName(apply_rows)
 
 

@@ -158,3 +158,62 @@ def test_banded_range_join_boundaries(spark):
         for r in banded_range_join(left, right, "ts_a", "ts_b", 1.0).collect()
     }
     assert got == {(1, 10), (3, 12)}
+
+
+def test_asof_null_payload_in_matched_row_stays_null(spark):
+    """Code-review r5: the matched row travels as one struct — a NULL
+    payload VALUE in the matched right row must come through as NULL,
+    not be backfilled from an older right row (chimera rows)."""
+    from flink_samples_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, 3.0)], "k int, ts double")
+    right = spark.createDataFrame(
+        [(1, 1.0, 5.0), (1, 2.0, None)], "k int, ts double, pay double"
+    )
+    out = as_of_join(left, right, key="k", payload=["pay"]).collect()
+    assert len(out) == 1
+    assert out[0].asof_ts == 2.0
+    assert out[0].pay is None, out[0]
+
+
+def test_asof_forward_null_left_ts_gets_null_match(spark):
+    """Code-review r5: a left row with NULL ts must match nothing in
+    BOTH directions (desc's default NULLS LAST previously handed the
+    forward direction the whole partition as its prefix)."""
+    from flink_samples_spark.operators.joins import as_of_join
+
+    left = spark.createDataFrame([(1, None), (1, 5.0)], "k int, ts double")
+    right = spark.createDataFrame([(1, 10.0, 7.0)], "k int, ts double, pay double")
+    for direction in ("backward", "forward"):
+        rows = {
+            (r.ts, r.asof_ts, r.pay)
+            for r in as_of_join(
+                left, right, key="k", payload=["pay"], direction=direction
+            ).collect()
+        }
+        want_null_row = (None, None, None)
+        assert want_null_row in rows, (direction, rows)
+
+
+def test_banded_range_join_same_point_column_name(spark):
+    """Code-review r5: both inputs sharing the point column name must
+    not raise AMBIGUOUS_REFERENCE in the residual filter."""
+    from flink_samples_spark.operators.joins import banded_range_join
+
+    a = spark.createDataFrame([(1, 10.0)], "ida int, ts double")
+    b = spark.createDataFrame([(2, 12.0), (3, 99.0)], "idb int, ts double")
+    got = banded_range_join(a, b, "ts", "ts", 5.0).collect()
+    assert len(got) == 1 and got[0].idb == 2, got
+
+
+def test_merge_upsert_rejects_null_op(spark):
+    """Code-review r5: a NULL/typo op must raise, not act as a silent
+    DELETE via three-valued logic."""
+    import pytest
+
+    from flink_samples_spark.operators.joins import merge_upsert
+
+    target = spark.createDataFrame([(42, "x")], "k int, v string")
+    changes = spark.createDataFrame([(42, "y", None)], "k int, v string, op string")
+    with pytest.raises(Exception, match="invalid op"):
+        merge_upsert(target, changes, "k").collect()
