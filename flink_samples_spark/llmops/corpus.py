@@ -36,7 +36,13 @@ def ngram_topk(docs: DataFrame, k: int = 3, top: int = 20) -> DataFrame:
     """
     words = F.split(F.col("text"), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    # docs shorter than k words contribute NO grams — the old
+    # greatest(n-(k-1), 1) floor forced one index, injecting each
+    # short doc's full text as a pseudo-k-gram and letting frequent
+    # one-liners pollute the boilerplate report
+    idx = F.when(
+        n >= k, F.sequence(F.lit(1), n - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
     occurrences = parallelize_narrow(docs).select(F.explode(grams).alias("shingle"))
     counts = occurrences.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_occ"))

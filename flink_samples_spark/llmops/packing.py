@@ -58,24 +58,34 @@ def pack_sequences(
     bdg = budget
 
     def pack_shard(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            pdf = pdf.sort_values("doc_id", ignore_index=True)
-            packs = []
-            acc = 0
-            pack = 0
-            first = True
-            for t in pdf["n_tokens"]:
-                if not first and acc + t > bdg:
-                    pack += 1
-                    acc = t
-                else:
-                    acc += t
-                first = False
-                packs.append(pack)
-            pdf = pdf.assign(pack_id=pd.Series(packs, dtype="int64"))
-            yield pdf[["doc_id", "shard", "pack_id", "n_tokens"]]
+        # ONE shard arrives as MULTIPLE Arrow batches (~10k rows each
+        # under spark.sql.execution.arrow.maxRecordsPerBatch): the
+        # sort and the greedy accumulator are shard-global state, so
+        # the batches MUST be concatenated first — per-batch packing
+        # restarts pack_id mid-shard and silently triples the token
+        # budget (verified at 25k one-token docs). Memory is one
+        # shard's (doc_id, shard, n_tokens) rows — the narrow frame,
+        # not the documents; size n_shards so a shard's row count
+        # fits comfortably (the docstring's ~100k rows ≈ 2 MB).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        packs = []
+        acc = 0
+        pack = 0
+        first = True
+        for t in pdf["n_tokens"]:
+            if not first and acc + t > bdg:
+                pack += 1
+                acc = t
+            else:
+                acc += t
+            first = False
+            packs.append(pack)
+        pdf = pdf.assign(pack_id=pd.Series(packs, dtype="int64"))
+        yield pdf[["doc_id", "shard", "pack_id", "n_tokens"]]
 
     return toks.groupBy("shard").applyInPandas(
         pack_shard, "doc_id bigint, shard int, pack_id bigint, n_tokens int"
@@ -99,6 +109,14 @@ def corpus_mix_key(
     double on both engines for these operand magnitudes, rounding
     pinned anyway for cross-engine hashing).
     """
+    bad = {c: w for c, w in (weights or {}).items() if w <= 0}
+    if bad or default_weight <= 0:
+        raise ValueError(
+            f"corpus_mix_key: weights must be > 0 (got {bad or {}}, "
+            f"default_weight={default_weight}); a zero weight divides "
+            "by zero under ANSI mode and a negative one reverses that "
+            "category's order — drop the category upstream instead"
+        )
     w = F.lit(float(default_weight))
     if weights:
         expr = None

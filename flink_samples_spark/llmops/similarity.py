@@ -104,12 +104,17 @@ def quantize_int8(corpus: DataFrame) -> DataFrame:
         F.col("vd"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
     )
     quant = scaled.select("vec_id", "vd", "scale", q.alias("qs"))
-    err = F.transform(
-        F.sequence(F.lit(1), F.size(F.col("vd"))),
-        lambda i: F.abs(
-            F.element_at(F.col("vd"), i)
-            - F.element_at(F.col("qs"), i).cast("double") * F.col("scale")
-        ),
+    # guard the empty-embedding row: sequence(1, 0) is the DESCENDING
+    # array [1, 0] (not empty), so element_at would throw
+    # INVALID_ARRAY_INDEX and one malformed row would kill the job
+    err = F.when(F.size(F.col("vd")) == 0, F.array().cast("array<double>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("vd"))),
+            lambda i: F.abs(
+                F.element_at(F.col("vd"), i)
+                - F.element_at(F.col("qs"), i).cast("double") * F.col("scale")
+            ),
+        )
     )
     return quant.select(
         "vec_id",
@@ -186,6 +191,10 @@ def ivf_cosine_topk(
     sample_rows = (
         corpus.select("vec_id", "embedding").orderBy("vec_id").limit(kmeans_sample).collect()
     )
+    if not sample_rows:  # empty corpus → empty result, same schema
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id bigint, vec_id bigint, cos double, rn int"
+        )
     sample = np.array([r.embedding for r in sample_rows], dtype=np.float64)
     sample /= np.linalg.norm(sample, axis=1, keepdims=True) + 1e-12
     rng = np.random.RandomState(seed)
@@ -232,11 +241,16 @@ def ivf_cosine_topk(
     candidates = c_cells.join(F.broadcast(q_cells), "cell").filter(
         F.col("vec_id") != F.col("query_id")
     )
+    # no distinct(): each corpus vector lives in exactly ONE cell
+    # (rn == 1), so a (query, vec) pair is produced at most once —
+    # a dedup here would be a full extra shuffle of the candidate set
+    # deduplicating nothing (unlike the multi-table LSH path, where
+    # the same pair can surface from several tables)
     scored = candidates.select(
         "query_id",
         "vec_id",
         F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos"),
-    ).distinct()
+    )
     out = topk_per_group(scored, ["query_id"], [F.col("cos").desc(), F.col("vec_id")], k)
     return out.select("query_id", "vec_id", "cos", "rn")
 
@@ -261,9 +275,11 @@ def lsh_bucketed_topk(
 
     first = corpus.select("embedding").first()
     if first is None:  # empty corpus → empty result, same schema
+        # rn is INT to match the non-empty path (row_number's type) —
+        # a bigint here would make unions across partitions fail
         spark = corpus.sparkSession
         return spark.createDataFrame(
-            [], "query_id bigint, vec_id bigint, cos double, rn bigint"
+            [], "query_id bigint, vec_id bigint, cos double, rn int"
         )
     dim = len(first[0])
     rng = np.random.RandomState(seed)

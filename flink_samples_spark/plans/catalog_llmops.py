@@ -604,7 +604,7 @@ def q_mix_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT str_split(text, ' ') AS ws FROM documents
     ), grams AS (
       SELECT unnest(list_transform(
-               range(1, greatest(len(ws) - 2, 1) + 1),
+               range(1, greatest(len(ws) - 2, 0) + 1),
                i -> array_to_string(ws[i:i+2], ' '))) AS shingle
       FROM words
     )
