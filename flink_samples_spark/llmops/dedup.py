@@ -10,10 +10,12 @@ compositions (shuffle-conscious; see each docstring):
   this is the small/medium-corpus truth baseline the LSH path is
   measured against.
 - :func:`minhash_lsh_pairs` — MinHash + LSH banding. Near-linear:
-  shuffle is on (band, band_hash) buckets; with 128 hashes in
-  32 bands × 4 rows, P(missing a pair with J≥0.8) < 5e-8, so its
-  output equals the exact operator's on real data while scaling to
-  100 TB (bucket-join instead of all-pairs).
+  shuffle is on (band, band_hash) buckets; 128 hashes in 32 bands ×
+  4 rows, where the TEXTBOOK banding analysis gives P(missing a pair
+  with J≥0.8) < 5e-8 (the hash family's 64-bit wrap makes the bound
+  empirical — recall-tested against the exact operator — rather than
+  formal), so its output equals the exact operator's on real data
+  while scaling to 100 TB (bucket-join instead of all-pairs).
 - :func:`simhash_signatures` — 64-bit SimHash; near-dups differ in
   few bits. Join on rotated prefix buckets at scale.
 
@@ -137,8 +139,14 @@ def _make_minhash_band_rows():
 
     Input shingle hashes are JVM xxhash64 (see _shingle_hashes); here
     is only vectorized numpy: sig[i] = min over shingles of
-    (a_i*x + b_i) mod p with seed-fixed constants, then per-band
-    polynomial rollup — deterministic across runs and partitionings."""
+    mod_mersenne((a_i·x wrapped mod 2⁶⁴) + b_i) with seed-fixed
+    constants, then per-band polynomial rollup — deterministic across
+    runs and partitionings. Honesty note: the uint64 product WRAPS
+    before the Mersenne reduction (exact 61-bit modular
+    multiplication would need hi/lo splitting), so this is a fixed
+    deterministic mixing family, not the textbook Carter-Wegman
+    universal hash — the banding recall claims rest on the empirical
+    recall tests against exact Jaccard, not on the CW bound."""
     n_hashes, bands, rows_per_band, mersenne = _N_HASHES, _BANDS, _ROWS_PER_BAND, _MERSENNE
 
     def minhash_band_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -433,18 +441,7 @@ def _cross_pairs_from_tagged(
         .select(F.col("p.doc_a"), F.col("p.doc_b"))
         .distinct()
     )
-    left = ha.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
-    right = hb.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
-    paired = candidates.join(left, "doc_a").join(right, "doc_b")
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = paired.select(
-        "doc_a",
-        "doc_b",
-        F.round(
-            n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter), 6
-        ).alias("jaccard"),
-    )
-    return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+    return _verify_pairs(candidates, ha, hb, threshold)
 
 
 def _bucket_candidate_pairs(
@@ -478,16 +475,19 @@ def _bucket_candidate_pairs(
     )
 
 
-def _verify_jaccard_pairs(
-    hashed: DataFrame, candidates: DataFrame, threshold: float
+def _verify_pairs(
+    candidates: DataFrame, ha: DataFrame, hb: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact verification: join each candidate PAIR to its two hashed
-    shingle arrays and intersect in the JVM (array_intersect is a
-    hash-set O(n+m)) — no shingle-explode self-join, so candidate
-    paths never pay the exact algorithm's all-pairs cost."""
-    ha = hashed.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
-    hb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
-    paired = candidates.join(ha, "doc_a").join(hb, "doc_b")
+    """THE exact-Jaccard verification tail (single definition — the
+    within-corpus and cross-corpus paths must stay bit-identical):
+    join each candidate PAIR to its two hashed shingle arrays and
+    intersect in the JVM (array_intersect is a hash-set O(n+m)) — no
+    shingle-explode self-join, so candidate paths never pay the exact
+    algorithm's all-pairs cost. ``ha``/``hb`` carry
+    (doc_id, shingle_hashes) for the a / b sides."""
+    left = ha.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
+    right = hb.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
+    paired = candidates.join(left, "doc_a").join(right, "doc_b")
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = paired.select(
         "doc_a",
@@ -499,6 +499,14 @@ def _verify_jaccard_pairs(
         ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def _verify_jaccard_pairs(
+    hashed: DataFrame, candidates: DataFrame, threshold: float
+) -> DataFrame:
+    """Within-corpus form of :func:`_verify_pairs`: both sides of the
+    pair resolve against the same hashed-shingle frame."""
+    return _verify_pairs(candidates, hashed, hashed, threshold)
 
 
 def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
@@ -563,6 +571,16 @@ def simhash_near_pairs(
     corpora whose near-dups mutate heavily; ``max_bucket`` caps the
     per-bucket pair blow-up either way.
     """
+    if not 1 <= max_hamming <= 63:
+        # max_hamming=0 makes the single band 64 bits wide and
+        # (1 << 64) - 1 overflows a Java long in lit(); >= 64 makes
+        # width 0 so every band key collapses to one bucket that the
+        # cap then drops — both silently wrong, so refuse them
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming must be in [1, 63], got "
+            f"{max_hamming} (for exact-signature duplicates groupBy the "
+            "simhash itself; a radius >= 64 means every pair matches)"
+        )
     sigs = simhash_signatures(docs).cache()
     n_bands = max_hamming + 1
     width = 64 // n_bands  # last band absorbs the 64 % n_bands remainder
@@ -590,7 +608,9 @@ def simhash_near_pairs(
         .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming)
         .select("doc_a", "doc_b")
     )
-    hashed = parallelize_narrow(_shingle_hashes(docs, k))
+    # cached: the verification join consumes this frame on BOTH sides
+    # (same contract as minhash_lsh_pairs' hashed cache)
+    hashed = parallelize_narrow(_shingle_hashes(docs, k)).cache()
     return _verify_jaccard_pairs(hashed, within, threshold)
 
 
@@ -776,7 +796,10 @@ def build_dedup_index(docs: DataFrame, k: int = 3, signature: str = "oph") -> Da
     100 TB corpus compacts to a re-joinable sketch table. Build cost
     is the signature stage plus one doc_id regroup shuffle
     (amortized across every later batch)."""
-    hashed = parallelize_narrow(_shingle_hashes(docs, k))
+    # cached: feeds the banding stage AND the final doc_id join — the
+    # "sign the corpus ONCE" contract would otherwise compute the
+    # signature projection twice per materialization
+    hashed = parallelize_narrow(_shingle_hashes(docs, k)).cache()
     bands = hashed.mapInPandas(
         _band_fn(signature), "doc_id bigint, band int, band_hash bigint"
     )
@@ -896,10 +919,7 @@ def dedup_against_index(
     batches, as q_stream_dedup_index does."""
     hb = parallelize_narrow(_shingle_hashes(batch, k)).cache()
     schema = "doc_id bigint, band int, band_hash bigint"
-    index_bands = index.select(
-        "doc_id", F.explode("bands").alias("b")
-    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
-    bands = index_bands.withColumn("side", F.lit(0)).unionByName(
+    bands = _index_band_rows(index, side=0).unionByName(
         hb.mapInPandas(_band_fn(signature), schema).withColumn("side", F.lit(1))
     )
     ha = index.select("doc_id", "shingle_hashes")

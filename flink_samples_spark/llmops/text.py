@@ -48,10 +48,19 @@ def text_stats(docs: DataFrame) -> DataFrame:
 
 
 def token_counts(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + BPE-ish regex token count."""
+    """Whitespace token count + BPE-ish regex token count.
+
+    The whitespace count splits the TRIMMED text (Java split keeps a
+    leading empty string for whitespace-led input, silently inflating
+    the count by one) and defines an all-whitespace/empty document as
+    zero tokens."""
+    trimmed = F.trim(F.col("text"))
+    n_ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
     return docs.select(
         "doc_id",
-        F.size(F.split(F.col("text"), r"\s+")).alias("n_ws_tokens"),
+        n_ws.alias("n_ws_tokens"),
         F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_RE}', 0)")).alias("n_bpe_tokens"),
     )
 
@@ -74,11 +83,15 @@ def quality_keep_expr() -> Column:
 
 def fingerprint_expr() -> Column:
     """Canonical-content md5 over lowercased, punctuation-stripped,
-    space-normalized ``text`` (engine-stable; see document_fingerprint)."""
+    space-normalized, TRIMMED ``text`` (engine-stable; see
+    document_fingerprint). The trim matters: stripped leading/trailing
+    punctuation leaves edge spaces the interior-run collapse keeps, so
+    without it '- Hello' and 'Hello' would fingerprint differently
+    despite identical canonical content."""
     normalized = F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
     )
-    return F.md5(normalized)
+    return F.md5(F.trim(normalized))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -96,7 +109,12 @@ def quality_score(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         n_chars.cast("bigint").alias("n_chars_obs"),
-        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        # nullif: an empty-text row must yield a NULL ratio, not kill
+        # the job with DIVIDE_BY_ZERO under ANSI mode (n_words is
+        # never 0 — split('') is [''] — so only n_chars needs it)
+        F.round(n_punct.cast("double") / F.nullif(n_chars, F.lit(0)), 6).alias(
+            "punct_ratio"
+        ),
         F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
         quality_keep_expr().cast("int").alias("keep"),
     )

@@ -56,7 +56,7 @@ from flink_samples_spark.plans.shared_oracles import (
 from flink_samples_spark.sources.readers import load_table
 
 # Canonical fingerprint in DuckDB — must mirror llmops.text.document_fingerprint.
-_FP_SQL = "md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+_FP_SQL = "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
 
 
 def _hash_unit_sql(key: str, salt: int) -> str:
@@ -162,7 +162,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(str_split_regex(text, '\\s+')) AS INT) AS n_ws_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE CAST(len(str_split_regex(trim(text), '\\s+')) AS INT)
+           END AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_bpe_tokens
     FROM documents
     """,
@@ -178,7 +180,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars_obs,
            round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
-                 / length(text), 6) AS punct_ratio,
+                 / nullif(length(text), 0), 6) AS punct_ratio,
            round(CAST(len(list_filter(str_split(text, ' '),
                  w -> list_contains(['the','and','of','to','a','in','is'], lower(w)))) AS DOUBLE)
                  / len(str_split(text, ' ')), 6) AS stopword_ratio,
