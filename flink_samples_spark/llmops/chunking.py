@@ -38,6 +38,14 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_words <= 0 or stride > chunk_words:
         raise ValueError("require 0 < stride <= chunk_words")
+    # NULL text is dropped (mirrored in the oracle): greatest/least
+    # skip NULLs, so a NULL-text row would otherwise fabricate one
+    # phantom chunk claiming n_chunk_words == chunk_words with NULL
+    # text. Tokenization convention (repo-wide, oracles included):
+    # words are a single-space split, so runs of spaces produce empty
+    # tokens that count as words — normalize whitespace upstream
+    # (e.g. the fingerprint normalization) when that matters.
+    docs = docs.filter(F.col("text").isNotNull())
     words = F.split(F.col("text"), " ")
     n = F.size(words)
     # last start = 1 + stride * ceil(max(n - chunk, 0) / stride)
@@ -71,13 +79,17 @@ def chunk_oracle_sql(
     chunk_words: int = 32, stride: int = 24, relation: str = "documents"
 ) -> str:
     """DuckDB twin of :func:`chunk_documents` — generated from the same
-    parameters so the two cannot drift. ``relation`` may be a table
-    name or a CTE defined by the caller (any (doc_id, text) relation)."""
+    parameters (and validated identically) so the two cannot drift.
+    ``relation`` may be a table name or a CTE defined by the caller
+    (any (doc_id, text) relation)."""
+    if stride <= 0 or chunk_words <= 0 or stride > chunk_words:
+        raise ValueError("require 0 < stride <= chunk_words")
     c, s = int(chunk_words), int(stride)
     return f"""
     WITH w AS (
       SELECT doc_id, str_split(text, ' ') AS ws, len(str_split(text, ' ')) AS n
       FROM {relation}
+      WHERE text IS NOT NULL
     ), st AS (
       SELECT doc_id, ws, n,
              unnest(range(1,

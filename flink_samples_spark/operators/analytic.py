@@ -67,14 +67,26 @@ def range_frame_agg(
     alias: str,
     partition_by: Sequence[str],
     order_col: str,
-    preceding: float,
+    preceding: int,
 ) -> DataFrame:
     """RANGE BETWEEN ``preceding`` PRECEDING AND CURRENT ROW over a
-    numeric ordering column (peers by value, not row position)."""
+    numeric ordering column (peers by value, not row position).
+
+    ``preceding`` must be an integer: PySpark's ``rangeBetween`` only
+    accepts long bounds (a fractional bound dies in Py4J with a
+    no-such-method error) — for fractional ranges over doubles, scale
+    the ordering column to integer units, or use a SQL
+    ``RANGE BETWEEN INTERVAL`` frame for timestamps."""
+    if preceding != int(preceding):
+        raise ValueError(
+            f"range_frame_agg: preceding must be an integer (got "
+            f"{preceding!r}); scale the ordering column to integer units "
+            "for fractional ranges"
+        )
     w = (
         Window.partitionBy(*partition_by)
         .orderBy(F.col(order_col))
-        .rangeBetween(-preceding, 0)
+        .rangeBetween(-int(preceding), 0)
     )
     return df.withColumn(alias, agg_col.over(w))
 

@@ -118,9 +118,26 @@ def session_window_dynamic_gap(
     pass (running max + running sum share one shuffle+sort on the
     key) and one groupBy on (key, session_id); the same two-stage
     cost shape as the fixed-gap rewrite, scale-indifferent to the
-    gap being a column.
+    gap being a column. With ``keys=()`` the window degrades to a
+    single-partition global sort (the same caveat as any unkeyed
+    window) — pass keys at scale.
+
+    Gaps are validated IN the plan: a zero/negative per-event gap
+    would silently produce inverted windows (window_end before
+    window_start), so such a row raises at execution instead —
+    Flink's ``SessionWindowTimeGapExtractor`` contract.
+    Output columns: (window_start, window_end, *keys, aggs...) — the
+    same shape as the other window helpers.
     """
     gap = F.col(gap_col) if isinstance(gap_col, str) else gap_col
+    gap = F.when(gap > 0, gap).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("session_window_dynamic_gap: non-positive gap "),
+                F.coalesce(gap.cast("string"), F.lit("NULL")),
+            )
+        )
+    )
     span_end = F.col(ts_col) + F.make_interval(secs=gap)
     w_all = Window.partitionBy(*[F.col(k) for k in keys]) if keys else Window.partitionBy(F.lit(1))
     w_ord = w_all.orderBy(F.col(ts_col))
@@ -135,5 +152,7 @@ def session_window_dynamic_gap(
         F.min(ts_col).alias("window_start"),
         F.max("__end").alias("window_end"),
         *aggs,
-    )
-    return out.drop("__sid")
+    ).drop("__sid")
+    # family-uniform column order (matches _finish)
+    other = [c for c in out.columns if c not in ("window_start", "window_end", *keys)]
+    return out.select("window_start", "window_end", *keys, *other)

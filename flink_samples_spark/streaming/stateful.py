@@ -205,8 +205,16 @@ def sessionize_dynamic_gap(
                 for t, g, v in zip(pdf[ts_col], pdf[gap_col], pdf[value_col]):
                     # float first: a fractional gap (2.5 s) must keep
                     # its sub-second part in the µs interval end
+                    gs = float(g)
+                    if gs <= 0:
+                        # same contract as the batch twin: a
+                        # non-positive gap would make an inverted
+                        # [ts, ts+gap) interval — fail, don't corrupt
+                        raise ValueError(
+                            f"sessionize_dynamic_gap: non-positive gap {gs}"
+                        )
                     evs.append(
-                        (int(t.value // 1000), int(float(g) * 1_000_000), float(v))
+                        (int(t.value // 1000), int(gs * 1_000_000), float(v))
                     )
             evs.sort()
             if state.exists:
