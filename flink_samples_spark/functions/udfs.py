@@ -39,8 +39,10 @@ def doc_score_pandas_udf(docs: DataFrame) -> DataFrame:
     def doc_score(text: pd.Series, n_chars: pd.Series) -> pd.Series:
         # Deterministic, SQL-expressible on purpose (the oracle
         # recomputes it): 2*len(text) + n_chars. The point is the
-        # Arrow plumbing.
-        return 2 * text.str.len().astype("int64") + n_chars.astype("int64")
+        # Arrow plumbing. Nullable Int64: a NULL text/n_chars row
+        # yields NULL (astype('int64') on the NaN from str.len()
+        # would kill the whole task instead).
+        return (2 * text.str.len() + n_chars).astype("Int64")
 
     return docs.select(
         "doc_id", doc_score(F.col("text"), F.col("n_chars")).alias("score")
@@ -48,9 +50,11 @@ def doc_score_pandas_udf(docs: DataFrame) -> DataFrame:
 
 
 # --- grouped-agg pandas UDF (UDAF) ---------------------------------------
-def weighted_avg_applyinpandas(events: DataFrame) -> DataFrame:
+def weighted_avg_grouped_agg(events: DataFrame) -> DataFrame:
     """Per-user weighted average of ``value`` weighted by
-    (event_id % 7 + 1) — a UDAF with a closed-form SQL twin."""
+    (event_id % 7 + 1) — a UDAF with a closed-form SQL twin.
+    (Grouped-AGG pandas_udf, not applyInPandas — the per-group
+    TRANSFORM example is :func:`zscore_applyinpandas`.)"""
 
     @pandas_udf("double")
     def weighted_avg(v: pd.Series, w: pd.Series) -> float:
@@ -84,8 +88,14 @@ def zscore_applyinpandas(events: DataFrame) -> DataFrame:
     SQL stddev_samp)."""
 
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         v = pdf["value"]
         z = (v - v.mean()) / v.std(ddof=1)
+        # stddev_samp parity: a 1-row group (std=NaN) or a constant
+        # group (std=0 -> inf) must emit NULL like the SQL twin, not
+        # NaN/inf doubles that break the oracle comparison
+        z = z.replace([np.inf, -np.inf], np.nan)
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
         )
@@ -106,6 +116,10 @@ def priority_label_arrow_udf(orders: DataFrame) -> DataFrame:
 
     @udf("string", useArrow=True)
     def label(status: str, price: float) -> str:
+        # Arrow-optimized UDFs pass NULLs through as None: emit NULL
+        # instead of dying on the first null row
+        if status is None or price is None:
+            return None
         tier = "big" if price >= 200000 else "small"
         return f"{status.lower()}:{tier}"
 
@@ -129,7 +143,7 @@ def register_ngrams_udtf(spark) -> None:
     @udtf(returnType="pos int, gram string", useArrow=True)
     class DocNgrams:
         def eval(self, text: str, n: int):
-            if text is None:
+            if text is None or n is None or n < 1:
                 return
             ws = text.split(" ")
             for i in range(max(len(ws) - n + 1, 0)):

@@ -17,7 +17,7 @@ from pyspark.sql import types as T
 
 from flink_samples_spark.functions.udfs import (
     doc_score_pandas_udf,
-    weighted_avg_applyinpandas,
+    weighted_avg_grouped_agg,
     words_udtf,
     zscore_applyinpandas,
 )
@@ -288,7 +288,7 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return weighted_avg_applyinpandas(ev)
+    return weighted_avg_grouped_agg(ev)
 
 
 @query(

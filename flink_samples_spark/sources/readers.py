@@ -62,7 +62,13 @@ def _ns_timestamp_cols(path: str) -> list[str]:
         return []
     f = path
     if os.path.isdir(path):
-        cands = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        # recursive: a partitioned dataset's top level holds only
+        # key=value subdirectories — a flat glob would find nothing
+        # and silently skip the ns-restoration for every column
+        cands = sorted(
+            _glob.glob(os.path.join(path, "*.parquet"))
+            or _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        )
         if not cands:
             return []
         f = cands[0]
@@ -84,6 +90,12 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
     """
     # Defensive: callers (e.g. the driver harness) may hand us a session
     # built without the engine's configs; both are runtime-settable.
+    # DELIBERATE session-wide side effect: the engine contract is a
+    # pinned-UTC session (session.py sets the same), and the oracle
+    # comparisons depend on it — a non-UTC interactive session will
+    # see its timezone flipped by the first read. Scoping it per-plan
+    # is not possible for a conf that changes execution-time timestamp
+    # semantics.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(path)
@@ -147,13 +159,23 @@ class SourceSpec:
                 return (
                     spark.read.format(CASSANDRA_FORMAT).options(**opts).load()
                 )
-            except Exception as ex:  # pragma: no cover - jar absent here
-                raise RuntimeError(
-                    "Cassandra connector jar (com.datastax.spark:"
-                    "spark-cassandra-connector) is not on the classpath in "
-                    "this sandbox; add it via spark.jars.packages to read "
-                    f"{opts.get('keyspace')}.{opts.get('table')} live"
-                ) from ex
+            except Exception as ex:
+                # wrap ONLY the missing-connector case; a live read
+                # failure (endpoint, auth, missing table) surfaces as
+                # itself, not as a phantom packaging problem
+                msg = str(ex)
+                if (
+                    "Failed to find data source" in msg
+                    or "ClassNotFound" in msg
+                    or CASSANDRA_FORMAT in msg
+                ):
+                    raise RuntimeError(
+                        "Cassandra connector jar (com.datastax.spark:"
+                        "spark-cassandra-connector) is not on the classpath in "
+                        "this sandbox; add it via spark.jars.packages to read "
+                        f"{opts.get('keyspace')}.{opts.get('table')} live"
+                    ) from ex
+                raise
         reader = spark.read.format(self.fmt).options(**opts)
         return reader.load(self.path) if self.path else reader.load()
 
@@ -176,8 +198,17 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
 def range_source(spark: SparkSession, start: int = 0, end: int | None = None) -> DataFrame:
     """Bounded number-sequence source, one LongType column ``id``
     (batch twin of ``NumberSequenceSource(0, Long.MAX_VALUE)``,
-    ``DataStreamJob.java:45-49``)."""
+    ``DataStreamJob.java:45-49``). With ``end`` omitted the sequence
+    is [0, start) — Spark's single-argument range convention — which
+    contradicts the parameter's name, so a start-only call is
+    refused rather than silently reinterpreted."""
     if end is None:
+        if start != 0:
+            raise ValueError(
+                f"range_source(start={start}) without end is ambiguous: "
+                "spark.range(n) means [0, n). Pass both bounds "
+                f"(range_source(spark, {start}, <end>))"
+            )
         return spark.range(start)
     return spark.range(start, end)
 

@@ -46,8 +46,14 @@ def write_json_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_text_lines(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Row-format sink: one encoded line per row (the reference's
     Encoder writes String.valueOf + newline; here: CSV-style concat of
-    all columns, no user encoder needed)."""
-    line = F.concat_ws(",", *[F.col(c).cast("string") for c in df.columns])
+    all columns, no user encoder needed). NULLs print as the literal
+    'null' (String.valueOf semantics) — concat_ws alone would DROP
+    null fields, silently column-shifting every later field on the
+    line."""
+    line = F.concat_ws(
+        ",",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("null")) for c in df.columns],
+    )
     df.select(line.alias("value")).write.mode(mode).text(path)
 
 
