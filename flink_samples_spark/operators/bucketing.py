@@ -15,6 +15,8 @@ catalog (``saveAsTable``); bucket counts on both sides should match
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -34,9 +36,20 @@ def write_bucketed(
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     # a crashed previous write can leave the managed location behind
-    # with no catalog entry; saveAsTable then refuses
-    loc = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
-    shutil.rmtree(f"{loc.path}/{table.lower()}", ignore_errors=True)
+    # with no catalog entry; saveAsTable then refuses. Managed-table
+    # layout: <warehouse>/<table> for default-db names and
+    # <warehouse>/<db>.db/<table> for qualified ones; the warehouse
+    # URI may be relative (resolve against cwd) or percent-encoded.
+    from urllib.parse import unquote
+
+    raw = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = unquote(urlparse(raw).path) or raw
+    wh = os.path.abspath(wh)
+    parts = table.lower().split(".")
+    rel = (
+        os.path.join(f"{parts[0]}.db", parts[1]) if len(parts) == 2 else parts[0]
+    )
+    shutil.rmtree(os.path.join(wh, rel), ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
@@ -73,10 +86,15 @@ def zorder_key(a, b, bits: int = 16):
 
     Columns must be non-negative; values above 2^bits-1 cluster by
     their low bits (callers bucketize first for skewed ranges).
+    ``bits`` must be 1..32: the interleaved key uses 2·bits of a
+    64-bit long, and JVM shift amounts wrap mod 64, so a larger value
+    would silently OR high bits into low positions.
     """
     from pyspark.sql import Column
     from pyspark.sql import functions as F
 
+    if not 1 <= bits <= 32:
+        raise ValueError(f"zorder_key: bits must be in [1, 32], got {bits}")
     ca = a if isinstance(a, Column) else F.col(a)
     cb = b if isinstance(b, Column) else F.col(b)
     ca, cb = ca.cast("bigint"), cb.cast("bigint")

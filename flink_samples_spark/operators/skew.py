@@ -4,17 +4,18 @@ AQE's skew-join splitting handles most runtime skew; these helpers
 cover the cases AQE can't re-plan:
 
 - :func:`salted_agg`: a hot grouping key overwhelms one reducer.
-  Phase 1 aggregates on (key, salt) — salt derived deterministically
-  from a row hash, so the hot key fans out over ``n_salts`` reducers;
-  phase 2 merges the partials per key. Works for algebraic aggregates
-  (sum/count/min/max — anything with a merge function); avg is
-  expressed as sum+count and divided after the merge.
+  Phase 1 aggregates on (key, salt) — salt from a per-row id, so the
+  hot key fans out over ``n_salts`` reducers EVEN when its rows are
+  byte-identical; phase 2 merges the partials per key. Works for
+  algebraic aggregates (sum/count/min/max — anything with a merge
+  function); avg is expressed as sum+count and divided after the
+  merge.
 - :func:`salted_broadcast_replicate_join`: big×small equi-join where
   one big-side key is hot AND the small side is too large to
   broadcast whole but fine to replicate ``n_salts`` times per
-  partition of the key range: big side gets salt = hash(row) % n,
-  small side is exploded once per salt value, join on (key, salt).
-  The hot key's rows then spread over n reducers.
+  partition of the key range: big side gets a per-row salt, small
+  side is exploded once per salt value, join on (key, salt). The
+  hot key's rows then spread over n reducers.
 """
 
 from __future__ import annotations
@@ -26,9 +27,23 @@ from pyspark.sql import functions as F
 
 
 def _row_salt(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic per-row salt: xxhash64 over all columns mod n —
-    stable across runs/partitionings (no rand())."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    """Per-ROW salt: monotonically_increasing_id mod n.
+
+    NOT a content hash: a hash of the columns is constant across
+    duplicate rows, so a hot key whose rows repeat (the classic skew
+    case — coarse timestamps, categorical payloads, or a key-only
+    projection) would land entirely in ONE salt bucket and the
+    mitigation would silently do nothing. The id is partition-local
+    sequential — rows of any one key spread across salts regardless
+    of content. Salt values are not stable across runs, but no
+    caller's RESULT depends on them (they only shape the shuffle);
+    the equality tests against unsalted plans pin that."""
+    if "__salt" in df.columns:
+        raise ValueError(
+            "input already has a column named '__salt', which the skew "
+            "helpers would overwrite and drop — rename it first"
+        )
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
 
 
 def salted_agg(
@@ -42,6 +57,10 @@ def salted_agg(
 
     Output columns: ``keys…, sum_<col>…, n_rows`` (if count).
     """
+    if not sum_cols and not count:
+        raise ValueError(
+            "salted_agg: nothing to aggregate — pass sum_cols and/or count=True"
+        )
     salted = df.withColumn("__salt", _row_salt(df, n_salts))
     partial_aggs = [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     if count:

@@ -124,6 +124,17 @@ def interval_join_stream(
     ``right_key`` (a pre-renamed right-side key column) to make the
     resolution unambiguous; the right key is dropped either way.
     """
+    if how != "inner" and right_key is None:
+        # the documented footgun made into an error: under outer
+        # modes a shared-lineage self-join can bind l[key] == r[key]
+        # to ONE attribute (trivially true), silently pairing every
+        # left row with every in-interval right row
+        raise ValueError(
+            "interval_join_stream: outer modes require right_key (a "
+            "pre-renamed right-side key column) — shared-lineage key "
+            "resolution is ambiguous and can silently drop the key "
+            "predicate"
+        )
     rk = right_key or key
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
