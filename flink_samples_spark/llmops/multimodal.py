@@ -62,6 +62,15 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
         for pdf in batches:
             n_bytes, byte_sum, byte_mean, head_hash = [], [], [], []
             for payload in pdf["payload"]:
+                if payload is None:
+                    # NULL payload → zero-byte features, not a dead
+                    # job (np.frombuffer(None) raises TypeError and
+                    # aborts the whole task)
+                    n_bytes.append(0)
+                    byte_sum.append(0)
+                    byte_mean.append(0.0)
+                    head_hash.append(0)
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 n_bytes.append(len(arr))
                 s = int(arr.sum())
@@ -90,7 +99,13 @@ def multimodal_passthrough(embeddings: DataFrame) -> DataFrame:
     """Array<float> payloads through shuffle + agg intact: group by
     label, carry vector stats — proves nested types survive the
     exchange with Arrow/Tungsten untouched."""
-    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    # NULL elements are SKIPPED, matching the oracle's list_sum
+    # semantics — a bare acc+x fold would turn one NULL element into
+    # a NULL vec_sum and silently drop the vector from total_sum
+    dbl = F.filter(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        lambda x: x.isNotNull(),
+    )
     per_row = embeddings.select(
         "label",
         F.size("embedding").alias("n_dims"),
@@ -121,6 +136,13 @@ def sample_frames(
     stage, no Python, no shuffle; payload bytes never leave the scan
     stage (only the 16-byte digest flows on).
     """
+    if frame_bytes <= 0 or every <= 0:
+        # fail at call time, not as an ANSI DIVIDE_BY_ZERO or an
+        # illegal-sequence-step task failure mid-job
+        raise ValueError(
+            f"sample_frames: frame_bytes and every must be positive "
+            f"(got frame_bytes={frame_bytes}, every={every})"
+        )
     n_frames = F.floor(F.length("payload") / F.lit(frame_bytes)).cast("bigint")
     idx = F.sequence(F.lit(0).cast("bigint"), n_frames - 1, F.lit(every).cast("bigint"))
     base = media.select(

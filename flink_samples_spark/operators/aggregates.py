@@ -68,9 +68,12 @@ def pivot_agg(
     ``values`` is REQUIRED, not inferred — inference runs an extra
     distinct job over the data before planning, and an unbounded
     value domain would mint an unbounded number of columns. With the
-    domain pinned, this plans as ONE partial→final aggregate over
-    ``keys`` (each pivot bucket is a conditional aggregate — no
-    per-value scan, no join)."""
+    domain pinned, this plans as TWO aggregate phases (a first
+    aggregate over (keys, pivot_col), then a PivotFirst aggregate
+    over keys — two shuffles, each partial→final; measured on this
+    session's Spark 4.1.2), with no per-value scan, no join, and no
+    inference job. The second shuffle's input is one row per
+    (keys, pivot value) — already aggregate-sized."""
     return df.groupBy(*keys).pivot(pivot_col, list(values)).agg(agg)
 
 

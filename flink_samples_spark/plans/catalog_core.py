@@ -13,12 +13,14 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_samples_spark.operators.aggregates import global_agg, hash_agg
 from flink_samples_spark.operators.time_windows import (
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
 )
 from flink_samples_spark.plans.registry import query
+from flink_samples_spark.plans.shared_oracles import SESSION_WINDOW_ORACLE
 from flink_samples_spark.sources.readers import load_table, range_source, read_json_lines
 
 _JSONL_PATH = os.path.join(os.path.dirname(__file__), "..", "..", "data", "input.jsonl")
@@ -32,24 +34,7 @@ _JSONL_PATH = os.path.abspath(_JSONL_PATH)
 # Spark merges events when the inter-event gap <= session gap (verified
 # empirically: boundary-equal merges), so the oracle's new-session
 # condition is strictly `> gap`. window_end = last ts + gap.
-@query(
-    "q_session_window",
-    oracle="""
-    WITH lagged AS (
-      SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts FROM events
-    ), sess AS (
-      SELECT ts,
-             SUM(CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL 5 SECOND THEN 1 ELSE 0 END)
-               OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-      FROM lagged
-    )
-    SELECT MIN(ts) AS window_start,
-           MAX(ts) + INTERVAL 5 SECOND AS window_end,
-           COUNT(*) AS total
-    FROM sess GROUP BY sid
-    """,
-)
+@query("q_session_window", oracle=SESSION_WINDOW_ORACLE)
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return session_window_agg(events, "ts", "5 seconds")
@@ -150,7 +135,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(F.count(F.lit(1)).alias("total"))
+    return hash_agg(events, ["event_type"], [F.count(F.lit(1)).alias("total")])
 
 
 # --- global reduce --------------------------------------------------------
@@ -162,7 +147,9 @@ def q_agg_count_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_global_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.agg(F.sum("event_id").alias("sum_id"), F.count(F.lit(1)).alias("total"))
+    return global_agg(
+        events, [F.sum("event_id").alias("sum_id"), F.count(F.lit(1)).alias("total")]
+    )
 
 
 # --- bounded scans --------------------------------------------------------

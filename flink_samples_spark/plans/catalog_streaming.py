@@ -25,6 +25,7 @@ from flink_samples_spark.plans.registry import query
 from flink_samples_spark.plans.shared_oracles import (
     EWMA_ORACLE,
     PATTERN_SEQ_ORACLE,
+    SESSION_WINDOW_ORACLE,
 )
 from flink_samples_spark.sources.readers import load_table
 from flink_samples_spark.streaming.jobs import stream_dedup, windowed_sum_stream
@@ -132,24 +133,7 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over the ordered replay, append mode, sentinel-flushed. Nothing is
 # late, so the streamed sessions equal the batch gaps-and-islands SQL
 # — the same strict oracle as q_session_window.
-@query(
-    "q_stream_session",
-    oracle="""
-    WITH lagged AS (
-      SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts FROM events
-    ), sess AS (
-      SELECT ts,
-             SUM(CASE WHEN prev_ts IS NULL
-                       OR ts - prev_ts > INTERVAL 5 SECOND THEN 1 ELSE 0 END)
-               OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-      FROM lagged
-    )
-    SELECT MIN(ts) AS window_start,
-           MAX(ts) + INTERVAL 5 SECOND AS window_end,
-           COUNT(*) AS total
-    FROM sess GROUP BY sid
-    """,
-)
+@query("q_stream_session", oracle=SESSION_WINDOW_ORACLE)
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.streaming.jobs import session_count_stream
 

@@ -8,6 +8,25 @@ pattern locally in catalog_streaming._DYN_SESSION_ORACLE, where both
 twins live in one module).
 """
 
+# The FLAGSHIP gaps-and-islands session SQL (q_session_window /
+# q_stream_session): 5 s gap, new-session condition strictly > gap
+# (Spark merges boundary-equal events), window_end = last ts + gap.
+SESSION_WINDOW_ORACLE = """
+    WITH lagged AS (
+      SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev_ts FROM events
+    ), sess AS (
+      SELECT ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                       OR ts - prev_ts > INTERVAL 5 SECOND THEN 1 ELSE 0 END)
+               OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    )
+    SELECT MIN(ts) AS window_start,
+           MAX(ts) + INTERVAL 5 SECOND AS window_end,
+           COUNT(*) AS total
+    FROM sess GROUP BY sid
+    """
+
 # Per-key EWMA recursion (q_ts_ewma / q_stream_ewma): dyadic α=0.25,
 # explicit half-away rounding formula matching both engines.
 EWMA_ORACLE = """

@@ -480,3 +480,36 @@ def test_ngram_topk_short_docs_contribute_no_grams(spark):
     )
     grams = {r.shingle for r in ngram_topk(docs, k=3, top=10).collect()}
     assert grams == {"a b c", "b c d"}, grams
+
+
+def test_aggregate_wrappers_match_inline_forms(spark, sf_dir):
+    """Code-review r5: the §2.4 wrapper operators were dead code —
+    exercise each against its inline equivalent so they cannot rot."""
+    from flink_samples_spark.operators.aggregates import (
+        approx_count_distinct_agg,
+        count_distinct_agg,
+        global_agg,
+    )
+    from flink_samples_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    got = count_distinct_agg(li, ["l_returnflag"], "l_partkey", "n").orderBy(
+        "l_returnflag"
+    ).collect()
+    want = (
+        li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .orderBy("l_returnflag")
+        .collect()
+    )
+    assert got == want
+    g = global_agg(li, [F.count(F.lit(1)).alias("n")]).first().n
+    assert g == li.count()
+    approx = {
+        r.l_returnflag: r.n
+        for r in approx_count_distinct_agg(li, ["l_returnflag"], "l_partkey", "n").collect()
+    }
+    exact = {r.l_returnflag: r.n for r in want}
+    for k, n in approx.items():
+        assert abs(n - exact[k]) <= max(0.2 * exact[k], 10), (k, n, exact[k])

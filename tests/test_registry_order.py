@@ -147,3 +147,18 @@ def test_spark_entry_exposes_priority_order():
     assert list(mod.queries())[:WINDOW] == list(DRIVER_PRIORITY)
     oracles = mod.oracle_sql()
     assert all(n in oracles for n in DRIVER_PRIORITY)
+
+
+def test_batch_stream_twin_pairs_share_one_oracle():
+    """PARITY.md's contract: a twin pair is held to ONE oracle string
+    — duplicated SQL invites silent drift where editing one side
+    breaks the parity guarantee with both gates individually green."""
+    pairs = [
+        ("q_session_window", "q_stream_session"),
+        ("q_ts_ewma", "q_stream_ewma"),
+        ("q_pattern_seq", "q_stream_pattern_seq"),
+        ("q_pattern_absence", "q_stream_pattern_absence"),
+        ("q_session_dynamic", "q_stream_session_dynamic"),
+    ]
+    for batch, stream in pairs:
+        assert ORACLES[batch] == ORACLES[stream], (batch, stream)
