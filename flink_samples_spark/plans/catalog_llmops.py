@@ -1696,9 +1696,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         index = spark.read.parquet(idx_dir)
         # materialize while the temp index exists (the dir is deleted
         # before returning)
-        result = dedup_against_index(batch, index, k=3, threshold=0.8).toPandas()
-        return spark.createDataFrame(
-            result, schema="doc_a bigint, doc_b bigint, jaccard double"
+        from flink_samples_spark.streaming.sinks import sink_to_batch
+
+        return sink_to_batch(
+            dedup_against_index(batch, index, k=3, threshold=0.8),
+            "doc_a bigint, doc_b bigint, jaccard double",
         )
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)

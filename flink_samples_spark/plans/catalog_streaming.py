@@ -29,7 +29,11 @@ from flink_samples_spark.plans.shared_oracles import (
 )
 from flink_samples_spark.sources.readers import load_table
 from flink_samples_spark.streaming.jobs import stream_dedup, windowed_sum_stream
-from flink_samples_spark.streaming.sinks import idempotent_parquet_sink, read_sink
+from flink_samples_spark.streaming.sinks import (
+    idempotent_parquet_sink,
+    read_sink,
+    sink_to_batch,
+)
 from flink_samples_spark.streaming.sources import file_replay_stream, write_replay_files
 
 _REPLAY_SCHEMA = T.StructType(
@@ -78,11 +82,7 @@ def _run_streaming(spark: SparkSession, sf_dir: str, build, post) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming replay did not finish within 300s")
-        result = post(read_sink(spark, sink), max_ts).toPandas()
-        # drop the idempotent sink's partition column — not part of the
-        # logical result
-        result = result[[c for c in result.columns if c != "batch"]]
-        return spark.createDataFrame(result, schema=out.schema)
+        return sink_to_batch(post(read_sink(spark, sink), max_ts), out.schema)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -260,11 +260,9 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming replay did not finish within 300s")
-        result = (
-            read_sink(spark, sink).filter(F.col("window_start") <= max_ts).toPandas()
+        return sink_to_batch(
+            read_sink(spark, sink).filter(F.col("window_start") <= max_ts), out.schema
         )
-        result = result[[c for c in result.columns if c != "batch"]]
-        return spark.createDataFrame(result, schema=out.schema)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -341,9 +339,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming replay did not finish within 300s")
-        result = read_sink(spark, sink).toPandas()
-        result = result[[c for c in result.columns if c != "batch"]]
-        return spark.createDataFrame(result, schema=out.schema)
+        return sink_to_batch(read_sink(spark, sink), out.schema)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -533,9 +529,7 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("documents replay did not finish within 300s")
-        result = read_sink(spark, sink).toPandas()
-        result = result[[c for c in result.columns if c != "batch"]]
-        return spark.createDataFrame(result, schema=out.schema)
+        return sink_to_batch(read_sink(spark, sink), out.schema)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -639,11 +633,9 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("change replay did not finish within 300s")
-        final = spark.read.parquet(
-            os.path.join(snap_root, f"v{cur['v']}")
-        ).toPandas()
-        return spark.createDataFrame(
-            final, schema="c_custkey bigint, c_name string, bal double"
+        return sink_to_batch(
+            spark.read.parquet(os.path.join(snap_root, f"v{cur['v']}")),
+            "c_custkey bigint, c_name string, bal double",
         )
     finally:
         for d in dirs:
@@ -692,14 +684,13 @@ def q_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # latest emission per user IS the final count (update mode
         # re-emits a key only when its state changes)
         w = Window.partitionBy("user_id").orderBy(F.col("batch").desc())
-        final = (
+        return sink_to_batch(
             read_sink(spark, sink)
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("user_id", "n_events")
-            .toPandas()
+            .select("user_id", "n_events"),
+            "user_id bigint, n_events bigint",
         )
-        return spark.createDataFrame(final, schema="user_id bigint, n_events bigint")
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -759,9 +750,9 @@ def q_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("complete-mode replay did not finish within 300s")
-        final = spark.read.parquet(os.path.join(sink, "state")).toPandas()
-        return spark.createDataFrame(
-            final, schema="event_type string, n_events bigint, sum_value double"
+        return sink_to_batch(
+            spark.read.parquet(os.path.join(sink, "state")),
+            "event_type string, n_events bigint, sum_value double",
         )
     finally:
         for d in dirs:
@@ -861,11 +852,9 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming replay did not finish within 300s")
-        result = (
-            read_sink(spark, sink).filter(F.col("user_id") >= 0).toPandas()
+        return sink_to_batch(
+            read_sink(spark, sink).filter(F.col("user_id") >= 0), out.schema
         )
-        result = result[[c for c in result.columns if c != "batch"]]
-        return spark.createDataFrame(result, schema=out.schema)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -1046,10 +1035,8 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise RuntimeError("streaming replay did not finish within 300s")
         from flink_samples_spark.streaming.sinks import read_sink
 
-        result = read_sink(spark, sink).toPandas()
-        result = result[[c for c in result.columns if c != "batch"]]
-        return spark.createDataFrame(
-            result, schema="doc_a bigint, doc_b bigint, jaccard double"
+        return sink_to_batch(
+            read_sink(spark, sink), "doc_a bigint, doc_b bigint, jaccard double"
         )
     finally:
         for d in dirs:
@@ -1088,9 +1075,7 @@ def q_stream_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming replay did not finish within 300s")
-        result = read_sink(spark, sink).toPandas()
-        result = result[[c for c in result.columns if c != "batch"]]
-        return spark.createDataFrame(result, schema=out.schema)
+        return sink_to_batch(read_sink(spark, sink), out.schema)
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)
@@ -1154,9 +1139,9 @@ def q_stream_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(300):
             q.stop()
             raise RuntimeError("streaming replay did not finish within 300s")
-        result = read_sink(spark, sink).filter(F.col("user_id") >= 0).toPandas()
-        result = result[[c for c in result.columns if c != "batch"]]
-        return spark.createDataFrame(result, schema=out.schema)
+        return sink_to_batch(
+            read_sink(spark, sink).filter(F.col("user_id") >= 0), out.schema
+        )
     finally:
         for d in dirs:
             shutil.rmtree(d, ignore_errors=True)

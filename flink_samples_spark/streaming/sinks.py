@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Single source of truth for the connector's DSv2 format name; the
 # jar is absent in this sandbox (see readers.CASSANDRA_FORMAT).
@@ -114,6 +115,32 @@ def idempotent_sink(target: str, fmt: str = "parquet", **options: str):
         )
 
     return write_batch_generic
+
+
+def sink_to_batch(df: DataFrame, schema) -> DataFrame:
+    """Materialize a sink read-back as an in-memory batch DataFrame
+    that survives deletion of the temp sink directory.
+
+    Vanilla-session safe: never round-trips through pandas. The old
+    ``toPandas() -> createDataFrame()`` pattern broke under a
+    config-free SparkSession because pandas coerces a NULL-able
+    bigint column (e.g. an outer join's unmatched side) to float64,
+    and the non-Arrow ``createDataFrame`` verifier rejects ``4828.0``
+    for ``LongType``. Instead: drop the idempotent sink's ``batch``
+    partition column, cast to the declared result schema, and
+    ``localCheckpoint(eager=True)`` so the partitions are held by the
+    block manager and the parquet files can be removed.
+
+    ``schema`` is a StructType or a DDL string.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    out = df.drop("batch").select(
+        [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+    return out.localCheckpoint(eager=True)
 
 
 def read_sink(spark: SparkSession, out_dir: str) -> DataFrame:
