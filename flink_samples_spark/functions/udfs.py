@@ -93,11 +93,13 @@ def zscore_applyinpandas(events: DataFrame) -> DataFrame:
         v = pdf["value"]
         z = (v - v.mean()) / v.std(ddof=1)
         # stddev_samp parity: a 1-row group (std=NaN) or a constant
-        # group (std=0 -> inf) must emit NULL like the SQL twin, not
-        # NaN/inf doubles that break the oracle comparison
-        z = z.replace([np.inf, -np.inf], np.nan)
+        # group (std=0 -> inf) must emit NULL like the SQL twin. A
+        # plain float64 NaN rides Arrow as NaN, NOT as SQL NULL (an
+        # IS NULL downstream would miss it) — the nullable Float64
+        # dtype maps NaN/NA to a true Arrow null.
+        z = z.replace([np.inf, -np.inf], np.nan).round(6).astype("Float64")
         return pd.DataFrame(
-            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(6)}
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z}
         )
 
     return events.groupBy("user_id").applyInPandas(

@@ -119,11 +119,16 @@ def _literal_assign_expr(centroids: "list[tuple[int, list[float]]]") -> Column:
 
 def _py_norm(vec: "list[float]") -> float:
     """Left-to-right IEEE-double 2-norm — the same accumulation the
-    JVM ``aggregate`` fold in :func:`_dot` performs."""
+    JVM ``aggregate`` fold in :func:`_dot` performs. math.sqrt is
+    IEEE correctly rounded like the JVM's sqrt; ``acc ** 0.5`` (C
+    pow) is not required to be, and a 1-ulp difference could flip an
+    argmax tie at an assignment boundary."""
+    import math
+
     acc = 0.0
     for x in vec:
         acc += float(x) * float(x)
-    return acc**0.5
+    return math.sqrt(acc)
 
 
 def kmeans_fit_assign(

@@ -884,10 +884,20 @@ def read_prior_index(spark, idx_dir: str, batch_id: int) -> DataFrame | None:
     the Hadoop FileSystem API)."""
     if not os.path.isdir(idx_dir):
         return None
-    if not any(
-        d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
+    def _batch_no(d: str) -> int | None:
+        # crash-leftover entries like 'batch=3.tmp' or object-store
+        # marker files must be ignored, not crash the micro-batch
+        try:
+            return int(d.split("=", 1)[1])
+        except ValueError:
+            return None
+
+    prior = [
+        n
         for d in os.listdir(idx_dir)
-    ):
+        if d.startswith("batch=") and (n := _batch_no(d)) is not None
+    ]
+    if not any(n < batch_id for n in prior):
         return None
     return (
         spark.read.parquet(idx_dir).filter(F.col("batch") < batch_id).drop("batch")

@@ -46,6 +46,13 @@ def write_bucketed(
     wh = unquote(urlparse(raw).path) or raw
     wh = os.path.abspath(wh)
     parts = table.lower().split(".")
+    if len(parts) > 2:
+        # a 3-part (catalog.db.table) name would make the fallback
+        # branch rmtree <warehouse>/<catalog> — the wrong directory
+        raise ValueError(
+            f"write_bucketed: qualified name {table!r} has {len(parts)} parts; "
+            "pass db.table or a bare table name (session catalog only)"
+        )
     rel = (
         os.path.join(f"{parts[0]}.db", parts[1]) if len(parts) == 2 else parts[0]
     )

@@ -1420,7 +1420,14 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.operators import salted_agg
 
     li = load_table(spark, sf_dir, "lineitem")
-    out = salted_agg(li, ["l_returnflag"], sum_cols=["l_quantity"], n_salts=16)
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        sum_cols=["l_quantity"],
+        n_salts=16,
+        # retry-deterministic salt from the table primary key
+        id_cols=["l_orderkey", "l_linenumber"],
+    )
     return out.select(
         "l_returnflag",
         F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
@@ -1447,7 +1454,9 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("partkey"), "p_brand"
     )
-    return salted_broadcast_replicate_join(li, pt, "partkey", n_salts=8)
+    return salted_broadcast_replicate_join(
+        li, pt, "partkey", n_salts=8, id_cols=["l_orderkey", "partkey", "l_quantity"]
+    )
 
 
 @query(

@@ -64,80 +64,73 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # ---- ever-green sentinel spine (families w/o a new member) ----
-    "q_session_window",       # flagship (entry() serves it too); §2.9
-    "q_scan_parquet",         # §2.1 sources
-    "q_filter",               # §2.2 pushdown path
-    "q_win_rank",             # §2.5 analytic window
-    "q_topk_per_group",       # §2.6 top-k
-    "q_sql_window",           # SQL-string entry
-    # ---- strict-oracle streaming runs (batch/stream parity story,
-    #      StreamingFlinkSQL.java:36-43) — the verdict's priority ----
+    # Round-6 allocation (manifest after r5: 195 of 199 ever-green;
+    # never-checked backlog is exactly the four names below).
+    # ---- the r5 red row (sink read-back fixed) + 3-query backlog ----
+    "q_stream_join_outer",    # r5 FAIL: toPandas round-trip, now sink_to_batch
+    "q_agg_salted",           # deferred variant, last never-checked trio
+    "q_join_salted",
+    "q_join_colocated",
+    # ---- re-certify every wrapper the sink_to_batch refactor touched
+    #      (all streaming runs + q_late_data + q_dedup_incremental):
+    #      their read-back path changed, so their driver rows must be
+    #      re-earned this round ----
+    "q_stream_dedup",
+    "q_stream_tumbling",
+    "q_stream_session",
+    "q_stream_custom_sessionizer",
+    "q_late_data",
+    "q_stream_join",
+    "q_stream_curate",
     "q_stream_upsert",
     "q_stream_update_counts",
     "q_stream_complete_counts",
-    "q_stream_ewma",
-    "q_stream_join_outer",
+    "q_stream_dedup_index",
     "q_stream_pattern_seq",
     "q_stream_pattern_absence",
+    "q_stream_ewma",
     "q_stream_session_dynamic",
-    "q_stream_dedup_index",
-    # ---- batch twins of the above ----
-    "q_ts_ewma",
-    "q_pattern_seq",
-    "q_pattern_absence",
-    "q_session_dynamic",
-    "q_ts_outliers",
-    # ---- §2.3 joins ----
-    "q_merge_upsert",
-    "q_join_bloom",
-    # ---- §2.4 aggregations ----
-    "q_pivot",
-    "q_unpivot",
-    "q_agg_percentiles",
-    "q_agg_bitmap_distinct",
-    "q_agg_listagg",
-    # ---- §2.7 set ops (ALL semantics) ----
-    "q_intersect_all",
-    "q_except_all",
-    # ---- §2.8 scalar function remainder ----
-    "q_fn_regex",
-    "q_fn_zorder",
-    # ---- §2.10 UDF surface ----
-    "q_udtf_lateral",
-    # ---- tier-X dedup ----
-    "q_dedup_span",
-    "q_dedup_within",
+    "q_stream_temporal",
+    "q_stream_enrich",
+    "q_stream_sliding",
     "q_dedup_incremental",
-    "q_dedup_ngram",
-    "q_dedup_simhash",
-    # ---- tier-X text / scoring ----
+    # ---- ever-green sentinel spine: one-plus canary per §2 family ----
+    "q_scan_parquet",         # §2.1 sources
+    "q_scan_json",
+    "q_filter",               # §2.2 pushdown path
+    "q_join_broadcast",       # §2.3 joins
+    "q_join_smj",             # also the r5 bench re-measure target
+    "q_merge_upsert",
+    "q_agg_multi",            # §2.4 aggs; bench re-measure target
+    "q_agg_count_group",
+    "q_win_rank",             # §2.5 analytic windows
+    "q_topk_per_group",       # §2.6 top-k
+    "q_except_all",           # §2.7 set ops
+    "q_fn_string",            # §2.8 scalar functions
+    "q_fn_json",
+    "q_session_window",       # flagship; §2.9 batch windows
+    "q_tumbling_window",
+    "q_udf_scalar",           # §2.10 UDF surface
+    "q_udtf_lateral",
+    "q_pipeline_profit",      # TPC-H pipeline family
+    "q_sql_window",         # SQL-entry family
+    # ---- tier-X canaries (scale-claim operators) ----
+    "q_dedup_near",
+    "q_dedup_cross",
+    "q_sim_topk",
     "q_tfidf",
-    "q_lm_score",
-    "q_quality_ensemble",
-    # ---- tier-X corpus ops ----
-    "q_decontaminate_apply",
-    "q_pii_redact",
     "q_corpus_shuffle",
-    "q_budget_select",
-    "q_curation_v2",
-    # ---- tier-X sampling ----
-    "q_sample_weighted",
-    "q_sample_reservoir",
-    # ---- tier-X embeddings / behavior ----
     "q_embed_pca",
-    "q_snapshot_diff",
-    "q_data_quality",
+    "q_pack_sequences",
+    "q_sample_stratified",
 )
 
-# Round-6 allocation (write it when the r5 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): the never-checked backlog
-# should then be exactly q_agg_salted / q_join_salted /
-# q_join_colocated — give them three slots, restore the wider
-# ever-green sentinel spine (one canary per §2 family, as in r3/r4),
-# and spend any remaining slots re-certifying the flagship-adjacent
-# streaming set plus whatever failed in the r5 window. Registration
-# stays FROZEN unless a verdict demands a new operator.
+# Round-7 allocation (write when the r6 CORRECTNESS lands; run
+# scripts/update_green_manifest.py first): if round 6 went green the
+# backlog is empty — rotate the spine across the ever-green families
+# that have gone longest without a driver row (the manifest records
+# which rounds each query was green in), keep the flagship, and leave
+# registration FROZEN unless a verdict demands a new operator.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

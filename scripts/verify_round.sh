@@ -10,6 +10,14 @@ cd "$(dirname "$0")/.."
 echo "== pytest =="
 python -m pytest tests/ -q -p no:cacheprovider || { echo "GATE RED: pytest failed"; exit 1; }
 
+echo "== vanilla-session catalog sweep =="
+# Round-5 lesson: the builder's tuned (Arrow-on) session masked a
+# non-Arrow createDataFrame failure the driver's config-free session
+# hit. The full catalog must pass under the driver's session shape
+# once per round. Fresh process so no tuned JVM leaks in.
+(cd /tmp && python /root/repo/.claude/skills/verify/driver_sim.py --vanilla) \
+  || { echo "GATE RED: vanilla-session sweep failed"; exit 1; }
+
 echo "== bench =="
 BENCH_OUT=$(python bench.py) || { echo "GATE RED: bench.py exited non-zero"; exit 1; }
 echo "$BENCH_OUT" | tail -1
