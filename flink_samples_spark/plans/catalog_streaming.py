@@ -46,6 +46,30 @@ _REPLAY_SCHEMA = T.StructType(
 )
 
 
+def _run_bounded(spark: SparkSession, writer) -> None:
+    """Start an ``availableNow`` streaming write and await completion,
+    with the stateful-shuffle width pinned to the engine's core count
+    for the duration. A vanilla (driver-built) session defaults to
+    200 shuffle partitions, so every stateful micro-batch would open
+    and commit 200 state stores where 32 carry the same sf0.01 replay
+    several times faster; on a real cluster the width is sized to the
+    state volume instead. The caller's conf is restored afterwards —
+    shuffle width never affects results.
+    """
+    from flink_samples_spark.session import default_parallelism
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(default_parallelism()))
+    try:
+        q = writer.start()
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming replay did not finish within 300s")
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _run_streaming(spark: SparkSession, sf_dir: str, build, post) -> DataFrame:
     """Replay events through ``build(stream) -> DataFrame``, collect
     the sink, return an in-memory batch DataFrame (the temp dirs are
@@ -72,16 +96,13 @@ def _run_streaming(spark: SparkSession, sf_dir: str, build, post) -> DataFrame:
 
         stream = file_replay_stream(spark, replay, _REPLAY_SCHEMA)
         out = build(stream)
-        q = (
+        _run_bounded(
+            spark,
             out.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(sink))
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming replay did not finish within 300s")
         return sink_to_batch(post(read_sink(spark, sink), max_ts), out.schema)
     finally:
         for d in dirs:
@@ -250,16 +271,13 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             watermark="11 seconds",
             aggs=[F.count(F.lit(1)).alias("n")],
         )
-        q = (
+        _run_bounded(
+            spark,
             out.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(sink))
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming replay did not finish within 300s")
         return sink_to_batch(
             read_sink(spark, sink).filter(F.col("window_start") <= max_ts), out.schema
         )
@@ -329,16 +347,13 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             upper="1 hour",
             watermark="61 days",
         ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
-        q = (
+        _run_bounded(
+            spark,
             out.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(sink))
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming replay did not finish within 300s")
         return sink_to_batch(read_sink(spark, sink), out.schema)
     finally:
         for d in dirs:
@@ -519,16 +534,13 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 4-micro-batch run, at half the per-batch scheduling overhead
         stream = file_replay_stream(spark, replay, doc_schema, files_per_trigger=2)
         out = chunk_documents(stream.filter(quality_keep_expr()), 32, 24)
-        q = (
+        _run_bounded(
+            spark,
             out.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(sink))
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("documents replay did not finish within 300s")
         return sink_to_batch(read_sink(spark, sink), out.schema)
     finally:
         for d in dirs:
@@ -624,15 +636,12 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
         stream = file_replay_stream(spark, replay, ch_schema)
-        q = (
+        _run_bounded(
+            spark,
             stream.writeStream.foreachBatch(apply_batch)
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("change replay did not finish within 300s")
         return sink_to_batch(
             spark.read.parquet(os.path.join(snap_root, f"v{cur['v']}")),
             "c_custkey bigint, c_name string, bal double",
@@ -671,16 +680,13 @@ def q_stream_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = stream.groupBy("user_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events")
         )
-        q = (
+        _run_bounded(
+            spark,
             agg.writeStream.outputMode("update")
             .foreachBatch(idempotent_parquet_sink(sink))
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("update-mode replay did not finish within 300s")
         # latest emission per user IS the final count (update mode
         # re-emits a key only when its state changes)
         w = Window.partitionBy("user_id").orderBy(F.col("batch").desc())
@@ -740,16 +746,13 @@ def q_stream_complete_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             # complete mode: each emission IS the whole state
             batch_df.write.mode("overwrite").parquet(os.path.join(sink, "state"))
 
-        q = (
+        _run_bounded(
+            spark,
             agg.writeStream.outputMode("complete")
             .foreachBatch(overwrite_batch)
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("complete-mode replay did not finish within 300s")
         return sink_to_batch(
             spark.read.parquet(os.path.join(sink, "state")),
             "event_type string, n_events bigint, sum_value double",
@@ -842,16 +845,13 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             how="left_outer",
             right_key="user_id_r",
         ).select("click_id", "purchase_id", "user_id", "click_ts", "purchase_ts")
-        q = (
+        _run_bounded(
+            spark,
             out.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(sink))
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming replay did not finish within 300s")
         return sink_to_batch(
             read_sink(spark, sink).filter(F.col("user_id") >= 0), out.schema
         )
@@ -1024,15 +1024,12 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             bidx.unpersist()
             spark.catalog.clearCache()  # per-batch shingle caches
 
-        q = (
+        _run_bounded(
+            spark,
             stream.writeStream.foreachBatch(process)
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming replay did not finish within 300s")
         from flink_samples_spark.streaming.sinks import read_sink
 
         return sink_to_batch(
@@ -1065,16 +1062,13 @@ def q_stream_pattern_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["click", "error", "purchase"],
             within_seconds=7200,
         )
-        q = (
+        _run_bounded(
+            spark,
             out.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(sink))
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming replay did not finish within 300s")
         return sink_to_batch(read_sink(spark, sink), out.schema)
     finally:
         for d in dirs:
@@ -1129,16 +1123,13 @@ def q_stream_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
             absent="purchase",
             within_seconds=7200,
         )
-        q = (
+        _run_bounded(
+            spark,
             out.writeStream.outputMode("append")
             .foreachBatch(idempotent_parquet_sink(sink))
             .option("checkpointLocation", cp)
-            .trigger(availableNow=True)
-            .start()
+            .trigger(availableNow=True),
         )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming replay did not finish within 300s")
         return sink_to_batch(
             read_sink(spark, sink).filter(F.col("user_id") >= 0), out.schema
         )
