@@ -884,6 +884,7 @@ def read_prior_index(spark, idx_dir: str, batch_id: int) -> DataFrame | None:
     the Hadoop FileSystem API)."""
     if not os.path.isdir(idx_dir):
         return None
+
     def _batch_no(d: str) -> int | None:
         # crash-leftover entries like 'batch=3.tmp' or object-store
         # marker files must be ignored, not crash the micro-batch
@@ -892,15 +893,23 @@ def read_prior_index(spark, idx_dir: str, batch_id: int) -> DataFrame | None:
         except ValueError:
             return None
 
-    prior = [
-        n
+    # Enumerate ONLY committed prior-batch partitions and read them by
+    # explicit path: a whole-directory read would run partition
+    # discovery over the same crash leftovers the listing just skipped
+    # (a 'batch=3.tmp' value poisons the inferred partition type, and
+    # a bare marker file breaks the parquet reader outright). Path
+    # selection also IS the self-exclusion — no post-filter needed.
+    prior_dirs = [
+        os.path.join(idx_dir, d)
         for d in os.listdir(idx_dir)
-        if d.startswith("batch=") and (n := _batch_no(d)) is not None
+        if d.startswith("batch=")
+        and (n := _batch_no(d)) is not None
+        and n < batch_id
     ]
-    if not any(n < batch_id for n in prior):
+    if not prior_dirs:
         return None
     return (
-        spark.read.parquet(idx_dir).filter(F.col("batch") < batch_id).drop("batch")
+        spark.read.option("basePath", idx_dir).parquet(*prior_dirs).drop("batch")
     )
 
 

@@ -44,10 +44,9 @@ def _row_salt(df: DataFrame, n_salts: int, id_cols: Sequence[str] | None) -> Col
     reproducible across stage retries when the input's lineage is
     deterministic (a file scan, or a checkpointed frame). If the
     input is itself post-shuffle (join/agg output), a retry can
-    re-deal rows to different salt groups mid-aggregation, so this
-    path ``localCheckpoint``s the input first to pin partition
-    contents — correct, but it materializes the frame; at terabyte
-    scale pass ``id_cols`` instead."""
+    re-deal rows to different salt groups mid-aggregation — pass
+    ``pin_lineage=True`` to the public helpers to localCheckpoint
+    first (see :func:`_salt_input`), or better, pass ``id_cols``."""
     if "__salt" in df.columns:
         raise ValueError(
             "input already has a column named '__salt', which the skew "
@@ -57,15 +56,25 @@ def _row_salt(df: DataFrame, n_salts: int, id_cols: Sequence[str] | None) -> Col
         missing = [c for c in id_cols if c not in df.columns]
         if missing:
             raise ValueError(f"_row_salt: id_cols not in input: {missing}")
-        return F.pmod(F.abs(F.xxhash64(*id_cols)), F.lit(n_salts))
+        # pmod is already non-negative for negative hashes; an abs()
+        # wrapper would ANSI-overflow on a hash of exactly -2^63
+        return F.pmod(F.xxhash64(*id_cols), F.lit(n_salts))
     return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
 
 
-def _salt_input(df: DataFrame, id_cols: Sequence[str] | None) -> DataFrame:
-    """Pin lineage for the nondeterministic-salt path (no id_cols):
-    eager localCheckpoint makes monotonically_increasing_id
-    reproducible across stage retries. No-op when id_cols are given."""
-    return df if id_cols else df.localCheckpoint(eager=True)
+def _salt_input(
+    df: DataFrame, id_cols: Sequence[str] | None, pin_lineage: bool
+) -> DataFrame:
+    """Lineage handling for the nondeterministic-salt path (no
+    id_cols): ``pin_lineage=True`` eagerly localCheckpoints so
+    monotonically_increasing_id is reproducible across stage retries
+    — required when the input is itself post-shuffle (join/agg
+    output). Deliberately NOT the default: checkpointing a deterministic
+    file scan pays a full materialization for zero retry benefit and
+    makes the job unrecoverable on executor loss (checkpointed blocks
+    have no lineage to recompute from). No-op when id_cols are given
+    — the content salt needs no lineage pinning at all."""
+    return df.localCheckpoint(eager=True) if (pin_lineage and not id_cols) else df
 
 
 def salted_agg(
@@ -75,20 +84,23 @@ def salted_agg(
     count: bool = True,
     n_salts: int = 16,
     id_cols: Sequence[str] | None = None,
+    pin_lineage: bool = False,
 ) -> DataFrame:
     """Two-phase salted aggregation: sums/counts per key, skew-proof.
 
     Output columns: ``keys…, sum_<col>…, n_rows`` (if count).
     ``id_cols``: a (near-)unique row identity making the salt
-    deterministic under stage retries — see :func:`_row_salt`; without
-    it the input is localCheckpointed first, which costs a
-    materialization.
+    deterministic under stage retries — see :func:`_row_salt`; pass it
+    whenever one exists. Without it the salt is only retry-safe when
+    the input's lineage is deterministic (a file scan); for
+    post-shuffle input set ``pin_lineage=True`` to localCheckpoint
+    first (costs a materialization — see :func:`_salt_input`).
     """
     if not sum_cols and not count:
         raise ValueError(
             "salted_agg: nothing to aggregate — pass sum_cols and/or count=True"
         )
-    df = _salt_input(df, id_cols)
+    df = _salt_input(df, id_cols, pin_lineage)
     salted = df.withColumn("__salt", _row_salt(df, n_salts, id_cols))
     partial_aggs = [F.sum(c).alias(f"sum_{c}") for c in sum_cols]
     if count:
@@ -107,6 +119,7 @@ def salted_broadcast_replicate_join(
     n_salts: int = 8,
     how: str = "inner",
     id_cols: Sequence[str] | None = None,
+    pin_lineage: bool = False,
 ) -> DataFrame:
     """Equi-join with the small side replicated once per salt bucket.
 
@@ -120,14 +133,16 @@ def salted_broadcast_replicate_join(
     ``right``/``full``.
 
     ``id_cols``: (near-)unique big-side row identity for a
-    retry-deterministic salt — see :func:`_row_salt`.
+    retry-deterministic salt; ``pin_lineage``: localCheckpoint a
+    post-shuffle big side when no id exists — see :func:`_row_salt` /
+    :func:`_salt_input`.
     """
     if how not in ("inner", "left"):
         raise ValueError(
             f"salted_broadcast_replicate_join supports how='inner'/'left', got {how!r}: "
             "the replicated small side would duplicate unmatched rows under outer modes"
         )
-    big = _salt_input(big, id_cols)
+    big = _salt_input(big, id_cols, pin_lineage)
     big_s = big.withColumn("__salt", _row_salt(big, n_salts, id_cols))
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -1030,8 +1030,6 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", cp)
             .trigger(availableNow=True),
         )
-        from flink_samples_spark.streaming.sinks import read_sink
-
         return sink_to_batch(
             read_sink(spark, sink), "doc_a bigint, doc_b bigint, jaccard double"
         )

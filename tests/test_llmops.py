@@ -370,6 +370,39 @@ def test_read_prior_index_is_retry_and_restart_safe(spark, tmp_path):
     spark.catalog.clearCache()
 
 
+def test_read_prior_index_ignores_crash_leftovers(spark, tmp_path):
+    """Code-review r6: crash leftovers beside committed partitions —
+    a 'batch=1.tmp' DIRECTORY (with data files) and a bare marker
+    FILE — must neither crash the read (partition discovery over the
+    whole dir would see the non-integer value) nor leak into the
+    prior frame."""
+    import os
+
+    from flink_samples_spark.llmops.dedup import build_dedup_index, read_prior_index
+
+    idx = str(tmp_path / "idx")
+    d0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id bigint, text string"
+    )
+    d1 = spark.createDataFrame(
+        [(9, "unrelated words that must never appear")], "doc_id bigint, text string"
+    )
+    build_dedup_index(d0, k=3).write.mode("overwrite").parquet(f"{idx}/batch=0")
+    # crash leftovers: an uncommitted temp partition and a marker file
+    build_dedup_index(d1, k=3).write.mode("overwrite").parquet(f"{idx}/batch=1.tmp")
+    with open(os.path.join(idx, "batch=2.tmp"), "w") as f:
+        f.write("not parquet")
+
+    prior = read_prior_index(spark, idx, 3)
+    assert sorted(r.doc_id for r in prior.select("doc_id").collect()) == [1]
+
+    # leftovers alone (no committed prior batch) -> no prior index
+    import shutil
+
+    shutil.rmtree(f"{idx}/batch=0")
+    assert read_prior_index(spark, idx, 3) is None
+
+
 def test_minhash_pairs_from_index_match_direct_path(spark, sf_dir):
     """The index-frame-derived pair paths must reproduce the direct
     signature paths exactly — they restore the SAME band rows from
