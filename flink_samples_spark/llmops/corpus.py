@@ -34,17 +34,12 @@ def ngram_topk(docs: DataFrame, k: int = 3, top: int = 20) -> DataFrame:
     not raw occurrences; top-k is TakeOrderedAndProject, never a
     global sort. Ties broken by shingle text for determinism.
     """
-    words = F.split(F.col("text"), " ")
-    n = F.size(words)
-    # docs shorter than k words contribute NO grams — the old
-    # greatest(n-(k-1), 1) floor forced one index, injecting each
-    # short doc's full text as a pseudo-k-gram and letting frequent
-    # one-liners pollute the boilerplate report
-    idx = F.when(
-        n >= k, F.sequence(F.lit(1), n - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
-    occurrences = parallelize_narrow(docs).select(F.explode(grams).alias("shingle"))
+    # docs shorter than k words contribute NO grams (short_docs=
+    # "drop"): a full-text pseudo-k-gram from a frequent one-liner
+    # would pollute a frequency report with non-k-grams
+    occurrences = _shingles(
+        parallelize_narrow(docs), k, short_docs="drop", distinct=False
+    ).select("shingle")
     counts = occurrences.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_occ"))
     return global_topk(counts, [F.col("n_occ").desc(), F.col("shingle")], top)
 
@@ -59,11 +54,15 @@ def contamination_check(
     Output: (doc_id, n_shingles, n_overlap, overlap_ratio) — ratio is
     a division of exact integers, so it is engine-stable.
 
-    Scale: eval shingle sets are small by construction (eval sets are
-    curated); the distinct eval shingle list broadcasts, so the train
-    side never shuffles — the overlap count is a broadcast semi-join
-    counted per doc. For eval sets too large to broadcast, the same
-    plan degrades gracefully to one hash shuffle on the shingle. The
+    Scale: eval shingle sets are small by construction (eval sets
+    are curated); AQE broadcasts the distinct eval shingle list at
+    runtime when it fits the threshold, so the train side never
+    shuffles — and an eval corpus too large to broadcast degrades to
+    one hash shuffle on the shingle WITHOUT driver OOM, which a
+    forced ``F.broadcast`` hint (honored regardless of size) would
+    not. Docs shorter than k words match by their full text
+    (``_shingles`` truncate mode — the published truncated-document
+    decontamination rule). The
     string shingle keeps the op oracle-checkable; swap in
     ``_shingle_hashes`` to shuffle 8-byte hashes at the full 100 TB
     path.
@@ -81,7 +80,7 @@ def contamination_check(
     eval_sh = _shingles(eval_docs, k).select("shingle").distinct()
     per_doc = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     overlap = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
+        train_sh.join(eval_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )

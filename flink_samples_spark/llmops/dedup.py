@@ -55,14 +55,42 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles(docs: DataFrame, k: int) -> DataFrame:
-    """(doc_id, shingle) pairs: distinct word k-grams per document.
-    Built with JVM HOFs (split + transform + slice) — no Python."""
+def _shingles(
+    docs: DataFrame, k: int, short_docs: str = "truncate", distinct: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs: word k-grams per document, built with
+    JVM HOFs (split + transform + slice) — no Python.
+
+    ``short_docs`` picks the semantics for documents shorter than
+    ``k`` words — the ONE deliberate fork between this file's callers:
+
+    - ``"truncate"`` (default): the whole text contributes as one
+      truncated shingle. This is what near-dup detection needs (two
+      identical 2-word docs must still be able to match under k=3)
+      and the published truncated-document decontamination rule
+      (eval items shorter than the n-gram window are matched by
+      their full text).
+    - ``"drop"``: no shingles. Right for frequency/boilerplate
+      REPORTS, where a pseudo-k-gram made of a frequent one-liner's
+      full text would pollute the counts with non-k-grams.
+
+    ``distinct=False`` keeps every occurrence (raw-frequency
+    counting); the default dedups within each document.
+    """
+    if short_docs not in ("truncate", "drop"):
+        raise ValueError(f"_shingles: unknown short_docs mode {short_docs!r}")
     words = F.split(F.col("text"), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    if short_docs == "truncate":
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    else:
+        idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))).otherwise(
+            F.array().cast("array<int>")
+        )
     grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
-    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("shingle"))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def _shingle_hashes(docs: DataFrame, k: int) -> DataFrame:

@@ -135,11 +135,18 @@ def scd2_intervals(
     streaming `applyInPandasWithState` updater.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # NULL-safe change detection: ``__prev IS NULL`` cannot mark the
+    # first row (it also fires when the PREVIOUS STATE is NULL, which
+    # would start the NULL interval late and break the merge of
+    # consecutive NULL states) — the first row needs its own marker,
+    # and the state comparison must treat NULL as a value (<=>).
     changes = (
         events.select(key_col, state_col, ts_col, tiebreak_col)
         .withColumn("__prev", F.lag(state_col).over(w))
+        .withColumn("__rn", F.row_number().over(w))
         .filter(
-            F.col("__prev").isNull() | (F.col(state_col) != F.col("__prev"))
+            (F.col("__rn") == 1)
+            | ~F.col(state_col).eqNullSafe(F.col("__prev"))
         )
     )
     w2 = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
@@ -177,12 +184,26 @@ def snapshot_diff(
     other hash-compare operators: two versions whose compare columns
     collide under xxhash64 (probability 2⁻⁶⁴ per key) report as
     unchanged.
+
+    The hash frames NULLs explicitly: Spark's hash functions SKIP a
+    NULL argument entirely (xxhash64(NULL, x) == xxhash64(x) ==
+    xxhash64(x, NULL) — struct-wrapping hashes identically), so a
+    change that moves a value between compare columns while NULLing
+    the other would read as unchanged; interleaving each column with
+    its is-null flag makes the position of the NULL part of the hash.
     """
     keys = [key] if isinstance(key, str) else list(key)
-    oh = old.select(*keys, F.xxhash64(*compare).alias("__h_old"))
+
+    def _h(alias: str):
+        framed = [
+            e for c in compare for e in (F.col(c), F.col(c).isNull().cast("int"))
+        ]
+        return F.xxhash64(*framed).alias(alias)
+
+    oh = old.select(*keys, _h("__h_old"))
     nh = new.select(
         *[F.col(k).alias(f"__n_{k}") for k in keys],
-        F.xxhash64(*compare).alias("__h_new"),
+        _h("__h_new"),
     )
     cond = None
     for k in keys:
@@ -224,12 +245,19 @@ def data_quality_report(
         raise ValueError("data_quality_report: no checks requested")
     aggs = []
     names = []
+    # SUM over zero non-null rows is NULL, not 0 — an empty table (the
+    # classic upstream-outage case a DQ gate exists to catch) must
+    # report 0 violations, not a NULL that a `violations > 0` filter
+    # silently passes over
     for c in not_null:
-        aggs.append(F.sum(F.col(c).isNull().cast("bigint")))
+        aggs.append(F.coalesce(F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)))
         names.append(f"null:{c}")
     for c, lo, hi in ranges:
         aggs.append(
-            F.sum(((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("bigint"))
+            F.coalesce(
+                F.sum(((F.col(c) < F.lit(lo)) | (F.col(c) > F.lit(hi))).cast("bigint")),
+                F.lit(0),
+            )
         )
         names.append(f"range:{c}")
     for c in unique:

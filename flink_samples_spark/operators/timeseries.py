@@ -42,6 +42,14 @@ def resample_interpolate(
 
     Output: (key, bucket, value, filled) — ``filled`` marks
     interpolated rows."""
+    if int(interval_seconds) <= 0:
+        # fail fast: a zero interval otherwise dies deep in execution
+        # ("sequence step must not be zero" at action time) and a
+        # negative one builds a descending spine that matches nothing
+        raise ValueError(
+            f"resample_interpolate: interval_seconds must be positive, "
+            f"got {interval_seconds!r}"
+        )
     ivl = F.lit(int(interval_seconds))
     # epoch_double, not cast("double"): ts_col may be TIMESTAMP_NTZ
     # (driver parquet timestamp[us] with no tz), which Spark 4 refuses
@@ -149,8 +157,16 @@ def ewma(
     """
     import pandas as pd
 
+    if "ewma" in df.columns:
+        raise ValueError(
+            "ewma: input already has an 'ewma' column (re-smoothing a "
+            "smoothed frame?) — rename or drop it first; a duplicate "
+            "output field would mis-assign applyInPandas' by-name match"
+        )
+    # backquote names: a column with a space/hyphen must not break the
+    # DDL parse of the output schema
     out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", ewma double"
 
     def smooth(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -107,3 +107,62 @@ def test_data_quality_report_is_one_scan(spark, sf_dir):
         "null:text", "null:lang", "unique:doc_id", "unique:source", "range:n_chars"
     }
     assert rows["unique:doc_id"] == 0
+
+
+def test_scd2_null_states_are_real_states(spark):
+    """Code-review r6: a NULL state must open its own interval at its
+    own timestamp, consecutive NULL states must merge, and a state
+    repeated around a NULL gap must NOT merge across it."""
+    from datetime import datetime
+
+    from flink_samples_spark.operators.behavior import scd2_intervals
+
+    ts = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    ev = spark.createDataFrame(
+        [(1, "A", ts(0), 0), (1, None, ts(1), 1), (1, None, ts(2), 2), (1, "A", ts(3), 3)],
+        "user_id bigint, event_type string, ts timestamp, event_id bigint",
+    )
+    got = sorted(
+        ((r.state, r.valid_from.second, None if r.valid_to is None else r.valid_to.second)
+         for r in scd2_intervals(ev).collect()),
+        key=lambda t: t[1],
+    )
+    assert got == [("A", 0, 1), (None, 1, 3), ("A", 3, None)], got
+
+
+def test_snapshot_diff_null_column_swap_is_changed(spark):
+    """Code-review r6: Spark hash functions skip NULL args, so a value
+    moving between compare columns while the other goes NULL hashed
+    identically — the diff must classify it as changed."""
+    from flink_samples_spark.operators.behavior import snapshot_diff
+
+    old = spark.createDataFrame([(1, None, "x")], "k bigint, a string, b string")
+    new = spark.createDataFrame([(1, "x", None)], "k bigint, a string, b string")
+    got = [(r.k, r.status) for r in snapshot_diff(old, new, "k", ["a", "b"]).collect()]
+    assert got == [(1, "changed")], got
+
+
+def test_data_quality_report_zero_not_null_on_empty_input(spark):
+    """Code-review r6: an empty table (the upstream-outage case a DQ
+    gate exists for) must report 0 violations, not NULL — a
+    `violations > 0` alert filter silently skips NULL."""
+    from flink_samples_spark.operators.behavior import data_quality_report
+
+    empty = spark.createDataFrame([], "x bigint, y double")
+    rep = {
+        r.check: r.violations
+        for r in data_quality_report(
+            empty, not_null=["x"], unique=["x"], ranges=[("y", 0.0, 1.0)]
+        ).collect()
+    }
+    assert rep == {"null:x": 0, "unique:x": 0, "range:y": 0}, rep
+    # all-NULL column: range violations are 0 (nulls belong to the
+    # null check), null violations count the rows
+    allnull = spark.createDataFrame([(None,), (None,)], "y double")
+    rep2 = {
+        r.check: r.violations
+        for r in data_quality_report(
+            allnull, not_null=["y"], ranges=[("y", 0.0, 1.0)]
+        ).collect()
+    }
+    assert rep2 == {"null:y": 2, "range:y": 0}, rep2

@@ -142,3 +142,29 @@ def test_time_windows_flavor_equivalence(spark, agg_fn, kwargs):
     assert results["ltz"] == results["ntz"]
     # every event is counted (sliding windows count each event size/slide times)
     assert sum(r[-1] for r in results["ltz"]) >= len(rows)
+
+
+def test_resample_rejects_nonpositive_interval(spark):
+    import pytest
+
+    from flink_samples_spark.operators.timeseries import resample_interpolate
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "user_id bigint, ts string, value double"
+    ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).col("ts").cast("timestamp"))
+    for bad in (0, -60):
+        with pytest.raises(ValueError, match="must be positive"):
+            resample_interpolate(df, "user_id", "ts", "value", bad)
+
+
+def test_ewma_rejects_ewma_column_collision(spark):
+    import pytest
+
+    from flink_samples_spark.operators.timeseries import ewma
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0, 2.0)],
+        "user_id bigint, ts string, value double, ewma double",
+    )
+    with pytest.raises(ValueError, match="already has an 'ewma' column"):
+        ewma(df, "user_id", "ts", "value", 0.5)
