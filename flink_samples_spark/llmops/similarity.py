@@ -34,8 +34,16 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _norm(a: Column) -> Column:
+    """2-norm floored at 1e-12: an all-zero or empty embedding row
+    must score cos≈0, not throw DIVIDE_BY_ZERO under Spark 4's
+    default ANSI mode and kill the whole job. The floor never changes
+    a nonzero vector's cosine (real norms are ≫ 1e-12)."""
+    return F.greatest(F.sqrt(_dot(a, a)), F.lit(1e-12))
+
+
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def brute_force_cosine_topk(
@@ -51,12 +59,12 @@ def brute_force_cosine_topk(
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("q_norm"),
+        _norm(F.col("embedding")).alias("q_norm"),
     )
     c = parallelize_narrow(corpus.select("vec_id", "embedding")).select(
         "vec_id",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("c_norm"),
+        _norm(F.col("embedding")).alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -75,6 +83,26 @@ def brute_force_cosine_topk(
     return out.select("query_id", "vec_id", "cos", "rn")
 
 
+def _f64(emb: Column) -> Column:
+    return F.transform(emb, lambda x: x.cast("double"))
+
+
+def _int8_scale(vd: Column) -> Column:
+    """``max|x| / 127`` floored at 1e-12 — ONE definition shared by
+    quantize_int8 and dequantize_int8: the int8 recall invariant
+    (q_sim_topk_int8) depends on encode and decode using bit-identical
+    scale/round arithmetic, so the expressions must not drift apart."""
+    return (
+        F.greatest(F.array_max(F.transform(vd, lambda x: F.abs(x))), F.lit(1e-12))
+        / F.lit(127.0)
+    )
+
+
+def _int8_round(x: Column, scale: Column) -> Column:
+    """Half-away rounding ``floor(x/scale + 0.5)`` — see _int8_scale."""
+    return F.floor(x / scale + F.lit(0.5))
+
+
 def quantize_int8(corpus: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization — the standard
     4× storage/bandwidth cut before ANN indexing (an f32 corpus's
@@ -90,19 +118,9 @@ def quantize_int8(corpus: DataFrame) -> DataFrame:
     max_abs_err_r) pin the quantized vector exactly (q_sum/q_l1 are
     integer-exact) plus the reconstruction-error bound.
     """
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = corpus.select("vec_id", v.alias("vd"))
-    scale = (
-        F.greatest(
-            F.array_max(F.transform(F.col("vd"), lambda x: F.abs(x))),
-            F.lit(1e-12),
-        )
-        / F.lit(127.0)
-    )
-    scaled = base.select("vec_id", "vd", scale.alias("scale"))
-    q = F.transform(
-        F.col("vd"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5))
-    )
+    base = corpus.select("vec_id", _f64(F.col("embedding")).alias("vd"))
+    scaled = base.select("vec_id", "vd", _int8_scale(F.col("vd")).alias("scale"))
+    q = F.transform(F.col("vd"), lambda x: _int8_round(x, F.col("scale")))
     quant = scaled.select("vec_id", "vd", "scale", q.alias("qs"))
     # guard the empty-embedding row: sequence(1, 0) is the DESCENDING
     # array [1, 0] (not empty), so element_at would throw
@@ -138,7 +156,7 @@ def cosine_pairs(corpus: DataFrame, threshold: float = 0.9) -> DataFrame:
     normed = parallelize_narrow(corpus.select("vec_id", "embedding")).select(
         "vec_id",
         "embedding",
-        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     a = normed.select(
         F.col("vec_id").alias("vec_a"),
@@ -210,14 +228,27 @@ def ivf_cosine_topk(
 
     cent_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+    # centroid norms evaluated ONCE per centroid (16 rows) with the
+    # same JVM fold the per-pair expression used — bit-identical sims,
+    # n_cells× less norm work on the hot assignment stage. (They are
+    # ~1.0 by construction, but dividing by the exact JVM value keeps
+    # argmax ties deterministic across the refactor.)
+    cent_df = spark.createDataFrame(
+        cent_rows, "cell int, centroid array<double>"
+    ).select("cell", "centroid", _norm(F.col("centroid")).alias("c_norm"))
 
-    def cell_sim(emb: Column, cent: Column) -> Column:
-        return _dot(emb, cent) / (F.sqrt(_dot(emb, emb)) * F.sqrt(_dot(cent, cent)))
+    def cell_sim(emb: Column, emb_norm: Column, cent: Column, c_norm: Column) -> Column:
+        return _dot(emb, cent) / (emb_norm * c_norm)
 
-    # corpus → best cell (argmax over broadcast centroids, JVM-side)
-    c_scored = corpus.crossJoin(F.broadcast(cent_df)).select(
-        "vec_id", "embedding", "cell", cell_sim(F.col("embedding"), F.col("centroid")).alias("sim")
+    # corpus → best cell (argmax over broadcast centroids, JVM-side);
+    # the row's own norm is hoisted BELOW the join — computed once per
+    # row, not once per (row, centroid) pair
+    c_normed = corpus.select("vec_id", "embedding", _norm(F.col("embedding")).alias("e_norm"))
+    c_scored = c_normed.crossJoin(F.broadcast(cent_df)).select(
+        "vec_id",
+        "embedding",
+        "cell",
+        cell_sim(F.col("embedding"), F.col("e_norm"), F.col("centroid"), F.col("c_norm")).alias("sim"),
     )
     w_best = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), F.col("cell"))
     c_cells = (
@@ -226,11 +257,16 @@ def ivf_cosine_topk(
         .select("vec_id", "embedding", "cell")
     )
     # queries → n_probe nearest cells
-    q_scored = queries.crossJoin(F.broadcast(cent_df)).select(
+    q_normed = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    q_scored = q_normed.crossJoin(F.broadcast(cent_df)).select(
+        "query_id",
+        "q_emb",
         "cell",
-        cell_sim(F.col("embedding"), F.col("centroid")).alias("sim"),
+        cell_sim(F.col("q_emb"), F.col("q_norm"), F.col("centroid"), F.col("c_norm")).alias("sim"),
     )
     w_q = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
     q_cells = (
@@ -273,15 +309,19 @@ def lsh_bucketed_topk(
     """
     import numpy as np
 
-    first = corpus.select("embedding").first()
-    if first is None:  # empty corpus → empty result, same schema
+    # dimension from an AGGREGATE, not first(): first() follows
+    # partition order (nondeterministic), crashes on a NULL embedding
+    # row, and a single short row would size the planes wrong —
+    # null-padding every zip_with dot and collapsing ALL vectors into
+    # bucket 0 (the all-pairs blowup this function exists to avoid)
+    dim = corpus.select(F.max(F.size("embedding"))).first()[0]
+    if dim is None or dim <= 0:  # empty corpus → empty result, same schema
         # rn is INT to match the non-empty path (row_number's type) —
         # a bigint here would make unions across partitions fail
         spark = corpus.sparkSession
         return spark.createDataFrame(
             [], "query_id bigint, vec_id bigint, cos double, rn int"
         )
-    dim = len(first[0])
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(n_tables, n_planes, dim))
 
@@ -342,14 +382,9 @@ def dequantize_int8(corpus: DataFrame) -> DataFrame:
     (``round(x/scale)·scale``) — what an ANN index built over the
     quantized corpus actually scores against. Narrow JVM map; pairs
     with :func:`quantize_int8` (same scale/round arithmetic)."""
-    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    scale = (
-        F.greatest(F.array_max(F.transform(v, lambda x: F.abs(x))), F.lit(1e-12))
-        / F.lit(127.0)
-    )
-    base = corpus.select("vec_id", v.alias("vd"), scale.alias("scale"))
+    v = _f64(F.col("embedding"))
+    base = corpus.select("vec_id", v.alias("vd"), _int8_scale(v).alias("scale"))
     recon = F.transform(
-        F.col("vd"),
-        lambda x: F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+        F.col("vd"), lambda x: _int8_round(x, F.col("scale")) * F.col("scale")
     )
     return base.select("vec_id", recon.alias("embedding"))

@@ -53,8 +53,11 @@ def token_counts(docs: DataFrame) -> DataFrame:
     The whitespace count splits the TRIMMED text (Java split keeps a
     leading empty string for whitespace-led input, silently inflating
     the count by one) and defines an all-whitespace/empty document as
-    zero tokens."""
-    trimmed = F.trim(F.col("text"))
+    zero tokens. The trim is regex-based (``\\s``): SQL ``trim`` strips
+    only SPACES, so text bounded by tabs/newlines would keep the edge
+    empty strings the trim exists to remove (and a tabs-only doc
+    would count 2 tokens instead of the defined 0)."""
+    trimmed = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
     n_ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
         F.size(F.split(trimmed, r"\s+"))
     )
@@ -91,7 +94,13 @@ def fingerprint_expr() -> Column:
     normalized = F.regexp_replace(
         F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9 ]", ""), r" +", " "
     )
-    return F.md5(F.trim(normalized))
+    canon = F.trim(normalized)
+    # A doc with no [a-z0-9] content (non-Latin text, punctuation-only)
+    # canonicalizes to '' — hashing that would give EVERY such doc the
+    # same fingerprint and exact-dedup would collapse unrelated
+    # documents into one survivor. Fall back to hashing the raw text:
+    # identical non-Latin docs still dedup, distinct ones stay distinct.
+    return F.when(F.length(canon) == 0, F.md5(F.col("text"))).otherwise(F.md5(canon))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
@@ -192,7 +201,7 @@ def language_id(docs: DataFrame) -> DataFrame:
     (how many of the profile's words occur as space-delimited tokens).
     Deterministic (ties broken by profile order), Arrow-batched, and
     fully vectorized: each profile word is ONE C-level regex pass over
-    the batch (``(?:^| )w(?: |$)`` ⟺ token-set membership under the
+    the batch (``(?:^| )w(?: |\\Z)`` ⟺ token-set membership under the
     same space split), then a column-wise idxmax — no per-row Python.
 
     Rows-only check by design: the scoring table lives in Python, not
@@ -204,13 +213,19 @@ def language_id(docs: DataFrame) -> DataFrame:
 
     def score_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            low = pdf["text"].str.lower()
+            # NULL text must score as 'unk', not TypeError the whole
+            # Arrow task (str.contains yields NA on nulls and the
+            # int64 cast refuses it)
+            low = pdf["text"].fillna("").str.lower()
             per_lang = {}
             for lang, ws in profiles:
                 hits = None
                 for w in ws:
+                    # \Z, not $: Python's $ also matches BEFORE a
+                    # trailing newline, which would count 'the\n' as a
+                    # hit the space-split token set does not contain
                     b = low.str.contains(
-                        f"(?:^| ){_re.escape(w)}(?: |$)", regex=True
+                        f"(?:^| ){_re.escape(w)}(?: |\\Z)", regex=True
                     ).astype("int64")
                     hits = b if hits is None else hits + b
                 per_lang[lang] = hits

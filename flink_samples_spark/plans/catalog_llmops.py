@@ -55,8 +55,10 @@ from flink_samples_spark.plans.shared_oracles import (
 )
 from flink_samples_spark.sources.readers import load_table
 
-# Canonical fingerprint in DuckDB — must mirror llmops.text.document_fingerprint.
-_FP_SQL = "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))"
+# Canonical fingerprint in DuckDB — must mirror llmops.text.document_fingerprint
+# (incl. the raw-text fallback for docs whose canonical form is empty).
+_CANON_SQL = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
+_FP_SQL = f"(CASE WHEN length({_CANON_SQL}) = 0 THEN md5(text) ELSE md5({_CANON_SQL}) END)"
 
 
 def _hash_unit_sql(key: str, salt: int) -> str:
@@ -162,8 +164,8 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE CAST(len(str_split_regex(trim(text), '\\s+')) AS INT)
+           CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
+                ELSE CAST(len(str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS INT)
            END AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_bpe_tokens
     FROM documents

@@ -546,3 +546,66 @@ def test_aggregate_wrappers_match_inline_forms(spark, sf_dir):
     exact = {r.l_returnflag: r.n for r in want}
     for k, n in approx.items():
         assert abs(n - exact[k]) <= max(0.2 * exact[k], 10), (k, n, exact[k])
+
+
+def test_cosine_zero_vector_does_not_divide_by_zero(spark):
+    """Code-review r6: an all-zero or empty embedding must score
+    cos≈0, not throw DIVIDE_BY_ZERO under ANSI mode."""
+    from flink_samples_spark.llmops.similarity import brute_force_cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [])],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    rows = {r.vec_id: r.cos for r in brute_force_cosine_topk(queries, corpus, k=3).collect()}
+    assert rows[2] == 0.0 and rows[1] > 0.0
+    # a WRONG-LENGTH row scores NULL (zip_with null-pads the dot),
+    # not a crash — rank-last under cos DESC
+    assert rows[3] is None
+
+
+def test_language_id_null_text_is_unk(spark):
+    """Code-review r6: NULL text must yield 'unk', not kill the Arrow
+    task; and a stopword before a trailing newline must NOT count
+    (Python $ matches before '\\n', \\Z does not)."""
+    from flink_samples_spark.llmops.text import language_id
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "x the\n"), (3, "x the")], "doc_id bigint, text string"
+    )
+    got = {r.doc_id: (r.lang_pred, r.lang_hits) for r in language_id(docs).collect()}
+    assert got[1] == ("unk", 0)
+    assert got[2][1] == 0, "token 'the\\n' is not 'the' under the space split"
+    assert got[3][1] >= 1
+
+
+def test_token_counts_whitespace_trim(spark):
+    """Code-review r6: tab/newline-bounded text must trim like
+    space-bounded text; an all-whitespace doc counts 0 tokens."""
+    from flink_samples_spark.llmops.text import token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "\tfoo"), (2, "foo\n"), (3, "\t"), (4, " foo bar "), (5, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.n_ws_tokens for r in token_counts(docs).collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 2, 5: 0}, got
+
+
+def test_fingerprint_non_latin_docs_stay_distinct(spark):
+    """Code-review r6: docs with no [a-z0-9] content canonicalize to
+    '' — they must NOT all share one fingerprint (exact-dedup would
+    collapse unrelated documents); identical raw texts still match."""
+    from flink_samples_spark.llmops.text import fingerprint_expr
+
+    docs = spark.createDataFrame(
+        [(1, "你好世界"), (2, "!!!"), (3, "你好世界"), (4, "hello")],
+        "doc_id bigint, text string",
+    )
+    fp = {r.doc_id: r.f for r in docs.select("doc_id", fingerprint_expr().alias("f")).collect()}
+    assert fp[1] != fp[2], "distinct non-Latin docs must not share a fingerprint"
+    assert fp[1] == fp[3], "identical raw non-Latin docs must still dedup"
+    assert fp[4] not in (fp[1], fp[2])
