@@ -128,12 +128,21 @@ def as_of_join(
             "rename them before as_of_join"
         )
 
+    # Equi-join NULL semantics: a NULL key never matches — but
+    # Window.partitionBy groups NULL key values into ONE partition, so
+    # without this filter a NULL-key left row would take payload from
+    # NULL-key right rows. Dropping NULL-key right rows leaves NULL-key
+    # left rows alone in their partition → NULL payload, as a SQL
+    # left-outer equi-join (FOR SYSTEM_TIME AS OF) would produce.
+    r = right
+    for k in keys:
+        r = r.filter(F.col(k).isNotNull())
     # the matched row travels as ONE struct: filling each payload
     # column with its own last(ignorenulls) would let a NULL payload
     # VALUE in the matched row pull a stale value from an older right
     # row — a chimera of several right rows. last(ignorenulls) on the
     # struct picks whole rows; NULL payload fields inside survive.
-    r = right.filter(F.col(right_ts).isNotNull()).select(
+    r = r.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.struct(
@@ -171,7 +180,7 @@ def as_of_join(
     )
     fill_cols = [matched_ts_col, *rpay]
     unpacked = [F.col("__match").getField(c).alias(c) for c in fill_cols]
-    out = out.select(*keep, F.lit(1).alias("__tag"), *unpacked)
+    out = out.select(*keep, *unpacked)
     if tolerance_seconds is not None:
         # epoch_double, not cast("double"): left_ts may be
         # TIMESTAMP_NTZ (driver parquet), which refuses a direct
@@ -182,10 +191,9 @@ def as_of_join(
         within = gap <= F.lit(float(tolerance_seconds))
         out = out.select(
             *keep,
-            F.lit(0).alias("__tag"),
             *[F.when(within, F.col(c)).alias(c) for c in fill_cols],
         )
-    return out.drop("__tag")
+    return out
 
 
 def banded_range_join(
@@ -201,13 +209,14 @@ def banded_range_join(
     The banding rewrite this module's docstring promises: bucket the
     time axis at ``delta`` width; a right row can only match left
     rows in its own or an adjacent bucket, so replicating each right
-    row to the (≤2 distinct) buckets its ``±delta`` window overlaps
-    turns the range condition into an EQUI-join on bucket + a
-    residual filter. Physical plan: shuffle/broadcast hash join —
-    O(n) state instead of the O(n·m) scan a
-    BroadcastNestedLoopJoin pays. Replication factor is exactly the
-    windows-per-bucket overlap (≤2 here), independent of data size:
-    the plan survives 100 TB where the nested loop cannot.
+    row to the 3 buckets its ``±delta`` window can touch
+    (floor((p±δ)/δ) is always mid∓1 for δ>0, so the replication
+    factor is exactly 3 — the shuffle carries 3× the right side,
+    independent of data size) turns the range condition into an
+    EQUI-join on bucket + a residual filter. Physical plan:
+    shuffle/broadcast hash join — O(n) state instead of the O(n·m)
+    scan a BroadcastNestedLoopJoin pays; the plan survives 100 TB
+    where the nested loop cannot.
 
     Each right row lands in each overlapped bucket ONCE
     (array_distinct), and a left row has exactly one bucket, so no
@@ -219,20 +228,18 @@ def banded_range_join(
             "rename it before banded_range_join"
         )
     w = float(delta_seconds)
-
-    def _epoch(df: DataFrame, name: str) -> Column:
-        # DATAFRAME-BOUND epoch seconds (epoch_double binds by bare
-        # name, which is ambiguous after the join when both sides
-        # carry the same point-column name, e.g. ts vs ts); handles
-        # TIMESTAMP_NTZ (driver parquet) as well as LTZ and numerics.
-        dt = dict(df.dtypes).get(name)
-        c = df[name]
-        if dt is not None and dt.startswith("timestamp"):
-            return c.cast("timestamp_ltz").cast("double")
-        return c.cast("double")
-
-    lp = _epoch(left, left_point)
-    rp = _epoch(right, right_point)
+    if w <= 0:
+        # fail fast: delta 0 would ANSI-divide-by-zero in the bucket
+        # floor at execution; a negative delta silently matches nothing
+        raise ValueError(
+            f"banded_range_join: delta_seconds must be positive, got "
+            f"{delta_seconds!r}; for exact-timestamp matching use an equi-join"
+        )
+    # epoch_double binds the source frame's attribute id, so lp/rp
+    # stay unambiguous after the join even when both sides share the
+    # point-column name; handles TIMESTAMP_NTZ (driver parquet).
+    lp = epoch_double(left, left_point)
+    rp = epoch_double(right, right_point)
     lb = F.floor(lp / F.lit(w)).alias("__bucket")
     r_lo = F.floor((rp - w) / F.lit(w))
     r_hi = F.floor((rp + w) / F.lit(w))

@@ -129,6 +129,13 @@ def session_window_dynamic_gap(
     Output columns: (window_start, window_end, *keys, aggs...) — the
     same shape as the other window helpers.
     """
+    internal = {"__end", "__sid"} & set(df.columns)
+    if internal:
+        raise ValueError(
+            f"input may not contain the internal columns {sorted(internal)}: "
+            "rename them before session_window_dynamic_gap (withColumn "
+            "would silently overwrite them)"
+        )
     gap = F.col(gap_col) if isinstance(gap_col, str) else gap_col
     gap = F.when(gap > 0, gap).otherwise(
         F.raise_error(

@@ -15,9 +15,11 @@ def epoch_double(df: DataFrame, col_name: str) -> Column:
     TIMESTAMP_LTZ first is legal and, under this repo's pinned-UTC
     session timezone, yields the same epoch the LTZ column would.
     Numeric columns pass straight through so band joins on plain
-    doubles keep full precision."""
+    doubles keep full precision. Binds ``df[col_name]`` (the frame's
+    attribute id), not the bare name — unambiguous even after a join
+    where both sides carry the same column name."""
     dt = dict(df.dtypes).get(col_name)
-    c = F.col(col_name)
+    c = df[col_name]
     if dt is not None and dt.startswith("timestamp"):
         return c.cast("timestamp_ltz").cast("double")
     return c.cast("double")

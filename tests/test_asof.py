@@ -217,3 +217,49 @@ def test_merge_upsert_rejects_null_op(spark):
     changes = spark.createDataFrame([(42, "y", None)], "k int, v string, op string")
     with pytest.raises(Exception, match="invalid op"):
         merge_upsert(target, changes, "k").collect()
+
+
+def test_as_of_join_null_keys_never_match(spark):
+    """Code-review r6: equi-join semantics — a NULL key matches
+    nothing, even another NULL key (Window.partitionBy would
+    otherwise group the NULLs together and hand the left row a
+    payload)."""
+    from datetime import datetime
+
+    from flink_samples_spark.operators.joins import as_of_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(None, t(10)), (1, t(10))], "k bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(None, t(5), "R_null"), (1, t(5), "R1")],
+        "k bigint, rts timestamp, rv string",
+    )
+    got = {r.k: r.rv for r in as_of_join(left, right, "k", "ts", "rts").collect()}
+    assert got[1] == "R1"
+    assert got[None] is None, "NULL-key left row must get NULL payload"
+
+
+def test_banded_range_join_rejects_nonpositive_delta(spark):
+    import pytest
+
+    from flink_samples_spark.operators.joins import banded_range_join
+
+    df = spark.createDataFrame([(1.0,)], "t double")
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError, match="must be positive"):
+            banded_range_join(df, df.withColumnRenamed("t", "u"), "t", "u", bad)
+
+
+def test_dynamic_session_rejects_internal_column_collision(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from flink_samples_spark.operators.time_windows import session_window_dynamic_gap
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 5.0)], "user_id bigint, ts string, __end double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="internal columns"):
+        session_window_dynamic_gap(df, "ts", F.lit(5.0), keys=("user_id",))
