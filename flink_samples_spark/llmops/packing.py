@@ -46,8 +46,15 @@ def pack_sequences(
     to ≤ budget under greedy first-fit. Deterministic: a pure function
     of (doc_id, n_tokens, budget, n_shards), independent of
     partitioning.
+
+    NULL text is dropped (same convention as
+    :func:`~flink_samples_spark.llmops.chunking.chunk_documents`, and
+    mirrored in the oracle): a NULL token count would otherwise turn
+    the greedy accumulator into NaN inside the pandas stage, after
+    which every ``acc + t > budget`` test is False and the REST OF THE
+    SHARD silently lands in one unbounded pack.
     """
-    toks = docs.select(
+    toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         # ANSI-safe: doc_id is non-negative, plain % == pmod here and
         # matches the oracle's modulo

@@ -551,7 +551,7 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, CAST(doc_id % 16 AS INT) AS shard,
              CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
              row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), packed AS (
       SELECT doc_id, shard, n_tokens, rn,
              CAST(0 AS BIGINT) AS pack_id, n_tokens AS acc

@@ -128,8 +128,13 @@ def write_corpus_sharded(
     (``WHERE split = 'train'`` never touches other directories).
     """
     shard_src = shard_by or next(
-        c for c in df.columns if c not in set(partition_by)
+        (c for c in df.columns if c not in set(partition_by)), None
     )
+    if shard_src is None:
+        raise ValueError(
+            "write_corpus_sharded: every column is a partition column — "
+            "pass shard_by or keep at least one data column to shard on"
+        )
     shard = F.pmod(F.xxhash64(F.col(shard_src)), F.lit(int(shards_per_partition)))
     df = df.withColumn("__shard", shard)
     df = df.repartition(*[F.col(c) for c in partition_by], F.col("__shard"))

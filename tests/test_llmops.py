@@ -464,6 +464,29 @@ def test_pack_sequences_budget_holds_across_arrow_batches(spark):
     assert all(r.tot <= 512 for r in per_pack), max(r.tot for r in per_pack)
 
 
+def test_pack_sequences_null_text_cannot_poison_a_shard(spark):
+    """A NULL text made n_tokens NULL → NaN in the pandas stage, and
+    NaN > budget is False, so every later doc in the shard landed in
+    one unbounded pack. NULL-text rows are dropped (chunk_documents
+    convention) and the budget must hold for the rest of the shard."""
+    from flink_samples_spark.llmops.packing import pack_sequences
+
+    docs = spark.range(2_000).selectExpr(
+        "id as doc_id",
+        "CASE WHEN id = 3 THEN NULL ELSE repeat('w ', 99) || 'w' END as text",
+    )
+    out = pack_sequences(docs, budget=512, n_shards=1)
+    per_pack = (
+        out.groupBy("shard", "pack_id")
+        .agg({"n_tokens": "sum"})
+        .withColumnRenamed("sum(n_tokens)", "tot")
+        .collect()
+    )
+    assert out.filter("doc_id = 3").count() == 0
+    assert out.count() == 1_999
+    assert all(r.tot <= 512 for r in per_pack), max(r.tot for r in per_pack)
+
+
 def test_corpus_mix_key_rejects_nonpositive_weights(spark):
     import pytest
 
