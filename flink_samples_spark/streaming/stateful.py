@@ -206,12 +206,18 @@ def sessionize_dynamic_gap(
                     # float first: a fractional gap (2.5 s) must keep
                     # its sub-second part in the µs interval end
                     gs = float(g)
-                    if gs <= 0:
-                        # same contract as the batch twin: a
-                        # non-positive gap would make an inverted
-                        # [ts, ts+gap) interval — fail, don't corrupt
+                    # `not (gs > 0)` instead of `gs <= 0`: a NULL gap
+                    # arrives as NaN, every NaN comparison is False,
+                    # and it would sail past a <=0 check only to die
+                    # later on int(NaN) with no indication which row
+                    # was bad. Same contract as the batch twin: a
+                    # non-positive (or missing) gap would make an
+                    # inverted [ts, ts+gap) interval — fail, don't
+                    # corrupt.
+                    if not (gs > 0):
                         raise ValueError(
-                            f"sessionize_dynamic_gap: non-positive gap {gs}"
+                            f"sessionize_dynamic_gap: non-positive or "
+                            f"NULL gap {gs!r}"
                         )
                     evs.append(
                         (int(t.value // 1000), int(gs * 1_000_000), float(v))
