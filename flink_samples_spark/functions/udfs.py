@@ -58,7 +58,17 @@ def weighted_avg_grouped_agg(events: DataFrame) -> DataFrame:
 
     @pandas_udf("double")
     def weighted_avg(v: pd.Series, w: pd.Series) -> float:
-        return float((v * w).sum() / w.sum())
+        # SQL-twin NULL semantics: SUM(v*w)/SUM(w) skips a pair when
+        # v is NULL — pandas' NaN-skipping sum drops it from the
+        # NUMERATOR only, so the denominator must mask to v's non-null
+        # rows too or every NULL value deflates the average. An
+        # all-NULL group emits SQL NULL (None), not the NaN that rides
+        # Arrow as a non-null double.
+        m = v.notna()
+        denom = w[m].sum()
+        if not m.any() or denom == 0:
+            return None
+        return float((v * w).sum() / denom)
 
     weighted = events.withColumn("w", (F.col("event_id") % 7 + 1).cast("double"))
     return weighted.groupBy("user_id").agg(
