@@ -58,12 +58,13 @@ def weighted_avg_grouped_agg(events: DataFrame) -> DataFrame:
 
     @pandas_udf("double")
     def weighted_avg(v: pd.Series, w: pd.Series) -> float:
-        # SQL-twin NULL semantics: SUM(v*w)/SUM(w) skips a pair when
-        # v is NULL — pandas' NaN-skipping sum drops it from the
-        # NUMERATOR only, so the denominator must mask to v's non-null
-        # rows too or every NULL value deflates the average. An
-        # all-NULL group emits SQL NULL (None), not the NaN that rides
-        # Arrow as a non-null double.
+        # NULL semantics: a (v, w) pair contributes only when v is
+        # non-NULL — weights of NULL values are masked out of the
+        # denominator too, or every NULL value deflates the average.
+        # (Plain SQL SUM(w) would NOT skip those rows; the oracle
+        # therefore uses SUM(CASE WHEN value IS NOT NULL THEN w END).)
+        # An all-NULL group emits SQL NULL (None), not the NaN that
+        # rides Arrow as a non-null double.
         m = v.notna()
         denom = w[m].sum()
         if not m.any() or denom == 0:

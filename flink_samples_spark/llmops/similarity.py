@@ -99,7 +99,9 @@ def _int8_scale(vd: Column) -> Column:
 
 
 def _int8_round(x: Column, scale: Column) -> Column:
-    """Half-away rounding ``floor(x/scale + 0.5)`` — see _int8_scale."""
+    """Round-half-up (toward +infinity) ``floor(x/scale + 0.5)``:
+    floor(-2.5 + 0.5) = -2, not -3 — see _int8_scale. Quantize and
+    dequantize share this one definition, so it is self-consistent."""
     return F.floor(x / scale + F.lit(0.5))
 
 

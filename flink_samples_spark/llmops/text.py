@@ -53,13 +53,15 @@ def token_counts(docs: DataFrame) -> DataFrame:
     The whitespace count splits the TRIMMED text (Java split keeps a
     leading empty string for whitespace-led input, silently inflating
     the count by one) and defines an all-whitespace/empty document as
-    zero tokens. The trim is regex-based (``\\s``): SQL ``trim`` strips
-    only SPACES, so text bounded by tabs/newlines would keep the edge
-    empty strings the trim exists to remove (and a tabs-only doc
-    would count 2 tokens instead of the defined 0)."""
-    trimmed = F.regexp_replace(F.col("text"), r"^\s+|\s+$", "")
+    zero tokens. The trim is regex-based with an EXPLICIT whitespace
+    class ``[ \\t\\n\\f\\r]`` (SQL ``trim`` strips only SPACES, and the
+    engines' ``\\s`` shorthands disagree — Java's includes ``\\x0B``
+    vertical tab, RE2's does not — so the shorthand would make a
+    VT-edged document count differently under the DuckDB oracle)."""
+    _ws = r"[ \t\n\f\r]"
+    trimmed = F.regexp_replace(F.col("text"), f"^{_ws}+|{_ws}+$", "")
     n_ws = F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
+        F.size(F.split(trimmed, f"{_ws}+"))
     )
     return docs.select(
         "doc_id",

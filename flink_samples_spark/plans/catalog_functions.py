@@ -279,7 +279,8 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf",
     oracle="""
     SELECT user_id,
-           round(SUM(value * w) / SUM(w), 6) AS wavg
+           round(SUM(value * w)
+                 / SUM(CASE WHEN value IS NOT NULL THEN w END), 6) AS wavg
     FROM (SELECT user_id, value,
                  CAST((event_id % 7) + 1 AS DOUBLE) AS w
           FROM events)

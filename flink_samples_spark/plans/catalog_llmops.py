@@ -164,8 +164,10 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_token_count",
     oracle=f"""
     SELECT doc_id,
-           CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$', '', 'g')) = 0 THEN 0
-                ELSE CAST(len(str_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS INT)
+           -- explicit whitespace class: Java \\s includes \\x0B, RE2 \\s
+           -- does not, so both engines use [ \\t\\n\\f\\r] (see token_counts)
+           CASE WHEN length(regexp_replace(text, '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$', '', 'g')) = 0 THEN 0
+                ELSE CAST(len(str_split_regex(regexp_replace(text, '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$', '', 'g'), '[ \\t\\n\\f\\r]+')) AS INT)
            END AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS INT) AS n_bpe_tokens
     FROM documents

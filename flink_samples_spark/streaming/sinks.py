@@ -137,7 +137,13 @@ def sink_to_batch(df: DataFrame, schema) -> DataFrame:
 
     if isinstance(schema, str):
         schema = T.StructType.fromDDL(schema)
-    out = df.drop("batch").select(
+    # Drop the sink's `batch` partition column ONLY when the declared
+    # result schema doesn't claim it — a logical result legitimately
+    # named `batch` must survive the round-trip, not fail the cast
+    # below on a silently-removed column.
+    if "batch" in df.columns and "batch" not in schema.fieldNames():
+        df = df.drop("batch")
+    out = df.select(
         [F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
     )
     return out.localCheckpoint(eager=True)

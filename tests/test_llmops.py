@@ -632,3 +632,20 @@ def test_fingerprint_non_latin_docs_stay_distinct(spark):
     assert fp[1] != fp[2], "distinct non-Latin docs must not share a fingerprint"
     assert fp[1] == fp[3], "identical raw non-Latin docs must still dedup"
     assert fp[4] not in (fp[1], fp[2])
+
+
+def test_weighted_avg_udaf_null_mixed_group(spark):
+    """NULL-mixed groups: a NULL value's weight is masked out of the
+    denominator on BOTH sides (the q_udaf oracle now uses
+    SUM(CASE WHEN value IS NOT NULL THEN w END); ADVICE r6). Here
+    user 1 has values (10, NULL, 30) with weights derived from
+    event_id%7+1 → (2, 3, 4): wavg = (10*2 + 30*4) / (2 + 4)."""
+    from flink_samples_spark.functions.udfs import weighted_avg_grouped_agg
+
+    ev = spark.createDataFrame(
+        [(1, 1, 10.0), (2, 1, None), (3, 1, 30.0), (4, 2, None), (5, 2, None)],
+        "event_id long, user_id long, value double",
+    )
+    got = {r["user_id"]: r["wavg"] for r in weighted_avg_grouped_agg(ev).collect()}
+    assert got[1] == round((10 * 2 + 30 * 4) / (2 + 4), 6)
+    assert got[2] is None  # all-NULL group is SQL NULL, not NaN

@@ -92,3 +92,15 @@ def test_sink_to_batch_accepts_structtype_schema(spark, tmp_path):
         read_sink(spark, str(tmp_path / "s")), df.schema
     )
     assert sorted(r["x"] for r in out.collect()) == [0, 1, 2, 3, 4]
+
+
+def test_sink_to_batch_keeps_declared_batch_column(spark, tmp_path):
+    """A logical result legitimately named `batch` must survive
+    sink_to_batch: the sink's partition column is dropped ONLY when
+    the declared schema doesn't claim the name (ADVICE r6)."""
+    from flink_samples_spark.streaming.sinks import sink_to_batch
+
+    df = spark.createDataFrame([(1, 7), (2, 9)], "k long, batch long")
+    out = sink_to_batch(df, "k bigint, batch bigint")
+    assert dict(out.dtypes) == {"k": "bigint", "batch": "bigint"}
+    assert {r["k"]: r["batch"] for r in out.collect()} == {1: 7, 2: 9}
