@@ -19,14 +19,19 @@ compositions (shuffle-conscious; see each docstring):
 - :func:`simhash_signatures` — 64-bit SimHash; near-dups differ in
   few bits. Join on rotated prefix buckets at scale.
 
-Skew note (100 TB): boilerplate shingles create hot LSH buckets; cap
-bucket size (drop buckets above a threshold — they are boilerplate by
-definition) or salt the band key. The cap is exposed as
-``max_bucket`` on :func:`minhash_lsh_pairs`.
+Skew note (100 TB): boilerplate shingles create hot LSH buckets. The
+bucketed paths handle buckets over ``max_bucket`` docs by
+triangle-salting them into bounded sub-buckets by default (exact same
+pair set; no task ever expands a hot bucket's quadratic pair set in
+one row — see :func:`_bucket_candidate_pairs`), or by dropping them
+as boilerplate (``hot_buckets="drop"``). Either way an observed
+metric (``df.observe`` — rides the main job, zero extra passes) logs
+the hot bucket/doc counts, so recall loss is never silent.
 """
 
 from __future__ import annotations
 
+import logging
 import os
 from collections.abc import Iterator
 
@@ -38,6 +43,8 @@ from pyspark.sql import functions as F
 
 from flink_samples_spark.llmops.text import document_fingerprint
 from flink_samples_spark.utils import parallelize_narrow
+
+_LOG = logging.getLogger(__name__)
 
 _MERSENNE = (1 << 61) - 1
 _N_HASHES = 128
@@ -349,6 +356,8 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     signature: str = "oph",
+    hot_buckets: str = "salt",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs (a < b) with exact-Jaccard verify.
 
@@ -365,7 +374,12 @@ def minhash_lsh_pairs(
     for the size guard — ``F.size`` filters hot boilerplate buckets
     for free); (3) exact Jaccard verification of the candidate pairs
     via shingle intersection. ``max_bucket`` bounds the blow-up of
-    any one bucket (≤ max_bucket²/2 pairs from one grouped row).
+    any one bucket (≤ max_bucket²/2 pairs from one grouped row);
+    buckets over the bound are triangle-salted into bounded
+    sub-buckets by default (exact pair set preserved) or dropped
+    with a logged metric under ``hot_buckets="drop"`` — see
+    :func:`_bucket_candidate_pairs` for both policies and
+    ``stats_out``.
 
     Caching contract: ``hashed`` is ``.cache()``d because it feeds
     the banding stage and both sides of the verification join;
@@ -380,7 +394,9 @@ def minhash_lsh_pairs(
     bands = hashed.mapInPandas(
         _band_fn(signature), "doc_id bigint, band int, band_hash bigint"
     )
-    candidates = _bucket_candidate_pairs(bands, ["band", "band_hash"], max_bucket)
+    candidates = _bucket_candidate_pairs(
+        bands, ["band", "band_hash"], max_bucket, hot_buckets, stats_out
+    )
     return _verify_jaccard_pairs(hashed, candidates, threshold)
 
 
@@ -472,35 +488,192 @@ def _cross_pairs_from_tagged(
     return _verify_pairs(candidates, ha, hb, threshold)
 
 
+def _observe_hot_buckets(df: DataFrame, mode: str, max_bucket: int, n) -> DataFrame:
+    """Attach a ``df.observe`` metric counting hot buckets/docs at
+    this plan point and a daemon waiter that logs the counts once the
+    first action over the plan completes. Zero extra Spark jobs: the
+    metric is computed by the same tasks that run the query. The
+    waiter thread parks on ``Observation.get`` and dies with the
+    process if the plan is never executed."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    hot = n > max_bucket
+    obs = Observation()
+    out = df.observe(
+        obs,
+        F.sum(hot.cast("long")).alias("nb"),
+        F.sum(F.when(hot, n)).alias("nd"),
+    )
+
+    def wait_and_log() -> None:
+        try:
+            m = obs.get  # blocks until the first action finishes
+        except Exception:  # session torn down before any action
+            return
+        nb = m.get("nb") or 0
+        if nb:
+            _LOG.warning(
+                "LSH hot buckets (> %d docs): %d buckets / %d doc-rows — %s",
+                max_bucket,
+                nb,
+                m.get("nd") or 0,
+                "salted into sub-buckets (zero recall loss)"
+                if mode == "salt"
+                else "DROPPED as boilerplate (pair recall lost for these)",
+            )
+
+    threading.Thread(
+        target=wait_and_log, daemon=True, name="lsh-hot-bucket-log"
+    ).start()
+    return out
+
+
+def _pairs_within(ds) -> F.Column:
+    """All (a<b) pairs of an ASCENDING-sorted array column, as
+    array<struct<doc_a,doc_b>>: for element i, pair it with every
+    later element. Pure codegen; the caller bounds the array size."""
+    return F.flatten(
+        F.transform(
+            ds,
+            lambda x, i: F.transform(
+                F.slice(ds, i + F.lit(2), F.size(ds)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+
+
 def _bucket_candidate_pairs(
-    keyed: DataFrame, bucket_keys: list, max_bucket: int
+    keyed: DataFrame,
+    bucket_keys: list,
+    max_bucket: int,
+    hot_buckets: str = "salt",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """(doc_id, *bucket_keys) → distinct candidate (doc_a < doc_b)
-    pairs that share a bucket. ONE groupBy shuffle; in-bucket pairs
-    expand JVM-side (pure codegen — no self-join, no second branch
-    over the band table). ``max_bucket`` caps any one bucket's
-    ≤ max_bucket²/2 pair blow-up (hot boilerplate buckets filter
-    for free via F.size)."""
-    buckets = (
-        keyed.groupBy(*bucket_keys)
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_bucket))
+    pairs that share a bucket.
+
+    Cold buckets (≤ ``max_bucket`` docs — the overwhelming majority):
+    ONE groupBy shuffle gathering each bucket's sorted doc list, with
+    in-bucket pairs expanded JVM-side (pure codegen — no self-join).
+    In drop mode this is the WHOLE plan — identical to the legacy
+    single-consumer shape, so the cap costs nothing.
+
+    Hot buckets (> ``max_bucket`` docs — boilerplate by definition):
+
+    - ``hot_buckets="salt"`` (default): triangle-salted
+      redistribution. Each hot bucket of n docs is split into
+      s = ceil(n/max_bucket) salt groups by a deterministic hash of
+      (doc_id, *bucket_keys); every doc is replicated into the s
+      cells (min(salt,j), max(salt,j)) for j in 0..s-1, and each
+      cell emits its diagonal (within-group, a<b) or off-diagonal
+      (cross-group, least/greatest-normalized) pairs. Every pair of
+      the uncapped expansion is produced EXACTLY once — cell (i,j)
+      is the unique cell containing both salts — so salting loses
+      zero recall while bounding any one task's bucket slice to
+      ~max_bucket docs (replication factor s on hot docs only). Hot
+      docs re-explode from a second pass over the grouped table —
+      re-executing that aggregate measured cheaper at sf0.1 than
+      caching either the band table or the grouped table (the arrays
+      make the cache write cost what the recompute costs); callers
+      whose band lineage is expensive keep its INPUT cached (the
+      minhash paths cache the shingle-hash arrays), so only the
+      banding arithmetic and one shuffle repeat.
+    - ``hot_buckets="drop"``: the legacy cap — hot buckets are
+      discarded as boilerplate.
+
+    Neither policy is ever silent: a ``df.observe`` node rides the
+    main job (zero extra passes) and a daemon waiter logs the hot
+    bucket/doc counts once the first action completes. ``stats_out``
+    (optional dict) additionally receives ``hot_bucket_count`` /
+    ``hot_doc_rows`` / ``mode`` EAGERLY in both modes — that runs one
+    extra count-aggregate job at build time, so it is opt-in.
+    """
+    if hot_buckets not in ("salt", "drop"):
+        raise ValueError(f"hot_buckets must be 'salt' or 'drop', got {hot_buckets!r}")
+    n, ds = F.col("n_docs"), F.col("ds")
+    buckets_all = keyed.groupBy(*bucket_keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sort_array(F.collect_list("doc_id")).alias("ds"),
     )
-    # all (a<b) pairs of the sorted bucket array: for element i, pair
-    # it with every later element
-    ds = F.col("ds")
-    pair_arrays = F.transform(
-        ds,
-        lambda x, i: F.transform(
-            F.slice(ds, i + F.lit(2), F.size(ds)),
-            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-        ),
+    if stats_out is not None:
+        row = buckets_all.filter(n > max_bucket).agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
+        ).first()
+        stats_out.update(
+            {
+                "hot_bucket_count": int(row["nb"]),
+                "hot_doc_rows": int(row["nd"]),
+                "mode": hot_buckets,
+            }
+        )
+    if hot_buckets == "drop":
+        # single consumer: observe BEFORE the filter so dropped rows
+        # are still seen by the metric
+        buckets_all = _observe_hot_buckets(buckets_all, "drop", max_bucket, n)
+        cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
+        pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
+        return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
+    cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
+    pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
+    # hot branch: the SECOND consumer of the grouped table (observe
+    # sits on this single-consumer branch so counts aren't doubled);
+    # the re-executed aggregate was measured cheaper than caching
+    # either the band table or the grouped table at sf0.1
+    hot_docs = _observe_hot_buckets(
+        buckets_all.filter(n > max_bucket), "salt", max_bucket, n
+    ).select(
+        *bucket_keys,
+        F.ceil(n / F.lit(max_bucket)).cast("int").alias("s"),
+        F.explode(ds).alias("doc_id"),
     )
-    return (
-        buckets.select(F.explode(F.flatten(pair_arrays)).alias("p"))
-        .select(F.col("p.doc_a"), F.col("p.doc_b"))
-        .distinct()
+    salt = F.pmod(F.xxhash64("doc_id", *bucket_keys), F.col("s")).cast("int")
+    tagged = hot_docs.select(*bucket_keys, "doc_id", "s", salt.alias("salt"))
+    cells = tagged.select(
+        *bucket_keys,
+        "doc_id",
+        "salt",
+        F.explode(F.sequence(F.lit(0), F.col("s") - 1)).alias("j"),
+    ).select(
+        *bucket_keys,
+        "doc_id",
+        "salt",
+        F.least("salt", "j").alias("ci"),
+        F.greatest("salt", "j").alias("cj"),
     )
+    # collect_list skips the NULLs the when() leaves on the other
+    # side, so lo/hi partition each cell's docs by salt group
+    cellg = cells.groupBy(*bucket_keys, "ci", "cj").agg(
+        F.sort_array(
+            F.collect_list(F.when(F.col("salt") == F.col("ci"), F.col("doc_id")))
+        ).alias("lo"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("salt") != F.col("ci"), F.col("doc_id")))
+        ).alias("hi"),
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("lo"),
+            lambda x: F.transform(
+                F.col("hi"),
+                lambda y: F.struct(
+                    F.least(x, y).alias("doc_a"), F.greatest(x, y).alias("doc_b")
+                ),
+            ),
+        )
+    )
+    hot_pairs = cellg.select(
+        F.explode(
+            F.when(F.col("ci") == F.col("cj"), _pairs_within(F.col("lo"))).otherwise(
+                cross
+            )
+        ).alias("p")
+    )
+    pairs = pairs.unionByName(hot_pairs)
+    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
 def _verify_pairs(
@@ -579,6 +752,7 @@ def simhash_near_pairs(
     threshold: float = 0.8,
     max_hamming: int = 12,
     max_bucket: int = 1000,
+    hot_buckets: str = "drop",
 ) -> DataFrame:
     """SimHash-banded near-dup pairs (a < b) with exact-Jaccard verify
     — the SimHash twin of :func:`minhash_lsh_pairs`, same output
@@ -598,6 +772,14 @@ def simhash_near_pairs(
     the default 12 (13 bands × ~5 bits) is only for small/synthetic
     corpora whose near-dups mutate heavily; ``max_bucket`` caps the
     per-bucket pair blow-up either way.
+
+    ``hot_buckets`` defaults to "drop" here — the OPPOSITE of the
+    MinHash paths — because SimHash's coarse bit-band key space
+    (2^width buckets per band) makes an over-cap bucket mean "the
+    radius is too wide for this corpus size", not "boilerplate":
+    salting such buckets would faithfully compute a near-quadratic
+    candidate set (measured 26 s vs 1 s at sf0.1 with the default
+    radius 12). The drop is logged with bucket/doc counts either way.
     """
     if not 1 <= max_hamming <= 63:
         # max_hamming=0 makes the single band 64 bits wide and
@@ -627,7 +809,9 @@ def simhash_near_pairs(
     keyed = sigs.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_bits").alias("band_bits"))
-    candidates = _bucket_candidate_pairs(keyed, ["band", "band_bits"], max_bucket)
+    candidates = _bucket_candidate_pairs(
+        keyed, ["band", "band_bits"], max_bucket, hot_buckets
+    )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
     within = (
@@ -661,12 +845,21 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     small-star doubling variant (O(log d) rounds); not needed for
     dedup workloads.
     """
-    fwd = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # both edge directions from ONE pass over the pairs plan (a
+    # union of two selects would execute the whole LSH pipeline
+    # twice during checkpoint materialization)
+    a, b = F.col("doc_a"), F.col("doc_b")
+    both = F.explode(
+        F.array(
+            F.struct(a.alias("src"), b.alias("dst")),
+            F.struct(b.alias("src"), a.alias("dst")),
+        )
+    )
     # lazy checkpoint: materialized by the init-sum job below, reused
     # by every round's join afterwards
-    edges = fwd.union(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).localCheckpoint(eager=False)
+    edges = (
+        pairs.select(both.alias("e")).select("e.src", "e.dst").localCheckpoint(eager=False)
+    )
     # init fused with the first propagation round: label = min(self,
     # min neighbor) — one groupBy replaces distinct + a full join round
     labels = edges.groupBy(F.col("src").alias("node")).agg(

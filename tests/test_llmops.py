@@ -649,3 +649,88 @@ def test_weighted_avg_udaf_null_mixed_group(spark):
     got = {r["user_id"]: r["wavg"] for r in weighted_avg_grouped_agg(ev).collect()}
     assert got[1] == round((10 * 2 + 30 * 4) / (2 + 4), 6)
     assert got[2] is None  # all-NULL group is SQL NULL, not NaN
+
+
+def test_hot_bucket_salting_recovers_pairs_drop_loses(spark):
+    """Boilerplate-heavy corpus: 12 near-identical docs land in the
+    same LSH bucket in (nearly) every band, blowing past max_bucket=4.
+    The legacy drop policy discards those buckets and LOSES the pairs;
+    triangle salting must recover the exact operator's full pair set
+    (VERDICT r6 item 1). Both modes report the hot-bucket stats."""
+    from flink_samples_spark.llmops.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = (
+        "all rights reserved terms of service apply to this page "
+        "contact the webmaster for further information about this site"
+    )
+    rows = [(i, f"{boiler} variant {i % 2}") for i in range(12)]
+    # plus two unrelated singletons that must pair with nothing
+    rows += [(100, "quick brown fox jumps over the lazy dog today"),
+             (101, "completely different content about gardening and soil")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, 3, 0.8).collect()
+    }
+    assert len(exact) >= 2 * (6 * 5 // 2), "fixture must be pair-dense"
+
+    drop_stats, salt_stats = {}, {}
+    dropped = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, 3, 0.8, max_bucket=4, hot_buckets="drop", stats_out=drop_stats
+        ).collect()
+    }
+    salted = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(
+            docs, 3, 0.8, max_bucket=4, hot_buckets="salt", stats_out=salt_stats
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert dropped < exact, "drop policy must lose pairs on this corpus"
+    assert salted == exact, "salting must preserve the exact pair set"
+    assert drop_stats["mode"] == "drop" and drop_stats["hot_bucket_count"] > 0
+    assert salt_stats["mode"] == "salt"
+    assert salt_stats["hot_bucket_count"] == drop_stats["hot_bucket_count"]
+    assert salt_stats["hot_doc_rows"] == drop_stats["hot_doc_rows"]
+
+
+def test_bucket_candidate_pairs_triangle_exactness(spark):
+    """Direct unit pin of the triangle salting: one bucket of 25 docs
+    with max_bucket=5 must emit ALL C(25,2)=300 pairs — cell (i,j) is
+    the unique cell containing both salts, so nothing is lost."""
+    from flink_samples_spark.llmops.dedup import _bucket_candidate_pairs
+
+    keyed = spark.createDataFrame(
+        [(d, 0, 777) for d in range(25)], "doc_id long, band int, band_hash long"
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in _bucket_candidate_pairs(
+            keyed, ["band", "band_hash"], max_bucket=5, hot_buckets="salt"
+        ).collect()
+    }
+    want = {(a, b) for a in range(25) for b in range(a + 1, 25)}
+    assert got == want
+    # cold path unchanged: same bucket under a loose cap gives the
+    # same pairs (salting is a no-op when nothing is hot)
+    cold = {
+        (r.doc_a, r.doc_b)
+        for r in _bucket_candidate_pairs(
+            keyed, ["band", "band_hash"], max_bucket=1000, hot_buckets="salt"
+        ).collect()
+    }
+    assert cold == want
+    # drop mode discards the lone hot bucket entirely
+    stats = {}
+    none_left = _bucket_candidate_pairs(
+        keyed, ["band", "band_hash"], max_bucket=5, hot_buckets="drop",
+        stats_out=stats,
+    ).count()
+    assert none_left == 0
+    assert stats == {"hot_bucket_count": 1, "hot_doc_rows": 25, "mode": "drop"}
