@@ -64,59 +64,61 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-6 allocation (manifest after r5: 195 of 199 ever-green;
-    # never-checked backlog is exactly the four names below).
-    # ---- the r5 red row (sink read-back fixed) + 3-query backlog ----
-    "q_stream_join_outer",    # r5 FAIL: toPandas round-trip, now sink_to_batch
-    "q_agg_salted",           # deferred variant, last never-checked trio
-    "q_join_salted",
-    "q_join_colocated",
-    # ---- re-certify every wrapper the sink_to_batch refactor touched
-    #      (all streaming runs + q_late_data + q_dedup_incremental):
-    #      their read-back path changed, so their driver rows must be
-    #      re-earned this round ----
-    "q_stream_dedup",
-    "q_stream_tumbling",
-    "q_stream_session",
-    "q_stream_custom_sessionizer",
-    "q_late_data",
-    "q_stream_join",
-    "q_stream_curate",
-    "q_stream_upsert",
-    "q_stream_update_counts",
-    "q_stream_complete_counts",
+    # Round-7 allocation (manifest after r6: ALL 199 ever-green; no
+    # backlog). Priority 1 is every query whose CODE or ORACLE changed
+    # in round 7 after its last green driver row — re-certification of
+    # live diffs beats sentinel seats.
+    # ---- r7 diffs: q_udaf NULL-denominator oracle, token-count
+    #      whitespace class, fingerprint nullif restructure, LSH
+    #      hot-bucket salting + single-pass component edges ----
+    "q_udaf",                 # oracle changed (NULL-masked denominator)
+    "q_token_count",          # both sides moved to [ \t\n\f\r]
+    "q_dedup_exact",          # fingerprint nullif restructure (last green r2)
+    "q_fingerprint",          # same diff (last green r4)
+    "q_training_pipeline",    # composes the fingerprint (last green r3)
+    "q_dedup_near",           # hot-bucket salting default
+    "q_dedup_groups",         # salting + single-pass edges
+    "q_dedup_apply",
+    "q_dedup_simhash",        # drop default + observe metric
+    "q_dedup_incremental",    # from_index path under salting
     "q_stream_dedup_index",
-    "q_stream_pattern_seq",
-    "q_stream_pattern_absence",
-    "q_stream_ewma",
-    "q_stream_session_dynamic",
-    "q_stream_temporal",
-    "q_stream_enrich",
-    "q_stream_sliding",
-    "q_dedup_incremental",
-    # ---- ever-green sentinel spine: one-plus canary per §2 family ----
+    # ---- r6-touched with pre-r6 last-green row (r6 verdict item 4) ----
+    "q_session_dynamic",      # last green r5, touched by r6 NaN-gap guard
+    # ---- longest-stale rotation: ever-green only in r1 ----
+    "q_agg_cube",
+    "q_agg_global_sum",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_cast",
+    "q_fn_explode",
+    "q_intersect",
+    "q_join_asof",
+    "q_join_nullsafe",
+    "q_source_range",
+    "q_union_distinct",
+    "q_win_range_frame",
+    "q_pipeline_filtered_agg",
+    "q_pipeline_local_supplier",
+    "q_pipeline_promo_share",
+    "q_pipeline_returned_items",
+    "q_pipeline_top_supplier",
+    "q_pipeline_topk_revenue",
+    # ---- ever-green sentinel spine: one canary per §2 family ----
     "q_scan_parquet",         # §2.1 sources
-    "q_scan_json",
     "q_filter",               # §2.2 pushdown path
     "q_join_broadcast",       # §2.3 joins
-    "q_join_smj",             # also the r5 bench re-measure target
-    "q_merge_upsert",
-    "q_agg_multi",            # §2.4 aggs; bench re-measure target
-    "q_agg_count_group",
+    "q_agg_count_group",      # §2.4 aggs
     "q_win_rank",             # §2.5 analytic windows
     "q_topk_per_group",       # §2.6 top-k
     "q_except_all",           # §2.7 set ops
     "q_fn_string",            # §2.8 scalar functions
-    "q_fn_json",
     "q_session_window",       # flagship; §2.9 batch windows
-    "q_tumbling_window",
+    "q_stream_session",       # §2.9 streaming twin of the flagship
+    "q_stream_upsert",        # §2.9 restart/upsert path
     "q_udf_scalar",           # §2.10 UDF surface
-    "q_udtf_lateral",
     "q_pipeline_profit",      # TPC-H pipeline family
-    "q_sql_window",         # SQL-entry family
+    "q_sql_window",           # SQL-entry family
     # ---- tier-X canaries (scale-claim operators) ----
-    "q_dedup_near",
-    "q_dedup_cross",
     "q_sim_topk",
     "q_tfidf",
     "q_corpus_shuffle",
@@ -125,12 +127,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sample_stratified",
 )
 
-# Round-7 allocation (write when the r6 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): if round 6 went green the
-# backlog is empty — rotate the spine across the ever-green families
-# that have gone longest without a driver row (the manifest records
-# which rounds each query was green in), keep the flagship, and leave
-# registration FROZEN unless a verdict demands a new operator.
+# Round-8 allocation (write when the r7 CORRECTNESS lands; run
+# scripts/update_green_manifest.py first): lead with any query whose
+# code changed after its last green driver row, then rotate the
+# longest-stale ever-green cohort (next up: the r2-only group), keep
+# the flagship, and leave registration FROZEN unless a verdict
+# demands a new operator.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
