@@ -986,9 +986,13 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_fn = idempotent_parquet_sink(sink)
     try:
         docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-        # 4 micro-batches: still a genuine incremental run (batch 0
-        # has no index; batches 1-3 dedup against a growing one) at
-        # two fewer rounds of per-batch signature/join stage spin-up
+        # 4 replay files at 2 files/trigger = 2 micro-batches: still a
+        # genuine incremental run (batch 0 has no index; batch 1 dedups
+        # against the stored one) at half the per-batch signature/join
+        # stage spin-up — the same replay trick that took
+        # q_stream_curate 2.28s -> 1.44s in round 5. The pair set is
+        # complete either way: within-batch pairs come from the batch
+        # index, cross-batch pairs from the banded index join.
         write_replay_files(docs, replay, n_files=4, order_col="doc_id")
         schema = T.StructType(
             [
@@ -996,7 +1000,7 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 T.StructField("text", T.StringType()),
             ]
         )
-        stream = file_replay_stream(spark, replay, schema)
+        stream = file_replay_stream(spark, replay, schema, files_per_trigger=2)
 
         def process(batch: DataFrame, batch_id: int) -> None:
             # the batch is signed and banded EXACTLY ONCE: its index
