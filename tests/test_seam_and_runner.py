@@ -132,3 +132,121 @@ def test_run_job_cli_duration_smoke(spark):
 
     rc = run_job.main(["number_sequence", "--sink", "noop", "--duration", "5"])
     assert rc == 0
+
+
+# -------------------------------------------- fake-DSv2 option capture ----
+def _register_capture_source(spark):
+    """A Python Data Source standing in for the Cassandra connector:
+    reader()/writer() run DRIVER-side and dump the exact option map
+    Spark handed the data source to the json file named by the
+    `capture_path` option — proving the seam's options survive the
+    real DSv2 machinery (DataFrameReader/Writer -> JVM
+    CaseInsensitiveStringMap -> Python DataSource), not just a Python
+    dict. Registration is idempotent per session."""
+    import json
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    class CaptureReader(DataSourceReader):
+        def __init__(self, options):
+            self.options = options
+
+        def read(self, partition):
+            yield (1,)
+
+    class CaptureWriter(DataSourceWriter):
+        def write(self, rows):
+            for _ in rows:
+                pass
+            return WriterCommitMessage()
+
+        def commit(self, messages):
+            return None
+
+    class CaptureCassandra(DataSource):
+        @classmethod
+        def name(cls):
+            return "capture_cassandra"
+
+        def schema(self):
+            return "ok int"
+
+        def _dump(self):
+            with open(self.options["capture_path"], "w") as f:
+                json.dump({k: v for k, v in self.options.items()}, f)
+
+        def reader(self, schema):
+            self._dump()
+            return CaptureReader(self.options)
+
+        def writer(self, schema, overwrite):
+            self._dump()
+            return CaptureWriter()
+
+    spark.dataSource.register(CaptureCassandra)
+
+
+def test_cassandra_source_options_reach_dsv2(spark, tmp_path, monkeypatch):
+    """The reference's bounded scan (CassandraPojoSource.java:57-63,
+    `select * from test.pojo` split by 15 MiB) maps to exactly these
+    connector options — pinned by routing SourceSpec's cassandra
+    branch through a registered stub data source and capturing what
+    the DSv2 machinery actually delivers (keys arrive lowercased via
+    CaseInsensitiveStringMap)."""
+    import json
+
+    from flink_samples_spark.sources import readers
+
+    _register_capture_source(spark)
+    cap = str(tmp_path / "read_opts.json")
+    monkeypatch.setattr(readers, "CASSANDRA_FORMAT", "capture_cassandra")
+    spec = SourceSpec(
+        "cassandra",
+        keyspace="test",
+        table="pojo",
+        capture_path=cap,
+        **{"spark.cassandra.input.split.sizeInMB": "15"},
+    )
+    df = spec.load(spark)
+    assert df.count() == 1  # the stub actually produced a row
+    got = json.load(open(cap))
+    assert got["keyspace"] == "test"
+    assert got["table"] == "pojo"
+    assert got["spark.cassandra.input.split.sizeinmb"] == "15"
+
+
+def test_cassandra_sink_options_reach_dsv2(spark, tmp_path, monkeypatch):
+    """The reference sink's Mapper.Option list
+    (CassandraPojoSinkStreaming.java:70-79: saveNullsAsUnset + ttl on
+    keyspace test) maps to exactly these connector output options;
+    the stub write also pins append mode (append == PRIMARY-KEY
+    upsert is the idempotency contract)."""
+    import json
+
+    from flink_samples_spark.streaming import sinks
+
+    _register_capture_source(spark)
+    cap = str(tmp_path / "write_opts.json")
+    monkeypatch.setattr(sinks, "CASSANDRA_FORMAT", "capture_cassandra")
+    sink_fn = idempotent_sink(
+        "pojo",
+        fmt="cassandra",
+        keyspace="test",
+        capture_path=cap,
+        **{
+            "spark.cassandra.output.saveNullsAsUnset": "true",
+            "spark.cassandra.output.ttl": "864000",
+        },
+    )
+    batch = spark.createDataFrame([(1, "x")], "id long, v string")
+    sink_fn(batch, 0)
+    got = json.load(open(cap))
+    assert got["keyspace"] == "test"
+    assert got["table"] == "pojo"
+    assert got["spark.cassandra.output.savenullsasunset"] == "true"
+    assert got["spark.cassandra.output.ttl"] == "864000"
