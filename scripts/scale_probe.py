@@ -199,6 +199,12 @@ def main() -> None:
     # shuffle services), then time the SECOND run of each
     run(probes(docs01, li01, ev01, emb01, idx_small))
     small = run(probes(docs01, li01, ev01, emb01, idx_small))
+    # drop the small phase's operator caches before the big phase: at
+    # 64× amplification the accumulated shingle-hash caches from four
+    # probe passes exhausted a 24g heap mid-run. Within-phase warm-up
+    # cache reuse (same canonical plans) is preserved — both sizes get
+    # identical treatment, so exponents stay comparable.
+    spark.catalog.clearCache()
     run(probes(docs, li, ev, emb, idx_big))
     big = run(probes(docs, li, ev, emb, idx_big))
 
@@ -247,8 +253,22 @@ def main() -> None:
         "Generated by `python scripts/scale_probe.py` (re-run to refresh).",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALE_PROBE.md")
+    # preserve the sf1 headline-probe section (scripts/sf1_probe.py
+    # owns the span between its markers) across regenerations
+    sf1_section = ""
+    if os.path.exists(out):
+        prev = open(out).read()
+        if "<!-- sf1-probe:start -->" in prev and "<!-- sf1-probe:end -->" in prev:
+            sf1_section = (
+                "\n"
+                + "<!-- sf1-probe:start -->"
+                + prev.split("<!-- sf1-probe:start -->")[1].split(
+                    "<!-- sf1-probe:end -->"
+                )[0]
+                + "<!-- sf1-probe:end -->\n"
+            )
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + sf1_section)
     print("\n".join(lines))
     print(f"\nwrote {out}")
 
