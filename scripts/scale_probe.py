@@ -26,15 +26,18 @@ from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 def amplify_docs(docs: DataFrame, n: int) -> DataFrame:
     """Union n id-shifted copies; copy k>0 drops every (k+2)-th word
-    (a deterministic perturbation so copies are NEAR dups, J<1)."""
-    base = docs.select("doc_id", "text")
+    (a deterministic perturbation so copies are NEAR dups, J<1).
+    Extra columns (lang/source/...) ride along unchanged; an
+    n_chars column, if present, is recomputed for the perturbed
+    text so the table keeps its n_chars == length(text) invariant."""
     out = []
     n_docs_hint = 1_000_000_000  # id-shift stride, far above any sf
     for k in range(n):
-        c = base.select(
-            (F.col("doc_id") + F.lit(k * n_docs_hint)).alias("doc_id"),
-            F.when(F.lit(k == 0), F.col("text"))
-            .otherwise(
+        c = docs.withColumn(
+            "doc_id", F.col("doc_id") + F.lit(k * n_docs_hint)
+        ).withColumn(
+            "text",
+            F.when(F.lit(k == 0), F.col("text")).otherwise(
                 F.array_join(
                     F.filter(
                         F.split(F.col("text"), " "),
@@ -42,9 +45,10 @@ def amplify_docs(docs: DataFrame, n: int) -> DataFrame:
                     ),
                     " ",
                 )
-            )
-            .alias("text"),
+            ),
         )
+        if "n_chars" in docs.columns:
+            c = c.withColumn("n_chars", F.length("text").cast("long"))
         out.append(c)
     u = out[0]
     for c in out[1:]:
