@@ -555,34 +555,31 @@ def _bucket_candidate_pairs(
     """(doc_id, *bucket_keys) → distinct candidate (doc_a < doc_b)
     pairs that share a bucket.
 
-    Cold buckets (≤ ``max_bucket`` docs — the overwhelming majority):
-    ONE groupBy shuffle gathering each bucket's sorted doc list, with
-    in-bucket pairs expanded JVM-side (pure codegen — no self-join).
-    In drop mode this is the WHOLE plan — identical to the legacy
-    single-consumer shape, so the cap costs nothing.
+    ``hot_buckets="drop"``: the legacy cap — ONE groupBy shuffle
+    gathering each bucket's sorted doc list, in-bucket pairs expanded
+    JVM-side (pure codegen — no self-join), buckets over
+    ``max_bucket`` discarded as boilerplate (logged, never silent).
 
-    Hot buckets (> ``max_bucket`` docs — boilerplate by definition):
-
-    - ``hot_buckets="salt"`` (default): triangle-salted
-      redistribution. Each hot bucket of n docs is split into
-      s = ceil(n/max_bucket) salt groups by a deterministic hash of
-      (doc_id, *bucket_keys); every doc is replicated into the s
-      cells (min(salt,j), max(salt,j)) for j in 0..s-1, and each
-      cell emits its diagonal (within-group, a<b) or off-diagonal
-      (cross-group, least/greatest-normalized) pairs. Every pair of
-      the uncapped expansion is produced EXACTLY once — cell (i,j)
-      is the unique cell containing both salts — so salting loses
-      zero recall while bounding any one task's bucket slice to
-      ~max_bucket docs (replication factor s on hot docs only). Hot
-      docs re-explode from a second pass over the grouped table —
-      re-executing that aggregate measured cheaper at sf0.1 than
-      caching either the band table or the grouped table (the arrays
-      make the cache write cost what the recompute costs); callers
-      whose band lineage is expensive keep its INPUT cached (the
-      minhash paths cache the shingle-hash arrays), so only the
-      banding arithmetic and one shuffle repeat.
-    - ``hot_buckets="drop"``: the legacy cap — hot buckets are
-      discarded as boilerplate.
+    ``hot_buckets="salt"`` (default): triangle-salted redistribution,
+    exact pair set preserved. Each bucket of n docs is split into
+    s = ceil(n/max_bucket) salt groups by a deterministic hash of
+    (doc_id, *bucket_keys); every doc is replicated into the s cells
+    (min(salt,j), max(salt,j)) for j in 0..s-1, and each cell emits
+    its diagonal (within-group, a<b) or off-diagonal (cross-group,
+    least/greatest-normalized) pairs. Every pair of the uncapped
+    expansion is produced EXACTLY once — cell (i,j) is the unique
+    cell containing both salts — so salting loses zero recall while
+    bounding any one task's bucket slice to ~max_bucket docs
+    (replication factor s on hot docs only; cold buckets have s=1,
+    zero replication, and their single (0,0) cell's diagonal IS the
+    legacy expansion). The whole mode is ONE linear pipeline — group,
+    explode with salts, regroup by cell, expand — so the signature /
+    banding stage upstream executes once; the price over drop mode is
+    one extra narrow (keys, doc_id, cell) shuffle of about the band
+    table's volume. (The previous cold-union-hot two-branch shape
+    re-executed the entire upstream per branch — the signature
+    MapInPandas and band shuffle ran twice, ~1.3× the whole pipeline
+    at sf0.1 even with zero hot buckets.)
 
     Neither policy is ever silent: a ``df.observe`` node rides the
     main job (zero extra passes) and a daemon waiter logs the hot
@@ -617,21 +614,28 @@ def _bucket_candidate_pairs(
         cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
         pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
         return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
-    cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
-    pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
-    # hot branch: the SECOND consumer of the grouped table (observe
-    # sits on this single-consumer branch so counts aren't doubled);
-    # the re-executed aggregate was measured cheaper than caching
-    # either the band table or the grouped table at sf0.1
-    hot_docs = _observe_hot_buckets(
-        buckets_all.filter(n > max_bucket), "salt", max_bucket, n
-    ).select(
+    # salt mode: ONE consumer of the grouped table — every bucket
+    # (cold included, with s=1 → the single cell (0,0) whose diagonal
+    # is exactly the legacy in-bucket expansion) flows through the
+    # same explode → salt → cell-regroup pipeline. A two-branch
+    # cold-union-hot shape re-executed the whole upstream per branch
+    # (signature MapInPandas + band shuffle ran TWICE — AQE does not
+    # reuse the exchanges, measured on the executed plan), which cost
+    # more than this one extra narrow (keys, doc_id, cell) shuffle.
+    sized = _observe_hot_buckets(buckets_all, "salt", max_bucket, n).filter(n >= 2)
+    tagged = sized.select(
         *bucket_keys,
         F.ceil(n / F.lit(max_bucket)).cast("int").alias("s"),
         F.explode(ds).alias("doc_id"),
+    ).select(
+        *bucket_keys,
+        "doc_id",
+        "s",
+        # pmod(x, 1) = 0: cold buckets all land in salt group 0
+        F.pmod(F.xxhash64("doc_id", *bucket_keys), F.col("s"))
+        .cast("int")
+        .alias("salt"),
     )
-    salt = F.pmod(F.xxhash64("doc_id", *bucket_keys), F.col("s")).cast("int")
-    tagged = hot_docs.select(*bucket_keys, "doc_id", "s", salt.alias("salt"))
     cells = tagged.select(
         *bucket_keys,
         "doc_id",
@@ -644,6 +648,14 @@ def _bucket_candidate_pairs(
         F.least("salt", "j").alias("ci"),
         F.greatest("salt", "j").alias("cj"),
     )
+    # explicit cell shuffle: without it Spark proves hash(bucket_keys)
+    # already clusters the regroup keys and runs it partition-local —
+    # zero shuffle, but then every cell of a hot bucket expands its
+    # pairs in the ONE task that owns the bucket (a quadratic
+    # straggler at scale). Redistributing by the full cell key scatters
+    # a hot bucket's s(s+1)/2 cells across tasks; cold buckets (one
+    # cell) keep their old distribution modulo hashing.
+    cells = cells.repartition(*bucket_keys, "ci", "cj")
     # collect_list skips the NULLs the when() leaves on the other
     # side, so lo/hi partition each cell's docs by salt group
     cellg = cells.groupBy(*bucket_keys, "ci", "cj").agg(
@@ -665,14 +677,13 @@ def _bucket_candidate_pairs(
             ),
         )
     )
-    hot_pairs = cellg.select(
+    pairs = cellg.select(
         F.explode(
             F.when(F.col("ci") == F.col("cj"), _pairs_within(F.col("lo"))).otherwise(
                 cross
             )
         ).alias("p")
     )
-    pairs = pairs.unionByName(hot_pairs)
     return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
