@@ -570,16 +570,27 @@ def _bucket_candidate_pairs(
     expansion is produced EXACTLY once — cell (i,j) is the unique
     cell containing both salts — so salting loses zero recall while
     bounding any one task's bucket slice to ~max_bucket docs
-    (replication factor s on hot docs only; cold buckets have s=1,
-    zero replication, and their single (0,0) cell's diagonal IS the
-    legacy expansion). The whole mode is ONE linear pipeline — group,
-    explode with salts, regroup by cell, expand — so the signature /
-    banding stage upstream executes once; the price over drop mode is
-    one extra narrow (keys, doc_id, cell) shuffle of about the band
-    table's volume. (The previous cold-union-hot two-branch shape
-    re-executed the entire upstream per branch — the signature
-    MapInPandas and band shuffle ran twice, ~1.3× the whole pipeline
-    at sf0.1 even with zero hot buckets.)
+    (replication factor s on hot docs only). Cold buckets expand
+    their pairs DIRECTLY out of the grouped table — zero extra
+    shuffle on the overwhelming-majority path — and only hot-bucket
+    cells pay the explode → salt → repartition → regroup pipeline,
+    with the repartition on the full cell key scattering a hot
+    bucket's s(s+1)/2 cells across tasks (without it Spark proves
+    hash(bucket_keys) already clusters the cell regroup and runs it
+    partition-local — free, but then a hot bucket's whole quadratic
+    pair set expands in the one task owning it: a straggler).
+
+    The grouped table is ``persist()``-ed (MEMORY_AND_DISK, lineage
+    kept — executor loss recomputes the lost partitions) because the
+    cold and hot branches are two plan consumers and Spark re-executes
+    the full upstream per consumer: unpersisted, the signature
+    MapInPandas and band shuffle ran TWICE (measured on the executed
+    plan — no AQE exchange reuse), ~1.3× the whole pipeline at sf0.1
+    even with zero hot buckets. A fork-free single-pipeline variant
+    (every bucket through explode→cell-regroup with s=1 for cold) was
+    measured WORSE at 64× amplification (208 s vs 127 s: the cold
+    majority paid the extra shuffle + re-collect); storing the grouped
+    table once and reading it from both branches beats both.
 
     Neither policy is ever silent: a ``df.observe`` node rides the
     main job (zero extra passes) and a daemon waiter logs the hot
@@ -614,28 +625,24 @@ def _bucket_candidate_pairs(
         cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
         pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
         return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
-    # salt mode: ONE consumer of the grouped table — every bucket
-    # (cold included, with s=1 → the single cell (0,0) whose diagonal
-    # is exactly the legacy in-bucket expansion) flows through the
-    # same explode → salt → cell-regroup pipeline. A two-branch
-    # cold-union-hot shape re-executed the whole upstream per branch
-    # (signature MapInPandas + band shuffle ran TWICE — AQE does not
-    # reuse the exchanges, measured on the executed plan), which cost
-    # more than this one extra narrow (keys, doc_id, cell) shuffle.
-    sized = _observe_hot_buckets(buckets_all, "salt", max_bucket, n).filter(n >= 2)
-    tagged = sized.select(
+    # salt mode: two consumers of the grouped table (cold pairs expand
+    # directly — zero extra shuffle on the majority path; hot cells
+    # redistribute) — persisted so the signature/banding upstream
+    # executes ONCE instead of once per branch (see docstring).
+    buckets_all = buckets_all.persist()
+    cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
+    pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
+    # observe sits on the single-consumer hot branch so counts aren't
+    # doubled by the cold branch traversing the same node
+    hot_docs = _observe_hot_buckets(
+        buckets_all.filter(n > max_bucket), "salt", max_bucket, n
+    ).select(
         *bucket_keys,
         F.ceil(n / F.lit(max_bucket)).cast("int").alias("s"),
         F.explode(ds).alias("doc_id"),
-    ).select(
-        *bucket_keys,
-        "doc_id",
-        "s",
-        # pmod(x, 1) = 0: cold buckets all land in salt group 0
-        F.pmod(F.xxhash64("doc_id", *bucket_keys), F.col("s"))
-        .cast("int")
-        .alias("salt"),
     )
+    salt = F.pmod(F.xxhash64("doc_id", *bucket_keys), F.col("s")).cast("int")
+    tagged = hot_docs.select(*bucket_keys, "doc_id", "s", salt.alias("salt"))
     cells = tagged.select(
         *bucket_keys,
         "doc_id",
@@ -648,13 +655,10 @@ def _bucket_candidate_pairs(
         F.least("salt", "j").alias("ci"),
         F.greatest("salt", "j").alias("cj"),
     )
-    # explicit cell shuffle: without it Spark proves hash(bucket_keys)
-    # already clusters the regroup keys and runs it partition-local —
-    # zero shuffle, but then every cell of a hot bucket expands its
-    # pairs in the ONE task that owns the bucket (a quadratic
-    # straggler at scale). Redistributing by the full cell key scatters
-    # a hot bucket's s(s+1)/2 cells across tasks; cold buckets (one
-    # cell) keep their old distribution modulo hashing.
+    # explicit cell shuffle (hot rows only — cheap): without it Spark
+    # proves hash(bucket_keys) already clusters the regroup keys and
+    # runs it partition-local, expanding every cell of a hot bucket in
+    # the ONE task that owns the bucket (a quadratic straggler).
     cells = cells.repartition(*bucket_keys, "ci", "cj")
     # collect_list skips the NULLs the when() leaves on the other
     # side, so lo/hi partition each cell's docs by salt group
@@ -677,13 +681,14 @@ def _bucket_candidate_pairs(
             ),
         )
     )
-    pairs = cellg.select(
+    hot_pairs = cellg.select(
         F.explode(
             F.when(F.col("ci") == F.col("cj"), _pairs_within(F.col("lo"))).otherwise(
                 cross
             )
         ).alias("p")
     )
+    pairs = pairs.unionByName(hot_pairs)
     return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
 
 
