@@ -56,6 +56,30 @@ def amplify_docs(docs: DataFrame, n: int) -> DataFrame:
     return u
 
 
+def amplify_docs_disjoint(docs: DataFrame, n: int) -> DataFrame:
+    """Union n id-shifted copies whose shingle sets are DISJOINT
+    across copies: every copy interleaves a copy-specific marker token
+    between words, so no word k-gram (k ≥ 2) is shared between copies
+    and the corpus's near-dup rate stays CONSTANT as it grows (each
+    copy reproduces the base corpus's internal near-dup structure,
+    nothing more). Copy 0 is interleaved too, so small and big phases
+    see the same text shape. This isolates PLAN scaling from the
+    output quadratics that :func:`amplify_docs`'s deliberate near-dup
+    copies create."""
+    out = []
+    n_docs_hint = 1_000_000_000
+    for k in range(n):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(k * n_docs_hint)).alias("doc_id"),
+            F.regexp_replace(F.col("text"), " ", f" zq{k}z ").alias("text"),
+        )
+        out.append(c)
+    u = out[0]
+    for c in out[1:]:
+        u = u.unionByName(c)
+    return u
+
+
 def main() -> None:
     n_amp = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     from flink_samples_spark.session import get_spark
@@ -72,6 +96,8 @@ def main() -> None:
     )
 
     docs = amplify_docs(docs01, n_amp).localCheckpoint()  # materialize once
+    docs_dj_small = amplify_docs_disjoint(docs01, 1).localCheckpoint()
+    docs_dj_big = amplify_docs_disjoint(docs01, n_amp).localCheckpoint()
     li = li01
     for k in range(1, max(2, n_amp // 2)):
         li = li.unionByName(
@@ -112,7 +138,12 @@ def main() -> None:
     n_emb_small, n_emb_big = emb01.count(), emb.count()
 
     def probes(
-        d: DataFrame, l: DataFrame, e: DataFrame, em: DataFrame, idx: DataFrame
+        d: DataFrame,
+        l: DataFrame,
+        e: DataFrame,
+        em: DataFrame,
+        idx: DataFrame,
+        ddj: DataFrame,
     ) -> "dict[str, object]":
         # values are DataFrames (noop-materialized by run()) or
         # zero-arg thunks for operators that execute jobs during
@@ -136,6 +167,11 @@ def main() -> None:
             "span_dedup": span_dedup(d, span_words=8, df_threshold=3),
             "within_doc_dedup": within_doc_span_dedup(d),
             "minhash_lsh_pairs": minhash_lsh_pairs(d),
+            # constant-dup-rate variant: copies are shingle-disjoint,
+            # so this row measures the PLAN's scaling; the row above
+            # measures a duplicate-saturated corpus whose pair OUTPUT
+            # grows quadratically by construction
+            "minhash_lsh_disjoint": minhash_lsh_pairs(ddj),
             "lm_bigram_score": lm_bigram_score(d),
             "quality_ensemble": quality_ensemble(d),
             "chunk_documents": chunk_documents(d, chunk_words=32, stride=24),
@@ -188,9 +224,20 @@ def main() -> None:
 
         return go
 
-    def run(qs: "dict[str, object]") -> dict[str, float]:
+    def run(qs: "dict[str, object]", timed: bool = True) -> dict[str, float]:
         t = {}
         for name, df in qs.items():
+            if timed:
+                # COLD-cache timing: operators persist()/cache()
+                # intermediates (shingle hashes, the salt-mode grouped
+                # bucket table), and Spark's CacheManager serves any
+                # later identical canonical plan from those entries —
+                # a warm second run measures only the post-cache tail,
+                # and the cached fraction differs between sizes, which
+                # corrupts the exponent (measured: minhash small-phase
+                # 0.67 s warm vs ~1.8 s cold). The 100 TB claim is
+                # about cold production runs, so time those.
+                spark.catalog.clearCache()
             t0 = time.time()
             if callable(df):
                 df()
@@ -200,17 +247,19 @@ def main() -> None:
         return t
 
     # full warm-up pass at each size (JVM JIT + python worker pool +
-    # shuffle services), then time the SECOND run of each
-    run(probes(docs01, li01, ev01, emb01, idx_small))
-    small = run(probes(docs01, li01, ev01, emb01, idx_small))
+    # shuffle services), then time the SECOND run of each cold
+    run(probes(docs01, li01, ev01, emb01, idx_small, docs_dj_small), timed=False)
+    spark.catalog.clearCache()
+    small = run(probes(docs01, li01, ev01, emb01, idx_small, docs_dj_small))
     # drop the small phase's operator caches before the big phase: at
     # 64× amplification the accumulated shingle-hash caches from four
     # probe passes exhausted a 24g heap mid-run. Within-phase warm-up
     # cache reuse (same canonical plans) is preserved — both sizes get
     # identical treatment, so exponents stay comparable.
     spark.catalog.clearCache()
-    run(probes(docs, li, ev, emb, idx_big))
-    big = run(probes(docs, li, ev, emb, idx_big))
+    run(probes(docs, li, ev, emb, idx_big, docs_dj_big), timed=False)
+    spark.catalog.clearCache()
+    big = run(probes(docs, li, ev, emb, idx_big, docs_dj_big))
 
     import math
 
