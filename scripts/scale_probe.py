@@ -58,20 +58,32 @@ def amplify_docs(docs: DataFrame, n: int) -> DataFrame:
 
 def amplify_docs_disjoint(docs: DataFrame, n: int) -> DataFrame:
     """Union n id-shifted copies whose shingle sets are DISJOINT
-    across copies: every copy interleaves a copy-specific marker token
-    between words, so no word k-gram (k ≥ 2) is shared between copies
-    and the corpus's near-dup rate stays CONSTANT as it grows (each
-    copy reproduces the base corpus's internal near-dup structure,
-    nothing more). Copy 0 is interleaved too, so small and big phases
-    see the same text shape. This isolates PLAN scaling from the
-    output quadratics that :func:`amplify_docs`'s deliberate near-dup
-    copies create."""
+    across copies: every WORD is prefixed with a copy-specific tag
+    (``w → zq<k>z_w``), so no word k-gram is shared between copies and
+    the corpus's near-dup rate stays CONSTANT as it grows — each copy
+    reproduces the base corpus's internal near-dup structure, nothing
+    more. Prefixing (vs the earlier marker-INTERLEAVING design) keeps
+    the word count and the k-gram structure isomorphic to the base
+    corpus: interleaved markers turned half of every doc's 3-gram
+    shingles into ``[marker, word, marker]`` — effectively unigrams —
+    which made unrelated docs collide (measured: 3.5M LSH candidates
+    per 5k base docs vs 255 true pairs, a 64× blow-up to a ~200M-pair
+    verify join that exhausted local disk). Copy 0 is tagged too, so
+    small and big phases see the same text shape. This isolates PLAN
+    scaling from the output quadratics that :func:`amplify_docs`'s
+    deliberate near-dup copies create."""
     out = []
     n_docs_hint = 1_000_000_000
     for k in range(n):
         c = docs.select(
             (F.col("doc_id") + F.lit(k * n_docs_hint)).alias("doc_id"),
-            F.regexp_replace(F.col("text"), " ", f" zq{k}z ").alias("text"),
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.concat(F.lit(f"zq{k}z_"), w),
+                ),
+                " ",
+            ).alias("text"),
         )
         out.append(c)
     u = out[0]
@@ -199,11 +211,41 @@ def main() -> None:
             # PCA: fit executes (batch-partial Gram collect) during
             # construction, so wrap fit+project in a thunk
             "pca_fit_project": _pca_thunk(em),
+            # ANN similarity family: a FIXED 64-query batch against the
+            # small vs amplified corpus — the scaling axis is CORPUS
+            # size. Expected shape is ≲1.0 (both are one narrow
+            # full-corpus scan — bucket/cell assignment — plus
+            # candidate rescoring bounded by bucket/cell locality),
+            # NOT the |Q|·N pair blow-up of the brute baseline; the
+            # probe pins that the approximate paths stay scan-shaped.
+            # Both run as thunks: IVF's k-means fit collects a capped
+            # 2,000-row sample during construction, and LSH's plane
+            # sizing runs a max(size(embedding)) scan — construction
+            # work belongs inside the timed window.
+            "ann_lsh_topk": _ann_thunk("lsh", _ann_queries(emb01), em),
+            "ann_ivf_topk": _ann_thunk("ivf", _ann_queries(emb01), em),
             # ingestion dedup of a FIXED batch (the base docs) against
             # the pre-built index — scaling axis is INDEX size; the
             # 100 TB claim is per-batch cost ≪ O(corpus)
             "dedup_vs_index": _index_thunk(d0=docs01, idx=idx),
         }
+
+    def _ann_queries(em01: DataFrame) -> DataFrame:
+        # deterministic fixed query batch: the 64 lowest base vec_ids
+        # (orderBy before limit — a bare limit follows partition order)
+        return em01.orderBy("vec_id").limit(64)
+
+    def _ann_thunk(kind: str, q: DataFrame, em: DataFrame):
+        def go() -> None:
+            from flink_samples_spark.llmops.similarity import (
+                ivf_cosine_topk,
+                lsh_bucketed_topk,
+            )
+
+            fn = ivf_cosine_topk if kind == "ivf" else lsh_bucketed_topk
+            fn(q, em, k=3).write.format("noop").mode("overwrite").save()
+
+        return go
 
     def _pca_thunk(em: DataFrame):
         def go() -> None:
@@ -238,6 +280,7 @@ def main() -> None:
                 # 0.67 s warm vs ~1.8 s cold). The 100 TB claim is
                 # about cold production runs, so time those.
                 spark.catalog.clearCache()
+            print(f"[probe] {name} ({'timed' if timed else 'warmup'})", flush=True)
             t0 = time.time()
             if callable(df):
                 df()
@@ -269,10 +312,19 @@ def main() -> None:
         else (n_ev_small, n_ev_big)
         if k in ("ewma_per_key", "cep_pattern_seq")
         else (n_emb_small, n_emb_big)
-        if k == "pca_fit_project"
+        if k in ("pca_fit_project", "ann_lsh_topk", "ann_ivf_topk")
         else (n_docs_small, n_docs_big)  # dedup_vs_index scales by INDEX rows
         for k in small
     }
+    exps = {
+        k: math.log(max(big[k], 1e-9) / max(small[k], 1e-9))
+        / math.log(amp_rows[k][1] / amp_rows[k][0])
+        for k in small
+    }
+    flagged = sorted(k for k, e in exps.items() if e > 1.1)
+    flag_note = (
+        "(currently: " + ", ".join(flagged) + ")" if flagged else "(none)"
+    )
     lines = [
         "# SCALE_PROBE — measured scaling of the headline operator families",
         "",
@@ -285,8 +337,11 @@ def main() -> None:
         " noop-materialized wall",
         "seconds. `exp` = log(time ratio)/log(rows ratio): 1.0 is linear,",
         "<1 means fixed costs still dominate at this size, >1.1 would flag",
-        "a superlinear operator (none). `pca_fit_project` runs over the",
-        f"embeddings table amplified ×{max(2, n_amp // 2)}; `dedup_vs_index`",
+        f"a superlinear operator {flag_note}. `pca_fit_project` runs over the",
+        f"embeddings table amplified ×{max(2, n_amp // 2)}, as do the",
+        "`ann_*_topk` rows (a FIXED 64-query batch against the growing",
+        "corpus — the axis is corpus size; both paths are one narrow",
+        "assignment scan + bucket/cell-local rescoring); `dedup_vs_index`",
         "dedups a FIXED 1-batch corpus against the small vs the amplified",
         "pre-built signature index, so its exponent measures how per-batch",
         "ingestion cost grows with INDEX size (the 100 TB ingestion claim:",
@@ -297,9 +352,8 @@ def main() -> None:
     ]
     for k in small:
         rs, rb = amp_rows[k]
-        exp = math.log(max(big[k], 1e-9) / max(small[k], 1e-9)) / math.log(rb / rs)
         lines.append(
-            f"| {k} | {rs:,} → {rb:,} | {small[k]:.2f} | {big[k]:.2f} | {exp:.2f} |"
+            f"| {k} | {rs:,} → {rb:,} | {small[k]:.2f} | {big[k]:.2f} | {exps[k]:.2f} |"
         )
     lines += [
         "",
