@@ -151,9 +151,14 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> 
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # no broadcast hint on the count tables: they are O(corpus) rows
+    # (16 B each), and a hard hint would pin a multi-GB broadcast at
+    # billions of docs. counts sits directly above the groupBy
+    # shuffle, so AQE has its ACTUAL size and still picks the
+    # broadcast join whenever it genuinely fits.
     jac = (
-        inter.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(
