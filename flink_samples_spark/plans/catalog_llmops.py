@@ -1172,15 +1172,20 @@ def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: near-dup groups collapse to their
     min-doc_id representative; everything else passes through.
 
-    Scale: the group table is tiny relative to the corpus (only docs
-    with a near-dup), so the final membership join broadcasts it —
-    the full corpus never shuffles to apply the decision.
+    Scale: when the group table is small relative to the corpus (few
+    near-dups), the membership join broadcasts and the corpus never
+    shuffles to apply the decision — but that choice is left to AQE
+    (which sees the components output's ACTUAL size), not pinned with
+    a hint: on the duplicate-HEAVY corpora dedup exists for at
+    100 TB, groups is O(duplicated docs) — corpus-scale — and a
+    pinned broadcast would OOM the driver exactly when the operator
+    matters most.
     """
     from flink_samples_spark.llmops.dedup import dedup_components
 
     docs = load_table(spark, sf_dir, "documents")
     groups = dedup_components(minhash_lsh_pairs(docs, k=3, threshold=0.8))
-    keep = docs.join(F.broadcast(groups), "doc_id", "left").filter(
+    keep = docs.join(groups, "doc_id", "left").filter(
         F.col("group_id").isNull() | (F.col("group_id") == F.col("doc_id"))
     )
     return keep.select("doc_id", "source", "lang")
@@ -1312,7 +1317,11 @@ def q_decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = flagged.filter(
         F.col("n_overlap") / F.col("n_shingles").cast("double") > 0.05
     ).select("doc_id")
-    return train.join(F.broadcast(dropped), "doc_id", "left_anti").select(
+    # no broadcast hint: dropped is usually tiny (contaminated docs),
+    # and AQE broadcasts it from its actual post-aggregate size — but
+    # it is O(train) in the worst case, so pinning the broadcast
+    # would gamble the driver on an assumption the data can break
+    return train.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
 
