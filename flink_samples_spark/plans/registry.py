@@ -82,6 +82,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dedup_simhash",        # drop default + observe metric
     "q_dedup_incremental",    # from_index path under salting
     "q_stream_dedup_index",
+    # (late-r7 diffs: broadcast-landmine removal — shuffle_hash verify
+    # joins, unhinted apply/count joins; both last green r5)
+    "q_dedup_ngram",
+    "q_decontaminate_apply",
     # ---- r6-touched with pre-r6 last-green row (r6 verdict item 4) ----
     "q_session_dynamic",      # last green r5, touched by r6 NaN-gap guard
     # ---- longest-stale rotation: ever-green only in r1 ----
@@ -99,8 +103,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_win_range_frame",
     "q_pipeline_filtered_agg",
     "q_pipeline_local_supplier",
-    "q_pipeline_promo_share",
-    "q_pipeline_returned_items",
+    # (q_pipeline_promo_share / q_pipeline_returned_items rotated out
+    # late-r7 to make room for the two changed-code queries above —
+    # changed-code re-certification beats stale rotation; both remain
+    # covered by the catalog-wide pytest differential)
     "q_pipeline_top_supplier",
     "q_pipeline_topk_revenue",
     # ---- ever-green sentinel spine: one canary per §2 family ----
