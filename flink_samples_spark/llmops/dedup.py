@@ -708,9 +708,9 @@ def _verify_pairs(
     algorithm's all-pairs cost. ``ha``/``hb`` carry
     (doc_id, shingle_hashes) for the a / b sides.
 
-    The sketch sides are ``shuffle_hash``-hinted: they are O(corpus)
-    rows of multi-KB shingle arrays — the largest table in the
-    pipeline — and must NEVER be a broadcast build side. Left
+    Join strategies are pinned because the sketch frames are
+    O(corpus) rows of multi-KB shingle arrays — the largest table in
+    the pipeline — and must NEVER be a broadcast build side. Left
     unhinted, the static planner CAN pick exactly that: the sketch
     frame is a ``.cache()``d plan, and an InMemoryRelation that is not
     yet materialized at planning time falls back to its child's
@@ -721,19 +721,23 @@ def _verify_pairs(
     because a materialized cache reports its true size and the
     planner chose SMJ). A shuffle join on doc_id is the correct
     100 TB shape: the 16-byte candidate pairs and the sketches
-    partition by key, no node ever holds the corpus. Shuffled-HASH
-    (not sort-merge) because doc_id is unique on the sketch side —
-    per-partition builds are a uniform corpus/n_partitions slice —
-    and SMJ would SORT the fat pair×sketch intermediate between the
-    two joins (measured +40% on q_dedup_near and +26% on the
-    streaming index path at sf0.1 vs this shape). The hint costs
-    AQE's tiny-candidates broadcast demotion — acceptable, since the
-    candidate side is only ever tiny when the whole job is.
+    partition by key, no node ever holds the corpus. Sort-merge
+    specifically, because it is the one strategy where EVERY side
+    spills: a ShuffledHashJoin build side cannot, and neither join
+    here has a bounded side to build on — the sketch slice is
+    O(corpus)/partitions of multi-KB rows, and the candidate side is
+    O(pairs), which a duplicate-saturated corpus makes enormous
+    (measured at 64×: hash-building on the candidate side ran 342 s
+    vs sort-merge's 195 s on the same data, and either build is an
+    executor OOM waiting for a partition count that doesn't keep
+    up with the data). The hints cost AQE's tiny-candidates
+    broadcast demotion — acceptable, since the candidate side is
+    only ever tiny when the whole job is.
     """
     left = ha.select(F.col("doc_id").alias("doc_a"), F.col("shingle_hashes").alias("sh_a"))
     right = hb.select(F.col("doc_id").alias("doc_b"), F.col("shingle_hashes").alias("sh_b"))
-    paired = candidates.join(left.hint("shuffle_hash"), "doc_a").join(
-        right.hint("shuffle_hash"), "doc_b"
+    paired = candidates.join(left.hint("merge"), "doc_a").join(
+        right.hint("merge"), "doc_b"
     )
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = paired.select(
@@ -860,12 +864,13 @@ def simhash_near_pairs(
     )
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
-    # shuffle_hash-hinted for the same reason as _verify_pairs: sa/sb are
-    # O(corpus) rows behind an unmaterialized cache whose child
-    # estimate can look broadcastable to the static planner
+    # same shape as _verify_pairs (sa/sb are O(corpus) rows behind an
+    # unmaterialized cache whose child estimate can look broadcastable
+    # to the static planner): spillable sort-merge on both attaches —
+    # never broadcast, never an unbounded un-spillable hash build
     within = (
-        candidates.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        candidates.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= max_hamming)
         .select("doc_a", "doc_b")
     )
@@ -1076,9 +1081,11 @@ def build_dedup_index(docs: DataFrame, k: int = 3, signature: str = "oph") -> Da
     grouped = bands.groupBy("doc_id").agg(
         F.collect_list(F.struct("band", "band_hash")).alias("bands")
     )
-    # shuffle_hash-hinted: BOTH sides are O(corpus) with multi-KB sketch
-    # rows — never a broadcast build side (see _verify_pairs)
-    return hashed.hint("shuffle_hash").join(grouped, "doc_id")
+    # merge-hinted: BOTH sides are O(corpus) with multi-KB sketch or
+    # band-struct rows — never a broadcast build side (see
+    # _verify_pairs), and with no bounded side to hash-build on,
+    # sort-merge is the strategy that spills at any size
+    return hashed.hint("merge").join(grouped, "doc_id")
 
 
 def _index_band_rows(bidx: DataFrame, side: int | None = None) -> DataFrame:

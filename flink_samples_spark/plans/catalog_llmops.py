@@ -1277,8 +1277,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Decontamination APPLY: the surviving training corpus after dropping
 # docs whose eval-set 3-gram overlap exceeds the threshold — the
 # actionable step after q_contamination's scan, same detect→APPLY
-# pattern as q_dedup_apply. The dropped set is small, so it
-# broadcasts to an anti join and the training corpus never shuffles.
+# pattern as q_dedup_apply. The anti-join strategy is left to AQE:
+# the dropped set is USUALLY tiny (broadcast, corpus never shuffles)
+# but O(train) in the worst case, so it is not pinned.
 @query(
     "q_decontaminate_apply",
     oracle="""

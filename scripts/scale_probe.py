@@ -94,6 +94,11 @@ def amplify_docs_disjoint(docs: DataFrame, n: int) -> DataFrame:
 
 def main() -> None:
     n_amp = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    if n_amp < 2:
+        # fail FAST: with n_amp=1 the docs axis has rows_big ==
+        # rows_small, so every docs-driven exponent divides by
+        # log(1) == 0 — after the whole timed run has completed
+        sys.exit("scale_probe: N_amplify must be >= 2")
     from flink_samples_spark.session import get_spark
     from flink_samples_spark.sources.readers import load_table
 
@@ -157,9 +162,18 @@ def main() -> None:
         idx: DataFrame,
         ddj: DataFrame,
     ) -> "dict[str, object]":
-        # values are DataFrames (noop-materialized by run()) or
-        # zero-arg thunks for operators that execute jobs during
-        # construction (PCA's partial-Gram collect)
+        # EVERY value is a zero-arg thunk that CONSTRUCTS the operator
+        # plan and noop-materializes it. Construction must happen
+        # inside the timed window: operators register .cache()/
+        # .persist() marks with the CacheManager at construction time,
+        # and run()'s cold-cache clearCache() UNREGISTERS marks that
+        # already exist — a pre-built plan would therefore execute
+        # cache-DISABLED (its upstream re-runs once per consumer, a
+        # shape no production cold run has), while a thunk re-registers
+        # its caches fresh after the clear: registered but empty,
+        # exactly the production cold state. (Thunks also naturally
+        # include driver-side construction work like PCA's
+        # partial-Gram collect and IVF's k-means sample.)
         from flink_samples_spark.llmops.chunking import chunk_documents
         from flink_samples_spark.llmops.dedup import (
             exact_dedup,
@@ -171,45 +185,56 @@ def main() -> None:
         from flink_samples_spark.operators.behavior import detect_sequence
         from flink_samples_spark.operators.timeseries import ewma
 
-        lang_stub = d.withColumn("lang", F.lit("xx")).withColumn(
-            "source", F.lit("amp")
-        ).withColumn("n_chars", F.length("text"))
+        def _noop(df: DataFrame) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+        def lang_stub() -> DataFrame:
+            return d.withColumn("lang", F.lit("xx")).withColumn(
+                "source", F.lit("amp")
+            ).withColumn("n_chars", F.length("text"))
+
         return {
-            "exact_dedup": exact_dedup(lang_stub),
-            "span_dedup": span_dedup(d, span_words=8, df_threshold=3),
-            "within_doc_dedup": within_doc_span_dedup(d),
-            "minhash_lsh_pairs": minhash_lsh_pairs(d),
+            "exact_dedup": lambda: _noop(exact_dedup(lang_stub())),
+            "span_dedup": lambda: _noop(span_dedup(d, span_words=8, df_threshold=3)),
+            "within_doc_dedup": lambda: _noop(within_doc_span_dedup(d)),
+            "minhash_lsh_pairs": lambda: _noop(minhash_lsh_pairs(d)),
             # constant-dup-rate variant: copies are shingle-disjoint,
             # so this row measures the PLAN's scaling; the row above
             # measures a duplicate-saturated corpus whose pair OUTPUT
             # grows quadratically by construction
-            "minhash_lsh_disjoint": minhash_lsh_pairs(ddj),
-            "lm_bigram_score": lm_bigram_score(d),
-            "quality_ensemble": quality_ensemble(d),
-            "chunk_documents": chunk_documents(d, chunk_words=32, stride=24),
-            "agg_q1_shape": l.groupBy("l_returnflag", "l_linestatus").agg(
-                F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+            "minhash_lsh_disjoint": lambda: _noop(minhash_lsh_pairs(ddj)),
+            "lm_bigram_score": lambda: _noop(lm_bigram_score(d)),
+            "quality_ensemble": lambda: _noop(quality_ensemble(d)),
+            "chunk_documents": lambda: _noop(
+                chunk_documents(d, chunk_words=32, stride=24)
             ),
-            "ewma_per_key": ewma(
-                e.select("event_id", "user_id", "ts", "value")
+            "agg_q1_shape": lambda: _noop(
+                l.groupBy("l_returnflag", "l_linestatus").agg(
+                    F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))
+                )
             ),
-            "cep_pattern_seq": detect_sequence(
-                e.select("user_id", "event_type", "ts"),
-                ["click", "error", "purchase"],
-                within_seconds=7200,
+            "ewma_per_key": lambda: _noop(
+                ewma(e.select("event_id", "user_id", "ts", "value"))
             ),
-            "join_smj_self": l.alias("a")
-            .join(
-                l.select(
-                    "l_orderkey", F.col("l_quantity").alias("q2")
-                ).alias("b").hint("merge"),
-                "l_orderkey",
-            )
-            .groupBy("l_returnflag")
-            .count(),
+            "cep_pattern_seq": lambda: _noop(
+                detect_sequence(
+                    e.select("user_id", "event_type", "ts"),
+                    ["click", "error", "purchase"],
+                    within_seconds=7200,
+                )
+            ),
+            "join_smj_self": lambda: _noop(
+                l.alias("a")
+                .join(
+                    l.select(
+                        "l_orderkey", F.col("l_quantity").alias("q2")
+                    ).alias("b").hint("merge"),
+                    "l_orderkey",
+                )
+                .groupBy("l_returnflag")
+                .count()
+            ),
             # round-5 certification families
-            # PCA: fit executes (batch-partial Gram collect) during
-            # construction, so wrap fit+project in a thunk
             "pca_fit_project": _pca_thunk(em),
             # ANN similarity family: a FIXED 64-query batch against the
             # small vs amplified corpus — the scaling axis is CORPUS
@@ -218,10 +243,6 @@ def main() -> None:
             # candidate rescoring bounded by bucket/cell locality),
             # NOT the |Q|·N pair blow-up of the brute baseline; the
             # probe pins that the approximate paths stay scan-shaped.
-            # Both run as thunks: IVF's k-means fit collects a capped
-            # 2,000-row sample during construction, and LSH's plane
-            # sizing runs a max(size(embedding)) scan — construction
-            # work belongs inside the timed window.
             "ann_lsh_topk": _ann_thunk("lsh", _ann_queries(emb01), em),
             "ann_ivf_topk": _ann_thunk("ivf", _ann_queries(emb01), em),
             # ingestion dedup of a FIXED batch (the base docs) against
@@ -268,24 +289,28 @@ def main() -> None:
 
     def run(qs: "dict[str, object]", timed: bool = True) -> dict[str, float]:
         t = {}
-        for name, df in qs.items():
-            if timed:
-                # COLD-cache timing: operators persist()/cache()
-                # intermediates (shingle hashes, the salt-mode grouped
-                # bucket table), and Spark's CacheManager serves any
-                # later identical canonical plan from those entries —
-                # a warm second run measures only the post-cache tail,
-                # and the cached fraction differs between sizes, which
-                # corrupts the exponent (measured: minhash small-phase
-                # 0.67 s warm vs ~1.8 s cold). The 100 TB claim is
-                # about cold production runs, so time those.
-                spark.catalog.clearCache()
+        for name, thunk in qs.items():
+            # COLD-cache timing: operators persist()/cache()
+            # intermediates (shingle hashes, the salt-mode grouped
+            # bucket table), and Spark's CacheManager serves any
+            # later identical canonical plan from those entries —
+            # a warm second run measures only the post-cache tail,
+            # and the cached fraction differs between sizes, which
+            # corrupts the exponent (measured: minhash small-phase
+            # 0.67 s warm vs ~1.8 s cold). The 100 TB claim is
+            # about cold production runs, so time those. The clear
+            # runs before EVERY pass (warm-up too) so every thunk
+            # constructs and registers its caches from the same
+            # empty state; the thunk's fresh construction after the
+            # clear is what keeps the cache PLAN active (a pre-built
+            # plan would have had its cache marks unregistered by the
+            # clear and execute cache-disabled — re-running its
+            # upstream once per consumer, a shape no production cold
+            # run has).
+            spark.catalog.clearCache()
             print(f"[probe] {name} ({'timed' if timed else 'warmup'})", flush=True)
             t0 = time.time()
-            if callable(df):
-                df()
-            else:
-                df.write.format("noop").mode("overwrite").save()
+            thunk()
             t[name] = time.time() - t0
         return t
 
