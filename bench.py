@@ -20,6 +20,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from flink_samples_spark.plans import QUERIES  # noqa: E402
 from flink_samples_spark.session import get_spark  # noqa: E402
 
@@ -137,14 +139,27 @@ def main() -> None:
     # full events table through the REAL watermarked session-window
     # stream and report events/sec of end-to-end wall time (includes
     # micro-batch planning, state store, sink commit).
-    try:
+    #
+    # Best-of-2 rate, same rationale as the batch min-of-2: the r7
+    # driver host recorded 1,931 ev/s on a single loaded-run sample
+    # while quiet runs read ~8,300 — a 4× noise band on a contract
+    # number with a hard 1,000 floor. Two full replays bound the
+    # damage one background burst can do; caches are cleared between
+    # runs so each replay executes end-to-end.
+    def stream_rate(qname: str) -> int:
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-        t0 = time.perf_counter()
-        QUERIES["q_stream_session"](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        payload["stream_events_per_s"] = round(n_events / (time.perf_counter() - t0))
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[qname](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        return round(n_events / best)
+
+    try:
+        payload["stream_events_per_s"] = stream_rate("q_stream_session")
     except Exception as e:  # noqa: BLE001
         errors["stream_events_per_s"] = f"{type(e).__name__}: {e}"[:300]
 
@@ -154,17 +169,42 @@ def main() -> None:
     # BENCH tracks a stateless (session window) AND a stateful custom
     # operator number against the same ≥1,000 records/s floor.
     try:
-        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
-        t0 = time.perf_counter()
-        QUERIES["q_stream_ewma"](spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        payload["stream_stateful_events_per_s"] = round(
-            n_events / (time.perf_counter() - t0)
-        )
-        spark.catalog.clearCache()
+        payload["stream_stateful_events_per_s"] = stream_rate("q_stream_ewma")
     except Exception as e:  # noqa: BLE001
         errors["stream_stateful_events_per_s"] = f"{type(e).__name__}: {e}"[:300]
+
+    # Host-drift reference points: three constant probes whose cost is
+    # pure engine fixed overhead (no table input, no Python stage), so
+    # round-over-round comparisons can normalize host noise from the
+    # JSON itself instead of post-hoc analysis. min-of-2 like the
+    # headliners. loadavg (1/5/15-min) records what the host was doing
+    # DURING the bench — a loaded driver host shows up here, not as a
+    # mystery regression in the query numbers.
+    drift: dict[str, float] = {}
+    for probe_name, probe_fn in (
+        # pure codegen pipeline: range → filter → sum (no shuffle)
+        ("range_sum", lambda: spark.range(50_000_000)
+            .filter("id % 7 != 0").agg({"id": "sum"})),
+        # one shuffle: range → groupBy → count (exchange fixed cost)
+        ("range_group", lambda: spark.range(5_000_000)
+            .groupBy((F.col("id") % 1024).alias("k")).count()),
+        # scheduler fixed cost: 32-partition no-op scan
+        ("range_scan", lambda: spark.range(0, 1_000_000, 1, 32)),
+    ):
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                probe_fn().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            drift[probe_name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[f"drift_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
+    payload["drift_probes"] = drift
+    try:
+        payload["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
 
     if errors:
         payload["errors"] = errors

@@ -493,18 +493,30 @@ def _cross_pairs_from_tagged(
     return _verify_pairs(candidates, ha, hb, threshold)
 
 
-def _observe_hot_buckets(df: DataFrame, mode: str, max_bucket: int, n) -> DataFrame:
+def _observe_hot_buckets(
+    df: DataFrame, mode: str, max_bucket: int, n, on_done=None
+) -> DataFrame:
     """Attach a ``df.observe`` metric counting hot buckets/docs at
     this plan point and a daemon waiter that logs the counts once the
     first action over the plan completes. Zero extra Spark jobs: the
     metric is computed by the same tasks that run the query. The
     waiter thread parks on ``Observation.get`` and dies with the
-    process if the plan is never executed."""
+    process if the plan is never executed.
+
+    ``on_done`` (optional thunk) runs once the first action finishes —
+    the salt path passes the grouped table's ``unpersist`` so cache
+    ownership ends with the action that needed it (ADVICE r7). When
+    there is no callback AND warning logs are disabled, no waiter
+    thread spawns at all (bounds parked threads for library callers
+    that build many never-executed plans)."""
+    import logging
     import threading
 
     from pyspark.sql import Observation
 
     hot = n > max_bucket
+    if on_done is None and not _LOG.isEnabledFor(logging.WARNING):
+        return df
     obs = Observation()
     out = df.observe(
         obs,
@@ -517,6 +529,12 @@ def _observe_hot_buckets(df: DataFrame, mode: str, max_bucket: int, n) -> DataFr
             m = obs.get  # blocks until the first action finishes
         except Exception:  # session torn down before any action
             return
+        finally:
+            if on_done is not None:
+                try:
+                    on_done()
+                except Exception:  # session torn down mid-callback
+                    pass
         nb = m.get("nb") or 0
         if nb:
             _LOG.warning(
@@ -602,7 +620,11 @@ def _bucket_candidate_pairs(
     bucket/doc counts once the first action completes. ``stats_out``
     (optional dict) additionally receives ``hot_bucket_count`` /
     ``hot_doc_rows`` / ``mode`` EAGERLY in both modes — that runs one
-    extra count-aggregate job at build time, so it is opt-in.
+    extra count-aggregate job at build time, so it is opt-in. In salt
+    mode the probe runs over the already-registered persist, so its
+    job doubles as the cache materializer the main run then reuses;
+    the persist itself is unpersisted by the observe waiter once the
+    first main action completes (cache ownership = one action).
     """
     if hot_buckets not in ("salt", "drop"):
         raise ValueError(f"hot_buckets must be 'salt' or 'drop', got {hot_buckets!r}")
@@ -611,6 +633,20 @@ def _bucket_candidate_pairs(
         F.count(F.lit(1)).alias("n_docs"),
         F.sort_array(F.collect_list("doc_id")).alias("ds"),
     )
+    if hot_buckets == "salt":
+        # salt mode: two consumers of the grouped table (cold pairs
+        # expand directly — zero extra shuffle on the majority path;
+        # hot cells redistribute) — persisted so the signature/banding
+        # upstream executes ONCE instead of once per branch (see
+        # docstring). Registered BEFORE the opt-in stats probe below
+        # so the probe's eager aggregate materializes the cache the
+        # main run then reuses (ADVICE r7: probe-then-persist ran the
+        # full upstream an extra uncached time). Ownership: the
+        # observe waiter unpersists after the first action completes
+        # — the cache's purpose is intra-action branch reuse, so a
+        # library caller looping over corpora doesn't accumulate
+        # MEMORY_AND_DISK entries for the session (ADVICE r7).
+        buckets_all = buckets_all.persist()
     if stats_out is not None:
         row = buckets_all.filter(n > max_bucket).agg(
             F.count(F.lit(1)).alias("nb"),
@@ -630,17 +666,13 @@ def _bucket_candidate_pairs(
         cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
         pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
         return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
-    # salt mode: two consumers of the grouped table (cold pairs expand
-    # directly — zero extra shuffle on the majority path; hot cells
-    # redistribute) — persisted so the signature/banding upstream
-    # executes ONCE instead of once per branch (see docstring).
-    buckets_all = buckets_all.persist()
     cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
     pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
     # observe sits on the single-consumer hot branch so counts aren't
     # doubled by the cold branch traversing the same node
     hot_docs = _observe_hot_buckets(
-        buckets_all.filter(n > max_bucket), "salt", max_bucket, n
+        buckets_all.filter(n > max_bucket), "salt", max_bucket, n,
+        on_done=buckets_all.unpersist,
     ).select(
         *bucket_keys,
         F.ceil(n / F.lit(max_bucket)).cast("int").alias("s"),

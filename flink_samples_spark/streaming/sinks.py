@@ -39,6 +39,7 @@ def idempotent_parquet_sink(out_dir: str, **options: str):
     writer (e.g. compression)."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _reject_batch_column(batch_df)
         (
             batch_df.write.mode("overwrite")
             .options(**options)
@@ -46,6 +47,23 @@ def idempotent_parquet_sink(out_dir: str, **options: str):
         )
 
     return write_batch
+
+
+def _reject_batch_column(batch_df: DataFrame) -> None:
+    """The idempotent file sinks key replay-overwrite on a
+    ``batch=<id>`` partition DIRECTORY; on read-back, partition
+    discovery materializes that directory name as a ``batch`` column.
+    A logical data column with the same name would be silently
+    shadowed by the partition value (Spark prefers the discovered
+    partition column), so the collision must fail at write time, not
+    flow through as wrong data."""
+    if "batch" in batch_df.columns:
+        raise ValueError(
+            "idempotent file sink: the micro-batch schema contains a column "
+            "named 'batch', which collides with the sink's batch=<id> "
+            "partition directory — partition discovery would shadow the data "
+            "column on read-back. Rename the column before the sink."
+        )
 
 
 def idempotent_sink(target: str, fmt: str = "parquet", **options: str):
@@ -107,6 +125,7 @@ def idempotent_sink(target: str, fmt: str = "parquet", **options: str):
         )
 
     def write_batch_generic(batch_df: DataFrame, batch_id: int) -> None:
+        _reject_batch_column(batch_df)
         (
             batch_df.write.format(fmt)
             .mode("overwrite")
@@ -140,7 +159,11 @@ def sink_to_batch(df: DataFrame, schema) -> DataFrame:
     # Drop the sink's `batch` partition column ONLY when the declared
     # result schema doesn't claim it — a logical result legitimately
     # named `batch` must survive the round-trip, not fail the cast
-    # below on a silently-removed column.
+    # below on a silently-removed column. (A schema-claimed `batch`
+    # can only arrive via a DIRECT call: the idempotent writers reject
+    # data columns named `batch` at write time — see
+    # _reject_batch_column — so a read-back `batch` is always the
+    # partition value, never shadowed data.)
     if "batch" in df.columns and "batch" not in schema.fieldNames():
         df = df.drop("batch")
     out = df.select(

@@ -456,3 +456,23 @@ def test_write_replay_files_refuses_large_inputs(spark):
     big = spark.range(1_000_001).selectExpr("id as ts", "id as value")
     with pytest.raises(ValueError, match="driver-side test harness"):
         write_replay_files(big, order_col="ts")
+
+
+def test_idempotent_sink_rejects_batch_data_column(spark, tmpdirs):
+    """A micro-batch whose schema carries a data column named `batch`
+    must fail LOUDLY at write time: the sink partitions on a
+    batch=<id> directory, and on read-back partition discovery would
+    shadow the data column with the partition value — silent wrong
+    data (ADVICE r7 guard)."""
+    from flink_samples_spark.streaming.sinks import idempotent_sink
+
+    _, sink, _ = tmpdirs
+    df = spark.range(3).withColumnRenamed("id", "batch")
+    for fmt in ("parquet", "json"):
+        writer = idempotent_sink(os.path.join(sink, fmt), fmt=fmt)
+        with pytest.raises(ValueError, match="batch=<id> partition"):
+            writer(df, 0)
+    # the clean path still writes: same frame under a different name
+    ok = df.withColumnRenamed("batch", "seq")
+    idempotent_sink(os.path.join(sink, "ok"))(ok, 0)
+    assert read_sink(spark, os.path.join(sink, "ok")).count() == 3
