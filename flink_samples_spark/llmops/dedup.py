@@ -574,6 +574,7 @@ def _bucket_candidate_pairs(
     max_bucket: int,
     hot_buckets: str = "salt",
     stats_out: dict | None = None,
+    eager_probe: bool = True,
 ) -> DataFrame:
     """(doc_id, *bucket_keys) → distinct candidate (doc_a < doc_b)
     pairs that share a bucket.
@@ -584,7 +585,14 @@ def _bucket_candidate_pairs(
     ``max_bucket`` discarded as boilerplate (logged, never silent).
 
     ``hot_buckets="salt"`` (default): triangle-salted redistribution,
-    exact pair set preserved. Each bucket of n docs is split into
+    exact pair set preserved. Construction runs ONE eager probe job
+    (a count-aggregate over the persisted grouped table — the job
+    that materializes the cache every later consumer reuses, so no
+    extra upstream pass): when it proves zero hot buckets — the
+    overwhelmingly common case — the emitted plan is the pure cold
+    expansion with no salt stages and no union (~3 scheduled stages
+    of empty-branch overhead saved per run, measured ~0.4 s at
+    sf0.1); otherwise each bucket of n docs is split into
     s = ceil(n/max_bucket) salt groups by a deterministic hash of
     (doc_id, *bucket_keys); every doc is replicated into the s cells
     (min(salt,j), max(salt,j)) for j in 0..s-1, and each cell emits
@@ -634,39 +642,66 @@ def _bucket_candidate_pairs(
         F.sort_array(F.collect_list("doc_id")).alias("ds"),
     )
     if hot_buckets == "salt":
-        # salt mode: two consumers of the grouped table (cold pairs
-        # expand directly — zero extra shuffle on the majority path;
-        # hot cells redistribute) — persisted so the signature/banding
-        # upstream executes ONCE instead of once per branch (see
-        # docstring). Registered BEFORE the opt-in stats probe below
-        # so the probe's eager aggregate materializes the cache the
-        # main run then reuses (ADVICE r7: probe-then-persist ran the
-        # full upstream an extra uncached time). Ownership: the
-        # observe waiter unpersists after the first action completes
-        # — the cache's purpose is intra-action branch reuse, so a
+        # salt mode persists the grouped table: its consumers (the
+        # eager hot probe below, then cold pairs and — when hot
+        # buckets exist — the salted redistribution) would otherwise
+        # each re-execute the full signature/banding upstream (see
+        # docstring; measured ~1.3× the pipeline even with zero hot
+        # buckets). Registered BEFORE the probe so the probe's
+        # aggregate doubles as the cache materializer the main run
+        # reuses (ADVICE r7). Ownership: the observe waiter
+        # unpersists after the first main action completes, so a
         # library caller looping over corpora doesn't accumulate
         # MEMORY_AND_DISK entries for the session (ADVICE r7).
         buckets_all = buckets_all.persist()
-    if stats_out is not None:
+    hot_nb = None
+    if (hot_buckets == "salt" and eager_probe) or stats_out is not None:
         row = buckets_all.filter(n > max_bucket).agg(
             F.count(F.lit(1)).alias("nb"),
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
         ).first()
-        stats_out.update(
-            {
-                "hot_bucket_count": int(row["nb"]),
-                "hot_doc_rows": int(row["nd"]),
-                "mode": hot_buckets,
-            }
-        )
+        hot_nb, hot_nd = int(row["nb"]), int(row["nd"])
+        if stats_out is not None:
+            stats_out.update(
+                {
+                    "hot_bucket_count": hot_nb,
+                    "hot_doc_rows": hot_nd,
+                    "mode": hot_buckets,
+                }
+            )
+
+    def _emit(pairs: DataFrame) -> DataFrame:
+        # the distinct is LOAD-BEARING at scale, not a tidy-up: on a
+        # boilerplate-saturated corpus a near-dup pair collides in
+        # nearly EVERY band, and deferring the dedup to the verify
+        # join multiplies the verify's multi-KB array shuffle by that
+        # collision factor (measured: folding it into the verify's
+        # regroup filled an 80 GB disk at 64× amplification; distinct
+        # 16-byte pair rows are the cheap place to collapse).
+        return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
+
     if hot_buckets == "drop":
         # single consumer: observe BEFORE the filter so dropped rows
         # are still seen by the metric
         buckets_all = _observe_hot_buckets(buckets_all, "drop", max_bucket, n)
         cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
-        pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
-        return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
+        return _emit(cold.select(F.explode(_pairs_within(ds)).alias("p")))
     cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
+    if hot_nb == 0:
+        # The probe proved every bucket fits the cap, so the salted
+        # redistribution would be a union with a provably-empty
+        # branch — ~3 scheduled stages of pure overhead on the
+        # overwhelmingly common cold corpus. Emit the cold-only plan;
+        # the waiter (observing the single consumer) still owns the
+        # unpersist. The probe result is sound for the DataFrame's
+        # lifetime because the grouped table is persisted: executions
+        # read the materialized cache, and an eviction recomputes
+        # from the same immutable source scan.
+        return _emit(
+            _observe_hot_buckets(
+                cold, "salt", max_bucket, n, on_done=buckets_all.unpersist
+            ).select(F.explode(_pairs_within(ds)).alias("p"))
+        )
     pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
     # observe sits on the single-consumer hot branch so counts aren't
     # doubled by the cold branch traversing the same node
@@ -725,8 +760,7 @@ def _bucket_candidate_pairs(
             )
         ).alias("p")
     )
-    pairs = pairs.unionByName(hot_pairs)
-    return pairs.select(F.col("p.doc_a"), F.col("p.doc_b")).distinct()
+    return _emit(pairs.unionByName(hot_pairs))
 
 
 def _verify_pairs(
@@ -771,6 +805,13 @@ def _verify_pairs(
     paired = candidates.join(left.hint("merge"), "doc_a").join(
         right.hint("merge"), "doc_b"
     )
+    return _jaccard_tail(paired, threshold)
+
+
+def _jaccard_tail(paired: DataFrame, threshold: float) -> DataFrame:
+    """THE exact-Jaccard expression (single definition — every verify
+    path must stay bit-identical): hash-set intersection of the two
+    shingle arrays in the JVM, |A∩B| / |A∪B| rounded to 6 places."""
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = paired.select(
         "doc_a",
@@ -788,7 +829,22 @@ def _verify_jaccard_pairs(
     hashed: DataFrame, candidates: DataFrame, threshold: float
 ) -> DataFrame:
     """Within-corpus form of :func:`_verify_pairs`: both sides of the
-    pair resolve against the same hashed-shingle frame."""
+    pair resolve against the same hashed-shingle frame.
+
+    Why this stays the two-join form even though the sketch frame is
+    exchanged twice: the alternative — explode each pair into its two
+    member rows, join the sketch ONCE on doc_id, regroup on the pair
+    key — trades one sketch exchange (volume C = corpus sketch bytes)
+    for a pair-keyed regroup carrying BOTH arrays per pair (volume 2P
+    vs the two-join form's P, where P = candidate-pair count × array
+    bytes). Net: C + 2P vs 2C + P. That wins only while P < C; on the
+    boilerplate-saturated corpora dedup exists for at 100 TB, P ≫ C
+    (the 64× amplified probe has ~10M verified pairs from 320k docs)
+    and the single-exchange form shuffles strictly more — measured as
+    a disk-exhaustion blow-up when combined with deferred candidate
+    dedup. 2C is bounded by the corpus; 2P is not bounded by anything
+    the operator controls, so the two-join form is the scale-safe
+    default."""
     return _verify_pairs(candidates, hashed, hashed, threshold)
 
 
@@ -1146,7 +1202,12 @@ def minhash_lsh_pairs_from_index(
     pairs, and the index append — the batch text is touched once,
     ever (q_stream_dedup_index)."""
     candidates = _bucket_candidate_pairs(
-        _index_band_rows(bidx), ["band", "band_hash"], max_bucket
+        _index_band_rows(bidx), ["band", "band_hash"], max_bucket,
+        # per-micro-batch construction: an eager probe job per batch
+        # costs more driver round-trips than the empty hot branch it
+        # would prune (A/B: q_dedup_incremental 2.32→2.69 s with the
+        # probe on) — keep the lazy two-branch union here
+        eager_probe=False,
     )
     return _verify_jaccard_pairs(
         bidx.select("doc_id", "shingle_hashes"), candidates, threshold

@@ -35,6 +35,14 @@ FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, byte_sum bigint, byte_mean double, head_hash bigint"
 )
 
+# output of the REAL ppm codec branch: header fields + per-channel
+# means; `valid` marks payloads the parser rejected (corrupt corpus
+# rows become a flagged row, never a dead job)
+PPM_STATS_SCHEMA = (
+    "doc_id bigint, valid boolean, width int, height int, "
+    "r_mean double, g_mean double, b_mean double"
+)
+
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Test-data adapter: materialize a binary column from text (the
@@ -45,17 +53,148 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _make_ppm_parser():
+    """Build the binary-PPM (P6) header parser — the public Netpbm
+    format: ``P6`` magic, then whitespace-separated width/height/
+    maxval tokens with ``#``-to-end-of-line comments allowed between
+    them, then EXACTLY ONE whitespace byte before the raw RGB
+    samples. Factory-nested (like the signature kernels) so the
+    decode closure pickles it BY VALUE — executors never need the
+    package importable.
+
+    The parser returns (width, height, maxval, pixel_data_offset);
+    it raises ``ValueError`` on anything malformed (bad magic,
+    missing tokens, maxval outside 1..255 — multi-byte samples are
+    out of scope, truncated pixel data)."""
+
+    def parse_ppm_p6(buf: bytes) -> tuple[int, int, int, int]:
+        if len(buf) < 2 or buf[0:2] != b"P6":
+            raise ValueError("not a P6 ppm: bad magic")
+        pos, vals = 2, []
+        while len(vals) < 3:
+            # skip whitespace and comments between header tokens
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if pos < len(buf) and buf[pos] == 0x23:  # '#'
+                nl = buf.find(b"\n", pos)
+                if nl == -1:
+                    raise ValueError("unterminated header comment")
+                pos = nl + 1
+                continue
+            start = pos
+            while pos < len(buf) and buf[pos : pos + 1].isdigit():
+                pos += 1
+            if pos == start:
+                raise ValueError("missing header integer")
+            vals.append(int(buf[start:pos]))
+        # exactly one whitespace byte separates maxval from pixel data
+        if pos >= len(buf) or not buf[pos : pos + 1].isspace():
+            raise ValueError("missing pixel-data separator")
+        pos += 1
+        width, height, maxval = vals
+        if width <= 0 or height <= 0 or not 1 <= maxval <= 255:
+            raise ValueError(f"unsupported header: {width}x{height} maxval={maxval}")
+        if len(buf) - pos < width * height * 3:
+            raise ValueError("truncated pixel data")
+        return width, height, maxval, pos
+
+    return parse_ppm_p6
+
+
+def synth_ppm_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter (the driver tables ship no image bytes):
+    deterministically synthesize a REAL binary-PPM (P6) payload per
+    doc_id — width ``4 + doc_id % 5``, height ``3 + doc_id % 4``, a
+    header comment line (exercises the parser's comment path), and
+    pixel byte ``i`` (0-based within the RGB data) valued
+    ``(doc_id * 31 + i) % 256``. The pinned arithmetic is what lets a
+    SQL oracle compute the expected channel means independently of
+    the parser. Production replaces this with
+    ``spark.read.format('binaryFile')`` or a parquet binary column.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                header = f"P6\n# synthetic fixture {d}\n{w} {h}\n255\n".encode()
+                i = np.arange(w * h * 3, dtype=np.int64)
+                pix = ((d * 31 + i) % 256).astype(np.uint8)
+                payloads.append(header + pix.tobytes())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
 def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-payload feature extraction over Arrow batches.
 
     ``codec='fake'``: deterministic byte statistics (real plumbing,
-    fake features). Any other codec raises — the real decoder is NOT
-    implemented in this environment.
+    fake features) — output schema ``FEATURE_SCHEMA``.
+
+    ``codec='ppm'``: a REAL public codec — binary-PPM (P6) header
+    parse + per-channel pixel means via numpy — output schema
+    ``PPM_STATS_SCHEMA``; malformed payloads yield ``valid=false``
+    rows with NULL stats instead of failing the task (corpus hygiene:
+    one corrupt blob must not kill a 100 TB decode pass).
+
+    Any other codec raises — compressed-format decoders (JPEG/PNG/
+    audio/video) need PIL/ffmpeg/torchaudio, absent in this
+    environment.
     """
+    if codec == "ppm":
+        parse_ppm_p6 = _make_ppm_parser()
+
+        def decode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                rows = {k: [] for k in ("valid", "width", "height", "r", "g", "b")}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        w, h, _maxval, off = parse_ppm_p6(bytes(payload))
+                        pix = np.frombuffer(
+                            payload, dtype=np.uint8, count=w * h * 3, offset=off
+                        ).reshape(-1, 3)
+                        means = pix.mean(axis=0, dtype=np.float64)
+                        rows["valid"].append(True)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        for c, m in zip(("r", "g", "b"), means):
+                            rows[c].append(round(float(m), 6))
+                    except ValueError:
+                        rows["valid"].append(False)
+                        rows["width"].append(None)
+                        rows["height"].append(None)
+                        for c in ("r", "g", "b"):
+                            rows[c].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "width": pd.Series(rows["width"], dtype="Int32"),
+                        "height": pd.Series(rows["height"], dtype="Int32"),
+                        "r_mean": pd.Series(rows["r"], dtype="float64"),
+                        "g_mean": pd.Series(rows["g"], dtype="float64"),
+                        "b_mean": pd.Series(rows["b"], dtype="float64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_ppm, PPM_STATS_SCHEMA
+        )
     if codec != "fake":
         raise NotImplementedError(
-            f"codec {codec!r}: real media decoding is stubbed in this environment; "
-            "plug PIL/ffmpeg/torchaudio into _featurize_batches here"
+            f"codec {codec!r}: only 'fake' (byte stats) and 'ppm' (real P6 "
+            "parse) run in this environment; plug PIL/ffmpeg/torchaudio "
+            "into decode_features here for compressed formats"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

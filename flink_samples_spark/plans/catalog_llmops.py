@@ -370,6 +370,42 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes")
 
 
+# REAL codec decode (round-7 verdict #4, the last capability stub):
+# synth_ppm_payload builds genuine binary-PPM (P6) blobs — header
+# comment included — from pinned doc_id arithmetic; decode_features
+# (codec="ppm") parses the header and computes per-channel pixel
+# means with numpy. The oracle never sees the bytes: it recomputes
+# the expected stats from the SAME pinned arithmetic (pixel i =
+# (doc_id*31 + i) % 256 over a w*h*3 buffer), so a parser bug —
+# wrong offset, channel stride, comment handling — lands as a value
+# mismatch, not silence.
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           round(list_sum(list_transform(range(0, n_px),
+                 p -> CAST((a + 3*p) % 256 AS DOUBLE))) / n_px, 6) AS r_mean,
+           round(list_sum(list_transform(range(0, n_px),
+                 p -> CAST((a + 3*p + 1) % 256 AS DOUBLE))) / n_px, 6) AS g_mean,
+           round(list_sum(list_transform(range(0, n_px),
+                 p -> CAST((a + 3*p + 2) % 256 AS DOUBLE))) / n_px, 6) AS b_mean
+    FROM (
+      SELECT doc_id, doc_id * 31 AS a,
+             (4 + doc_id % 5) * (3 + doc_id % 4) AS n_px
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import synth_ppm_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_ppm_payload(docs), codec="ppm")
+
+
 # Sampling tier (operators.sampling): corpus curation at 100 TB is
 # sampling work. The hash sampler's in/out decision is pure int64
 # arithmetic, so both engines compute it identically — full oracle.

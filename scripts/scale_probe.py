@@ -331,6 +331,46 @@ def main() -> None:
 
     import math
 
+    # ANN recall@10 at the AMPLIFIED size (round-7 verdict #5): the
+    # timing rows above prove the approximate paths stay scan-shaped,
+    # but a fast index that stops finding neighbors at 64k vectors
+    # would pass them silently. Measure recall of both approximate
+    # paths against brute force on the SAME fixed 64-query batch and
+    # the big corpus. A hit = the ANN pick is in the brute top-10 OR
+    # ties the brute 10th score (the amplified corpus is full of
+    # exact-duplicate vectors, so equal-cosine tie permutations are
+    # legitimate, not recall loss).
+    def _ann_recall_at(k_rec: int = 10) -> "dict[str, float]":
+        from flink_samples_spark.llmops.similarity import (
+            brute_force_cosine_topk,
+            ivf_cosine_topk,
+            lsh_bucketed_topk,
+        )
+
+        spark.catalog.clearCache()
+        q = _ann_queries(emb01)
+        brute = {}
+        for r in brute_force_cosine_topk(q, emb, k=k_rec).collect():
+            brute.setdefault(r.query_id, []).append((r.vec_id, r.cos))
+        out = {}
+        for name, fn in (("lsh", lsh_bucketed_topk), ("ivf", ivf_cosine_topk)):
+            spark.catalog.clearCache()
+            got = {}
+            for r in fn(q, emb, k=k_rec).collect():
+                got.setdefault(r.query_id, []).append((r.vec_id, r.cos))
+            hits = total = 0
+            for qid, truth in brute.items():
+                ids = {v for v, _ in truth}
+                kth = min(c for _, c in truth)
+                for v, c in got.get(qid, []):
+                    hits += 1 if (v in ids or c >= kth) else 0
+                total += len(truth)
+            out[name] = hits / max(total, 1)
+        return out
+
+    print("[probe] ann recall@10 at amplified size", flush=True)
+    ann_recall = _ann_recall_at(10)
+
     amp_rows = {  # rows driving each probe
         k: (n_li_small, n_li_big)
         if k in ("agg_q1_shape", "join_smj_self")
@@ -389,6 +429,12 @@ def main() -> None:
             f"| {k} | {rs:,} → {rb:,} | {small[k]:.2f} | {big[k]:.2f} | {exps[k]:.2f} |"
         )
     lines += [
+        "",
+        f"ANN recall@10 at the amplified size ({n_emb_big:,} vectors, same"
+        " fixed 64-query batch, ties at the brute 10th score count as"
+        f" hits): lsh = **{ann_recall['lsh']:.3f}**, ivf ="
+        f" **{ann_recall['ivf']:.3f}** (floor: >= 0.8; the small-sf"
+        " pytest recall floors remain in tests/test_llmops.py).",
         "",
         "Generated by `python scripts/scale_probe.py` (re-run to refresh).",
     ]

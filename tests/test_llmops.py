@@ -100,6 +100,37 @@ def test_decode_features_deterministic_and_stub_gated(spark, sf_dir):
         decode_features(media, codec="jpeg")
 
 
+def test_ppm_decode_known_image_and_corrupt_payloads(spark):
+    """The REAL codec branch: a hand-written 2x2 P6 blob (comment
+    line included) must decode to its exact channel means, and every
+    corrupt-payload class must yield a valid=false row — never a
+    dead task (one bad blob in a 100 TB corpus must not kill the
+    decode pass)."""
+    good = (
+        b"P6\n# hand fixture\n2 2\n255\n"
+        + bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    )
+    corrupt = {
+        2: b"P5\n2 2\n255\n" + bytes(12),        # wrong magic (P5 = grayscale)
+        3: b"P6\n2 2\n255\n" + bytes(11),         # truncated pixel data
+        4: b"P6\n2 2\n65535\n" + bytes(24),       # maxval > 255 (2-byte samples)
+        5: b"P6\n# no newline ends this comment", # unterminated comment
+        6: None,                                   # NULL payload
+        7: b"P6\n2 2 255" + bytes(12),             # missing separator after maxval
+    }
+    rows = [(1, good)] + [(k, v) for k, v in corrupt.items()]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="ppm").collect()}
+    assert len(got) == 7
+    g = got[1]
+    assert (g.valid, g.width, g.height) == (True, 2, 2)
+    # channels: r = mean(10,40,70,100), g = +10, b = +20
+    assert (g.r_mean, g.g_mean, g.b_mean) == (55.0, 65.0, 75.0)
+    for k in corrupt:
+        assert got[k].valid is False, f"doc {k} should be rejected"
+        assert got[k].width is None and got[k].r_mean is None
+
+
 def test_dedup_components_chain_and_determinism(spark):
     """Min-label CC must propagate across multi-hop chains (diameter >
     1), not just direct pairs; result is partition-invariant."""
