@@ -64,81 +64,83 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-7 allocation (manifest after r6: ALL 199 ever-green; no
-    # backlog). Priority 1 is every query whose CODE or ORACLE changed
-    # in round 7 after its last green driver row — re-certification of
-    # live diffs beats sentinel seats.
-    # ---- r7 diffs: q_udaf NULL-denominator oracle, token-count
-    #      whitespace class, fingerprint nullif restructure, LSH
-    #      hot-bucket salting + single-pass component edges ----
-    "q_udaf",                 # oracle changed (NULL-masked denominator)
-    "q_token_count",          # both sides moved to [ \t\n\f\r]
-    "q_dedup_exact",          # fingerprint nullif restructure (last green r2)
-    "q_fingerprint",          # same diff (last green r4)
-    "q_training_pipeline",    # composes the fingerprint (last green r3)
-    "q_dedup_near",           # hot-bucket salting default
-    "q_dedup_groups",         # salting + single-pass edges
+    # Round-8 allocation (manifest after r7: ALL 199 ever-green).
+    # Priority 1 is every query whose code changed in r8 or whose
+    # code was rewritten in r7 AFTER its last green driver row
+    # (r7 verdict item 1); then the longest-stale ever-green cohorts
+    # (r1, then the whole r2 group); then a compact sentinel spine.
+    # ---- r8 diffs: PPM codec (NEW query), eager-probe cold plan in
+    #      salt-mode candidate bucketing (near/groups/apply/simhash),
+    #      from_index eager_probe=False (incremental/stream index),
+    #      idempotent-sink batch-column guard (stream_upsert rep) ----
+    "q_multimodal_decode",    # NEW: real P6 decode, first driver row
+    "q_dedup_near",
+    "q_dedup_groups",
     "q_dedup_apply",
-    "q_dedup_simhash",        # drop default + observe metric
-    "q_dedup_incremental",    # from_index path under salting
+    "q_dedup_simhash",
+    "q_dedup_incremental",
     "q_stream_dedup_index",
-    # (late-r7 diffs: broadcast-landmine removal — shuffle_hash verify
-    # joins, unhinted apply/count joins; both last green r5)
-    "q_dedup_ngram",
-    "q_decontaminate_apply",
-    # ---- r6-touched with pre-r6 last-green row (r6 verdict item 4) ----
-    "q_session_dynamic",      # last green r5, touched by r6 NaN-gap guard
+    # ---- r7-rewritten candidate/verify core, last row pre-rewrite ----
+    "q_dedup_cross",          # last green r6
+    "q_dedup_embedding",      # last green r4
+    "q_sim_topk_lsh",         # last green r4
+    "q_sim_topk_ivf",         # last green r4
     # ---- longest-stale rotation: ever-green only in r1 ----
-    "q_agg_cube",
-    "q_agg_global_sum",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_cast",
-    "q_fn_explode",
-    "q_intersect",
-    "q_join_asof",
-    "q_join_nullsafe",
-    "q_source_range",
-    "q_union_distinct",
-    "q_win_range_frame",
-    "q_pipeline_filtered_agg",
-    "q_pipeline_local_supplier",
-    # (q_pipeline_promo_share / q_pipeline_returned_items rotated out
-    # late-r7 to make room for the two changed-code queries above —
-    # changed-code re-certification beats stale rotation; both remain
-    # covered by the catalog-wide pytest differential)
-    "q_pipeline_top_supplier",
-    "q_pipeline_topk_revenue",
-    # ---- ever-green sentinel spine: one canary per §2 family ----
+    "q_agg_percentile",
+    "q_limit",
+    "q_pipeline_promo_share",
+    "q_pipeline_returned_items",
+    "q_sort",
+    # ---- longest-stale rotation: last green r2 (full cohort) ----
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_case_when",
+    "q_except",
+    "q_fn_array",
+    "q_fn_date",
+    "q_fn_map",
+    "q_fn_math",
+    "q_fn_null",
+    "q_join_anti",
+    "q_join_outer",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_star",
+    "q_multimodal_passthrough",
+    "q_project",
+    "q_sample_hash",
+    "q_session_window_keyed",
+    "q_sliding_window",
+    "q_sql_session_window",
+    "q_text_stats",
+    "q_topk",
+    "q_udtf",
+    "q_win_laglead",
+    "q_win_ntile",
+    "q_win_running_sum",
+    # ---- ever-green sentinel spine (compact this round: the r2
+    #      cohort above already canaries most §2 families) ----
     "q_scan_parquet",         # §2.1 sources
     "q_filter",               # §2.2 pushdown path
     "q_join_broadcast",       # §2.3 joins
     "q_agg_count_group",      # §2.4 aggs
-    "q_win_rank",             # §2.5 analytic windows
-    "q_topk_per_group",       # §2.6 top-k
-    "q_except_all",           # §2.7 set ops
-    "q_fn_string",            # §2.8 scalar functions
+    "q_udf_scalar",           # §2.10 UDF surface
+    "q_stream_upsert",        # §2.9 restart/upsert (r8 sink guard rep)
     "q_session_window",       # flagship; §2.9 batch windows
     "q_stream_session",       # §2.9 streaming twin of the flagship
-    "q_stream_upsert",        # §2.9 restart/upsert path
-    "q_udf_scalar",           # §2.10 UDF surface
-    "q_pipeline_profit",      # TPC-H pipeline family
-    "q_sql_window",           # SQL-entry family
-    # ---- tier-X canaries (scale-claim operators) ----
-    "q_sim_topk",
-    "q_tfidf",
-    "q_corpus_shuffle",
-    "q_embed_pca",
-    "q_pack_sequences",
-    "q_sample_stratified",
+    # (q_pipeline_profit / q_tfidf yielded their spine seats to the
+    # full r2 cohort: TPC-H pipelines are canaried by the two r1
+    # pipeline rows above and tier X by the whole dedup block; both
+    # stay pytest-covered catalog-wide)
 )
 
-# Round-8 allocation (write when the r7 CORRECTNESS lands; run
+# Round-9 allocation (write when the r8 CORRECTNESS lands; run
 # scripts/update_green_manifest.py first): lead with any query whose
 # code changed after its last green driver row, then rotate the
-# longest-stale ever-green cohort (next up: the r2-only group), keep
-# the flagship, and leave registration FROZEN unless a verdict
-# demands a new operator.
+# longest-stale ever-green cohort (next up: the r3 group — 33
+# queries, slightly over one window with a spine; split across r9/r10
+# if needed), keep the flagship, and leave registration FROZEN unless
+# a verdict demands a new operator.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
