@@ -765,3 +765,61 @@ def test_bucket_candidate_pairs_triangle_exactness(spark):
     ).count()
     assert none_left == 0
     assert stats == {"hot_bucket_count": 1, "hot_doc_rows": 25, "mode": "drop"}
+
+
+def test_eager_probe_prunes_salt_stages_when_cold(spark):
+    """Round-8 plan contract for salt mode's build-time probe: a
+    corpus with zero hot buckets must get the pure cold expansion (no
+    hot-cell redistribution exchange in the plan), a hot corpus must
+    keep the salted two-branch shape, and eager_probe=False must keep
+    the lazy union even when cold (the per-micro-batch path). The
+    hot-branch marker is the REPARTITION_BY_COL cell shuffle — the
+    one node only the salt branch plants."""
+    from flink_samples_spark.llmops.dedup import _bucket_candidate_pairs
+
+    keyed = spark.createDataFrame(
+        [(d, 0, 777) for d in range(25)], "doc_id long, band int, band_hash long"
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    cold = _bucket_candidate_pairs(keyed, ["band", "band_hash"], 1000, "salt")
+    assert "REPARTITION_BY_COL" not in plan_of(cold)
+    hot = _bucket_candidate_pairs(keyed, ["band", "band_hash"], 5, "salt")
+    assert "REPARTITION_BY_COL" in plan_of(hot)
+    lazy = _bucket_candidate_pairs(
+        keyed, ["band", "band_hash"], 1000, "salt", eager_probe=False
+    )
+    assert "REPARTITION_BY_COL" in plan_of(lazy)
+    spark.catalog.clearCache()
+
+
+def test_salt_mode_unpersists_after_first_action(spark):
+    """Round-8 cache-ownership contract (ADVICE r7): the grouped
+    bucket table persisted by salt mode must be released by the
+    observe waiter once the first action completes, so a library
+    caller looping over corpora does not accumulate MEMORY_AND_DISK
+    entries for the session."""
+    import time
+
+    from flink_samples_spark.llmops.dedup import _bucket_candidate_pairs
+
+    def n_cached_rdds() -> int:
+        return len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+
+    spark.catalog.clearCache()
+    base = n_cached_rdds()
+    keyed = spark.createDataFrame(
+        [(d, 0, 777) for d in range(25)], "doc_id long, band int, band_hash long"
+    )
+    pairs = _bucket_candidate_pairs(keyed, ["band", "band_hash"], 1000, "salt")
+    pairs.count()  # first action: probe already materialized the cache
+    # the waiter unpersists asynchronously after the action lands
+    deadline = time.time() + 15
+    while time.time() < deadline and n_cached_rdds() > base:
+        time.sleep(0.25)
+    assert n_cached_rdds() == base, (
+        "salt-mode bucket-table persist still registered 15s after the "
+        "first action — the observe waiter's unpersist did not fire"
+    )
