@@ -76,6 +76,9 @@ HEADLINE = [
     "q_embed_pca",             # distributed PCA (batch-partial Gram, d×d driver state)
     "q_dedup_incremental",     # ingestion dedup vs persisted signature index
     "q_stream_dedup_index",    # the same, as a REAL streaming run w/ growing index
+    # round-8 addition: the de-stubbed REAL codec path (Arrow-batched
+    # binary parse + numpy stats — the multimodal decode shape)
+    "q_multimodal_decode",
 ]
 
 

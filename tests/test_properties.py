@@ -198,3 +198,41 @@ def test_snapshot_diff_no_false_positives(spark, sf_dir):
     ).filter(F.col("doc_id") != 1)
     d = {r["doc_id"]: r["status"] for r in snapshot_diff(docs, v2, "doc_id", ["text"]).collect()}
     assert d == {0: "changed", 1: "removed"}
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    maxval=st.integers(1, 255),
+    pix_seed=st.integers(0, 2**32 - 1),
+    ws=st.lists(st.sampled_from([" ", "\n", "\t", "\r"]), min_size=1, max_size=3),
+    comment=st.booleans(),
+    cut=st.integers(0, 40),
+)
+@settings(max_examples=60, deadline=None)
+def test_ppm_parser_roundtrip_and_truncation(w, h, maxval, pix_seed, ws, comment, cut):
+    """Driver-side property pin of the P6 parser: any well-formed
+    header (arbitrary token whitespace, optional comment line) parses
+    back to its exact fields with the pixel offset pointing at the
+    payload, and cutting bytes off the pixel data always raises — the
+    parser may reject, never mis-measure."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import _make_ppm_parser
+
+    parse = _make_ppm_parser()
+    sep = "".join(ws)
+    head = "P6" + sep + (f"# c{pix_seed % 97}\n" if comment else "") + f"{w}{sep}{h}{sep}{maxval}\n"
+    rng = np.random.RandomState(pix_seed % (2**31))
+    pix = rng.randint(0, maxval + 1, size=w * h * 3, dtype=np.int64).astype(np.uint8)
+    buf = head.encode() + pix.tobytes()
+
+    got_w, got_h, got_maxval, off = parse(buf)
+    assert (got_w, got_h, got_maxval) == (w, h, maxval)
+    assert buf[off:] == pix.tobytes()
+
+    if cut > 0:
+        import pytest
+
+        with pytest.raises(ValueError):
+            parse(buf[: max(0, len(buf) - cut)])
