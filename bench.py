@@ -149,8 +149,9 @@ def main() -> None:
     # number with a hard 1,000 floor. Two full replays bound the
     # damage one background burst can do; caches are cleared between
     # runs so each replay executes end-to-end.
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
     def stream_rate(qname: str) -> int:
-        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -507,8 +507,11 @@ def _observe_hot_buckets(
     the salt path passes the grouped table's ``unpersist`` so cache
     ownership ends with the action that needed it (ADVICE r7). When
     there is no callback AND warning logs are disabled, no waiter
-    thread spawns at all (bounds parked threads for library callers
-    that build many never-executed plans)."""
+    thread spawns at all — that bound applies to DROP mode only; salt
+    mode always passes the unpersist callback, so its waiter always
+    parks until the first action (and, for a plan that is never
+    executed, until process exit — see the construction-cost note in
+    :func:`_bucket_candidate_pairs`)."""
     import logging
     import threading
 
@@ -542,9 +545,16 @@ def _observe_hot_buckets(
                 max_bucket,
                 nb,
                 m.get("nd") or 0,
-                "salted into sub-buckets (zero recall loss)"
-                if mode == "salt"
-                else "DROPPED as boilerplate (pair recall lost for these)",
+                {
+                    "salt": "salted into sub-buckets (zero recall loss)",
+                    "drop": "DROPPED as boilerplate (pair recall lost for these)",
+                    "salt-cold": (
+                        "appeared AFTER the build-time probe proved the corpus "
+                        "cold — the pruned plan cannot redistribute them, their "
+                        "pairs are LOST; the upstream changed between plan "
+                        "construction and execution, rebuild the plan"
+                    ),
+                }[mode],
             )
 
     threading.Thread(
@@ -592,7 +602,7 @@ def _bucket_candidate_pairs(
     overwhelmingly common case — the emitted plan is the pure cold
     expansion with no salt stages and no union (~3 scheduled stages
     of empty-branch overhead saved per run, measured ~0.4 s at
-    sf0.1); otherwise each bucket of n docs is split into
+    sf0.1); when buckets ARE hot, each bucket of n docs is split into
     s = ceil(n/max_bucket) salt groups by a deterministic hash of
     (doc_id, *bucket_keys); every doc is replicated into the s cells
     (min(salt,j), max(salt,j)) for j in 0..s-1, and each cell emits
@@ -633,6 +643,15 @@ def _bucket_candidate_pairs(
     job doubles as the cache materializer the main run then reuses;
     the persist itself is unpersisted by the observe waiter once the
     first main action completes (cache ownership = one action).
+
+    CONSTRUCTION-COST CONTRACT (salt mode, eager_probe=True): building
+    the plan runs a Spark job and leaves the grouped table
+    MATERIALIZED in the cache, owned by the waiter until the first
+    action over the returned plan completes. A caller constructing
+    plans it may abandon unexecuted should pass ``eager_probe=False``
+    (lazy persist — zero bytes if never executed; the per-micro-batch
+    ingestion path does this for its own latency reasons) or
+    ``spark.catalog.clearCache()`` after discarding them.
     """
     if hot_buckets not in ("salt", "drop"):
         raise ValueError(f"hot_buckets must be 'salt' or 'drop', got {hot_buckets!r}")
@@ -660,15 +679,20 @@ def _bucket_candidate_pairs(
             F.count(F.lit(1)).alias("nb"),
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("nd"),
         ).first()
-        hot_nb, hot_nd = int(row["nb"]), int(row["nd"])
         if stats_out is not None:
             stats_out.update(
                 {
-                    "hot_bucket_count": hot_nb,
-                    "hot_doc_rows": hot_nd,
+                    "hot_bucket_count": int(row["nb"]),
+                    "hot_doc_rows": int(row["nd"]),
                     "mode": hot_buckets,
                 }
             )
+        # the cold-plan prune below keys on eager_probe EXPLICITLY:
+        # a caller that opted out of the probe (per-micro-batch path)
+        # but passed stats_out must not get the pruned plan back as a
+        # side effect of its monitoring
+        if hot_buckets == "salt" and eager_probe:
+            hot_nb = int(row["nb"])
 
     def _emit(pairs: DataFrame) -> DataFrame:
         # the distinct is LOAD-BEARING at scale, not a tidy-up: on a
@@ -686,7 +710,6 @@ def _bucket_candidate_pairs(
         buckets_all = _observe_hot_buckets(buckets_all, "drop", max_bucket, n)
         cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
         return _emit(cold.select(F.explode(_pairs_within(ds)).alias("p")))
-    cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
     if hot_nb == 0:
         # The probe proved every bucket fits the cap, so the salted
         # redistribution would be a union with a provably-empty
@@ -696,12 +719,19 @@ def _bucket_candidate_pairs(
         # unpersist. The probe result is sound for the DataFrame's
         # lifetime because the grouped table is persisted: executions
         # read the materialized cache, and an eviction recomputes
-        # from the same immutable source scan.
-        return _emit(
-            _observe_hot_buckets(
-                cold, "salt", max_bucket, n, on_done=buckets_all.unpersist
-            ).select(F.explode(_pairs_within(ds)).alias("p"))
+        # from the same immutable source scan. Defensively, the
+        # observe sits ABOVE the cap filter (like drop mode): if an
+        # upstream somehow changes between probe and execution and a
+        # bucket turns hot, the pruned plan cannot redistribute it —
+        # but the metric sees it and the waiter logs the loss loudly
+        # instead of letting the filter eat it in silence.
+        observed = _observe_hot_buckets(
+            buckets_all, "salt-cold", max_bucket, n,
+            on_done=buckets_all.unpersist,
         )
+        cold = observed.filter((n >= 2) & (n <= max_bucket))
+        return _emit(cold.select(F.explode(_pairs_within(ds)).alias("p")))
+    cold = buckets_all.filter((n >= 2) & (n <= max_bucket))
     pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
     # observe sits on the single-consumer hot branch so counts aren't
     # doubled by the cold branch traversing the same node

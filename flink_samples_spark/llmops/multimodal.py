@@ -70,6 +70,11 @@ def _make_ppm_parser():
     def parse_ppm_p6(buf: bytes) -> tuple[int, int, int, int]:
         if len(buf) < 2 or buf[0:2] != b"P6":
             raise ValueError("not a P6 ppm: bad magic")
+        # Netpbm requires whitespace (or a comment) AFTER the magic;
+        # without this check a garbled blob like b"P61 1 255..." would
+        # parse as a fabricated 1x1 image instead of being rejected
+        if len(buf) < 3 or not (buf[2:3].isspace() or buf[2] == 0x23):
+            raise ValueError("not a P6 ppm: magic not followed by whitespace")
         pos, vals = 2, []
         while len(vals) < 3:
             # skip whitespace and comments between header tokens

@@ -56,8 +56,10 @@ def _reject_batch_column(batch_df: DataFrame) -> None:
     A logical data column with the same name would be silently
     shadowed by the partition value (Spark prefers the discovered
     partition column), so the collision must fail at write time, not
-    flow through as wrong data."""
-    if "batch" in batch_df.columns:
+    flow through as wrong data. Matched case-INSENSITIVELY: Spark's
+    default analysis (spark.sql.caseSensitive=false) resolves
+    'Batch'/'BATCH' against the discovered partition column too."""
+    if any(c.lower() == "batch" for c in batch_df.columns):
         raise ValueError(
             "idempotent file sink: the micro-batch schema contains a column "
             "named 'batch', which collides with the sink's batch=<id> "

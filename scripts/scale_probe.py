@@ -337,9 +337,11 @@ def main() -> None:
     # would pass them silently. Measure recall of both approximate
     # paths against brute force on the SAME fixed 64-query batch and
     # the big corpus. A hit = the ANN pick is in the brute top-10 OR
-    # ties the brute 10th score (the amplified corpus is full of
-    # exact-duplicate vectors, so equal-cosine tie permutations are
-    # legitimate, not recall loss).
+    # EQUALS the brute 10th score exactly (the amplified corpus is
+    # full of exact-duplicate vectors, so equal-cosine tie
+    # permutations at the cut are legitimate, not recall loss — but
+    # only exact equality of the rounded scores counts; a >= clause
+    # would also credit picks that merely round up to the kth value).
     def _ann_recall_at(k_rec: int = 10) -> "dict[str, float]":
         from flink_samples_spark.llmops.similarity import (
             brute_force_cosine_topk,
@@ -363,7 +365,7 @@ def main() -> None:
                 ids = {v for v, _ in truth}
                 kth = min(c for _, c in truth)
                 for v, c in got.get(qid, []):
-                    hits += 1 if (v in ids or c >= kth) else 0
+                    hits += 1 if (v in ids or c == kth) else 0
                 total += len(truth)
             out[name] = hits / max(total, 1)
         return out

@@ -117,11 +117,12 @@ def test_ppm_decode_known_image_and_corrupt_payloads(spark):
         5: b"P6\n# no newline ends this comment", # unterminated comment
         6: None,                                   # NULL payload
         7: b"P6\n2 2 255" + bytes(12),             # missing separator after maxval
+        8: b"P61 1 255\n" + bytes(3),              # no whitespace after magic
     }
     rows = [(1, good)] + [(k, v) for k, v in corrupt.items()]
     media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     got = {r.doc_id: r for r in decode_features(media, codec="ppm").collect()}
-    assert len(got) == 7
+    assert len(got) == 8
     g = got[1]
     assert (g.valid, g.width, g.height) == (True, 2, 2)
     # channels: r = mean(10,40,70,100), g = +10, b = +20

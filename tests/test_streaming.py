@@ -468,10 +468,14 @@ def test_idempotent_sink_rejects_batch_data_column(spark, tmpdirs):
 
     _, sink, _ = tmpdirs
     df = spark.range(3).withColumnRenamed("id", "batch")
+    # case-INSENSITIVE: Spark's default analysis resolves 'Batch'
+    # against the discovered partition column too
+    df_cased = spark.range(3).withColumnRenamed("id", "Batch")
     for fmt in ("parquet", "json"):
         writer = idempotent_sink(os.path.join(sink, fmt), fmt=fmt)
-        with pytest.raises(ValueError, match="batch=<id> partition"):
-            writer(df, 0)
+        for bad in (df, df_cased):
+            with pytest.raises(ValueError, match="batch=<id> partition"):
+                writer(bad, 0)
     # the clean path still writes: same frame under a different name
     ok = df.withColumnRenamed("batch", "seq")
     idempotent_sink(os.path.join(sink, "ok"))(ok, 0)
