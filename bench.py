@@ -83,6 +83,10 @@ HEADLINE = [
 
 
 def main() -> None:
+    try:
+        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        loadavg_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="fss-bench")
@@ -205,7 +209,13 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[f"drift_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
     payload["drift_probes"] = drift
+    # loadavg at BOTH ends: the end-of-run 1-minute figure mostly
+    # reflects the bench's own local[32] execution; the start-of-run
+    # figure is what exposes a host that was already busy before the
+    # suite began (the signal that actually predicts inflated timings)
     try:
+        if loadavg_start is not None:
+            payload["loadavg_start"] = loadavg_start
         payload["loadavg"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         pass
