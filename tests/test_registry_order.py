@@ -162,3 +162,23 @@ def test_batch_stream_twin_pairs_share_one_oracle():
     ]
     for batch, stream in pairs:
         assert ORACLES[batch] == ORACLES[stream], (batch, stream)
+
+
+def test_bench_headliners_are_registered():
+    """A typo'd headline name only surfaces at bench runtime as an
+    errors entry — by then the round's perf record has lost that row.
+    Pin statically: every headliner (and the two streaming-rate
+    queries) resolves in the registry, no duplicates."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert not missing, f"headliners not registered: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicate headliner"
+    for n in ("q_stream_session", "q_stream_ewma"):
+        assert n in QUERIES, f"streaming rate query missing: {n}"
