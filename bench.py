@@ -153,9 +153,18 @@ def main() -> None:
     # number with a hard 1,000 floor. Two full replays bound the
     # damage one background burst can do; caches are cleared between
     # runs so each replay executes end-to-end.
-    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # inside try/except like every other probe: a missing/corrupt
+    # events.parquet must cost the two streaming rows, not the whole
+    # already-measured bench record (see the round-2 lesson above)
+    try:
+        n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    except Exception as e:  # noqa: BLE001
+        n_events = None
+        errors["stream_event_count"] = f"{type(e).__name__}: {e}"[:300]
 
     def stream_rate(qname: str) -> int:
+        if n_events is None:
+            raise RuntimeError("events table unavailable (see stream_event_count)")
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -651,7 +651,11 @@ def _bucket_candidate_pairs(
     plans it may abandon unexecuted should pass ``eager_probe=False``
     (lazy persist — zero bytes if never executed; the per-micro-batch
     ingestion path does this for its own latency reasons) or
-    ``spark.catalog.clearCache()`` after discarding them.
+    ``spark.catalog.clearCache()`` after discarding them. Caveat:
+    ``stats_out`` is itself an eager probe — passing it runs the same
+    build-time job and materializes the persist regardless of
+    ``eager_probe``, so abandonable-plan callers must not combine
+    ``eager_probe=False`` with ``stats_out``.
     """
     if hot_buckets not in ("salt", "drop"):
         raise ValueError(f"hot_buckets must be 'salt' or 'drop', got {hot_buckets!r}")

@@ -169,9 +169,6 @@ def test_bench_headliners_are_registered():
     errors entry — by then the round's perf record has lost that row.
     Pin statically: every headliner (and the two streaming-rate
     queries) resolves in the registry, no duplicates."""
-    import importlib.util
-    import os
-
     spec = importlib.util.spec_from_file_location(
         "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
     )
