@@ -656,6 +656,16 @@ def _bucket_candidate_pairs(
     build-time job and materializes the persist regardless of
     ``eager_probe``, so abandonable-plan callers must not combine
     ``eager_probe=False`` with ``stats_out``.
+
+    SINGLE-ACTION OPTIMIZED (ADVICE r8): the waiter's unpersist fires
+    when the FIRST action over the returned plan completes — including
+    a partial action like ``first()``/``take()``. A caller running
+    SEVERAL actions over the same returned DataFrame gets correct
+    results, but every action after the first re-executes the full
+    signature/banding upstream uncached AND without hot-bucket
+    monitoring. Multi-action callers should ``.persist()`` the
+    returned plan themselves (or rebuild it per action); every caller
+    in this repo is single-action (one collect/write per plan).
     """
     if hot_buckets not in ("salt", "drop"):
         raise ValueError(f"hot_buckets must be 'salt' or 'drop', got {hot_buckets!r}")

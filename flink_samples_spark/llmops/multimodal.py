@@ -3,14 +3,18 @@
 Images/audio/video ride through the engine as opaque ``binary``
 columns plus typed metadata — Spark shuffles, joins, and aggregates
 BinaryType natively, so the pipeline shape (schema, partitioning,
-Arrow batch transfer) is identical to production; only the codec call
-is stubbed (no image/audio libraries in this container).
+Arrow batch transfer) is identical to production.
 
-The decode seam is :func:`decode_features`: a ``mapInPandas`` stage
-whose real implementation would call PIL/torchaudio per Arrow batch.
-Here it is either (a) a deterministic fake featureizer (byte stats)
-used by tests, or (b) ``NotImplementedError`` when a real codec is
-requested — clearly marked so nobody mistakes the stub for a codec.
+The decode seam is :func:`decode_features`, a ``mapInPandas`` stage
+with three codec branches: (a) ``codec='fake'`` — deterministic byte
+stats (real plumbing, fake features) used by tests; (b)
+``codec='ppm'`` — a REAL public codec, binary-PPM (P6) header parse +
+numpy channel means; (c) ``codec='png'`` — a REAL compressed codec,
+PNG 8-bit RGB via stdlib ``zlib`` inflate + per-scanline filter
+reconstruction (None/Sub/Up/Average/Paeth), no PIL needed. Only
+codecs needing external libraries (JPEG/audio/video) remain gated
+behind ``NotImplementedError`` — clearly marked so nobody mistakes
+the gate for a codec.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition
@@ -135,6 +139,209 @@ def synth_ppm_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _make_png_decoder():
+    """Build the PNG decoder — the real compressed public format, done
+    with ONLY the stdlib: chunk walk with CRC32 verification, IHDR
+    validation (8-bit, color type 2 = RGB, no interlace), concatenated
+    IDAT ``zlib`` inflate, then per-scanline filter reconstruction
+    (None/Sub/Up/Average/Paeth per the PNG spec §9) over numpy rows.
+    Factory-nested like :func:`_make_ppm_parser` so the decode closure
+    pickles BY VALUE — executors never need the package importable.
+
+    Returns ``decode_png(buf) -> (width, height, pixels)`` with
+    ``pixels`` a ``(width*height, 3)`` uint8 array in scanline order;
+    raises ``ValueError`` on anything malformed (bad signature, CRC
+    mismatch, unsupported bit depth/color type, truncated or
+    over-long inflate, bad filter byte).
+
+    Scale note: Up/None rows reconstruct vectorized; Sub/Average/
+    Paeth rows need a sequential left-to-right pass (each byte depends
+    on the reconstructed byte 3 to its left), which is a per-row
+    Python loop here. That is the correct *plumbing* shape — at
+    production scale this mapInPandas stage swaps the loop for a
+    C-level codec (PIL/libpng) with zero plan changes.
+    """
+    import struct
+    import zlib
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+
+    def paeth(a: int, b: int, c: int) -> int:
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        if pb <= pc:
+            return b
+        return c
+
+    def decode_png(buf: bytes):
+        if len(buf) < len(SIG) or buf[: len(SIG)] != SIG:
+            raise ValueError("not a PNG: bad signature")
+        pos = len(SIG)
+        width = height = None
+        idat = bytearray()
+        saw_iend = False
+        while pos < len(buf):
+            if pos + 8 > len(buf):
+                raise ValueError("truncated chunk header")
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            ctype = buf[pos + 4 : pos + 8]
+            end = pos + 8 + length
+            if end + 4 > len(buf):
+                raise ValueError("truncated chunk data")
+            data = buf[pos + 8 : end]
+            (crc,) = struct.unpack(">I", buf[end : end + 4])
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {ctype!r} chunk")
+            if ctype == b"IHDR":
+                if width is not None:
+                    raise ValueError("duplicate IHDR")
+                if length != 13:
+                    raise ValueError("bad IHDR length")
+                width, height, depth, ctype_f, comp, filt, ilace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or ctype_f != 2:
+                    raise ValueError(
+                        f"unsupported PNG: depth={depth} colortype={ctype_f} "
+                        "(only 8-bit RGB)"
+                    )
+                if comp != 0 or filt != 0 or ilace != 0:
+                    raise ValueError("unsupported compression/filter/interlace")
+                if width == 0 or height == 0:
+                    raise ValueError("zero-dimension image")
+            elif ctype == b"IDAT":
+                if width is None:
+                    raise ValueError("IDAT before IHDR")
+                idat += data
+            elif ctype == b"IEND":
+                saw_iend = True
+                break
+            # ancillary chunks (tEXt, tIME, ...) pass the CRC check
+            # above and are otherwise ignored, per spec
+            pos = end + 4
+        if width is None or not saw_iend:
+            raise ValueError("missing IHDR or IEND")
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error as e:
+            raise ValueError(f"IDAT inflate failed: {e}") from e
+        stride = width * 3
+        if len(raw) != height * (1 + stride):
+            raise ValueError("inflated size mismatch")
+        out = np.empty((height, stride), dtype=np.uint8)
+        for r in range(height):
+            row = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
+            ).astype(np.int64)
+            f = raw[r * (1 + stride)]
+            prior = out[r - 1].astype(np.int64) if r > 0 else np.zeros(stride, np.int64)
+            if f == 0:
+                recon = row
+            elif f == 2:  # Up — vectorized
+                recon = (row + prior) % 256
+            elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+                recon = np.empty(stride, dtype=np.int64)
+                for x in range(stride):
+                    left = recon[x - 3] if x >= 3 else 0
+                    if f == 1:
+                        pred = left
+                    elif f == 3:
+                        pred = (left + prior[x]) // 2
+                    else:
+                        upleft = prior[x - 3] if x >= 3 else 0
+                        pred = paeth(int(left), int(prior[x]), int(upleft))
+                    recon[x] = (row[x] + pred) % 256
+            else:
+                raise ValueError(f"bad filter byte {f} on row {r}")
+            out[r] = recon.astype(np.uint8)
+        return width, height, out.reshape(-1, 3)
+
+    return decode_png
+
+
+def synth_png_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: deterministically synthesize a REAL PNG
+    (8-bit RGB) per doc_id with the SAME pinned pixel arithmetic as
+    :func:`synth_ppm_payload` — width ``4 + doc_id % 5``, height
+    ``3 + doc_id % 4``, pixel byte ``i`` valued ``(doc_id*31 + i) %
+    256`` — so the same SQL oracle computes expected channel means
+    independently of BOTH codecs. Each scanline is filter-encoded
+    with type ``(doc_id + row) % 5``, so every decode exercises all
+    five reconstruction paths; filter choice never changes decoded
+    pixels, keeping the oracle arithmetic-only. An ancillary ``tEXt``
+    chunk exercises the decoder's skip-with-CRC path.
+    """
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sig = b"\x89PNG\r\n\x1a\n"
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 5, 3 + d % 4
+                stride = w * 3
+                i = np.arange(h * stride, dtype=np.int64)
+                pix = ((d * 31 + i) % 256).reshape(h, stride)
+                raw = bytearray()
+                zeros = np.zeros(stride, dtype=np.int64)
+                for r in range(h):
+                    recon = pix[r]
+                    prior = pix[r - 1] if r > 0 else zeros
+                    left = np.concatenate([[0, 0, 0], recon[:-3]])
+                    upleft = np.concatenate([[0, 0, 0], prior[:-3]])
+                    f = (d + r) % 5
+                    if f == 0:
+                        filt = recon
+                    elif f == 1:
+                        filt = recon - left
+                    elif f == 2:
+                        filt = recon - prior
+                    elif f == 3:
+                        filt = recon - (left + prior) // 2
+                    else:  # vectorized Paeth predictor (encode side
+                        # only needs already-known recon rows, so no
+                        # sequential dependency)
+                        p = left + prior - upleft
+                        pa, pb, pc = (
+                            np.abs(p - left),
+                            np.abs(p - prior),
+                            np.abs(p - upleft),
+                        )
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc),
+                            left,
+                            np.where(pb <= pc, prior, upleft),
+                        )
+                        filt = recon - pred
+                    raw.append(f)
+                    raw += (filt % 256).astype(np.uint8).tobytes()
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+                payloads.append(
+                    sig
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"tEXt", b"Comment\x00synthetic fixture %d" % d)
+                    + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
 def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-payload feature extraction over Arrow batches.
 
@@ -147,10 +354,57 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     rows with NULL stats instead of failing the task (corpus hygiene:
     one corrupt blob must not kill a 100 TB decode pass).
 
-    Any other codec raises — compressed-format decoders (JPEG/PNG/
-    audio/video) need PIL/ffmpeg/torchaudio, absent in this
-    environment.
+    ``codec='png'``: a REAL COMPRESSED public codec — PNG 8-bit RGB
+    via stdlib ``zlib`` inflate + per-scanline filter reconstruction
+    (:func:`_make_png_decoder`) — same output schema and same
+    corrupt-payload contract as the ppm branch.
+
+    Any other codec raises — JPEG/audio/video decoders need
+    PIL/ffmpeg/torchaudio, absent in this environment.
     """
+    if codec == "png":
+        decode_png = _make_png_decoder()
+
+        def decode_png_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                rows = {k: [] for k in ("valid", "width", "height", "r", "g", "b")}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        w, h, pix = decode_png(bytes(payload))
+                        means = pix.mean(axis=0, dtype=np.float64)
+                        rows["valid"].append(True)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        for c, m in zip(("r", "g", "b"), means):
+                            rows[c].append(round(float(m), 6))
+                    except ValueError:
+                        rows["valid"].append(False)
+                        rows["width"].append(None)
+                        rows["height"].append(None)
+                        for c in ("r", "g", "b"):
+                            rows[c].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "width": pd.Series(rows["width"], dtype="Int32"),
+                        "height": pd.Series(rows["height"], dtype="Int32"),
+                        "r_mean": pd.Series(rows["r"], dtype="float64"),
+                        "g_mean": pd.Series(rows["g"], dtype="float64"),
+                        "b_mean": pd.Series(rows["b"], dtype="float64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_png_batches, PPM_STATS_SCHEMA
+        )
     if codec == "ppm":
         parse_ppm_p6 = _make_ppm_parser()
 
@@ -197,9 +451,10 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
         )
     if codec != "fake":
         raise NotImplementedError(
-            f"codec {codec!r}: only 'fake' (byte stats) and 'ppm' (real P6 "
-            "parse) run in this environment; plug PIL/ffmpeg/torchaudio "
-            "into decode_features here for compressed formats"
+            f"codec {codec!r}: only 'fake' (byte stats), 'ppm' (real P6 "
+            "parse), and 'png' (real zlib inflate + filter reconstruction) "
+            "run in this environment; plug PIL/ffmpeg/torchaudio into "
+            "decode_features here for JPEG/audio/video"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

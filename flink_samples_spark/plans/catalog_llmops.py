@@ -406,6 +406,41 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_ppm_payload(docs), codec="ppm")
 
 
+# COMPRESSED codec decode (round-8 verdict #3): synth_png_payload
+# builds genuine PNGs — zlib-deflated IDAT, per-scanline filters
+# rotating through all five types, CRC'd chunks, an ancillary tEXt
+# chunk — from the SAME pinned pixel arithmetic as the PPM fixture,
+# and decode_features(codec="png") inflates + reconstructs with ONLY
+# the stdlib. The oracle is therefore IDENTICAL to q_multimodal_decode
+# and never sees a byte of PNG: a defilter bug (wrong Paeth tie-break,
+# off-by-one stride, swapped prior row) lands as a value mismatch.
+@query(
+    "q_multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 4 AS INT) AS height,
+           round(list_sum(list_transform(range(0, n_px),
+                 p -> CAST((a + 3*p) % 256 AS DOUBLE))) / n_px, 6) AS r_mean,
+           round(list_sum(list_transform(range(0, n_px),
+                 p -> CAST((a + 3*p + 1) % 256 AS DOUBLE))) / n_px, 6) AS g_mean,
+           round(list_sum(list_transform(range(0, n_px),
+                 p -> CAST((a + 3*p + 2) % 256 AS DOUBLE))) / n_px, 6) AS b_mean
+    FROM (
+      SELECT doc_id, doc_id * 31 AS a,
+             (4 + doc_id % 5) * (3 + doc_id % 4) AS n_px
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import synth_png_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_png_payload(docs), codec="png")
+
+
 # Sampling tier (operators.sampling): corpus curation at 100 TB is
 # sampling work. The hash sampler's in/out decision is pure int64
 # arithmetic, so both engines compute it identically — full oracle.

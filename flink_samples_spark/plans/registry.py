@@ -64,83 +64,79 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-8 allocation (manifest after r7: ALL 199 ever-green).
-    # Priority 1 is every query whose code changed in r8 or whose
-    # code was rewritten in r7 AFTER its last green driver row
-    # (r7 verdict item 1); then the longest-stale ever-green cohorts
-    # (r1, then the whole r2 group); then a compact sentinel spine.
-    # ---- r8 diffs: PPM codec (NEW query), eager-probe cold plan in
-    #      salt-mode candidate bucketing (near/groups/apply/simhash),
-    #      from_index eager_probe=False (incremental/stream index),
-    #      idempotent-sink batch-column guard (stream_upsert rep) ----
-    "q_multimodal_decode",    # NEW: real P6 decode, first driver row
-    "q_dedup_near",
-    "q_dedup_groups",
-    "q_dedup_apply",
-    "q_dedup_simhash",
-    "q_dedup_incremental",
-    "q_stream_dedup_index",
-    # ---- r7-rewritten candidate/verify core, last row pre-rewrite ----
-    "q_dedup_cross",          # last green r6
-    "q_dedup_embedding",      # last green r4
-    "q_sim_topk_lsh",         # last green r4
-    "q_sim_topk_ivf",         # last green r4
-    # ---- longest-stale rotation: ever-green only in r1 ----
-    "q_agg_percentile",
-    "q_limit",
-    "q_pipeline_promo_share",
-    "q_pipeline_returned_items",
-    "q_sort",
-    # ---- longest-stale rotation: last green r2 (full cohort) ----
-    "q_agg_count_distinct",
-    "q_agg_having",
-    "q_case_when",
-    "q_except",
-    "q_fn_array",
-    "q_fn_date",
-    "q_fn_map",
-    "q_fn_math",
-    "q_fn_null",
-    "q_join_anti",
-    "q_join_outer",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_star",
-    "q_multimodal_passthrough",
-    "q_project",
-    "q_sample_hash",
-    "q_session_window_keyed",
-    "q_sliding_window",
-    "q_sql_session_window",
-    "q_text_stats",
-    "q_topk",
-    "q_udtf",
-    "q_win_laglead",
-    "q_win_ntile",
-    "q_win_running_sum",
-    # ---- ever-green sentinel spine (compact this round: the r2
-    #      cohort above already canaries most §2 families) ----
-    "q_scan_parquet",         # §2.1 sources
-    "q_filter",               # §2.2 pushdown path
-    "q_join_broadcast",       # §2.3 joins
-    "q_agg_count_group",      # §2.4 aggs
-    "q_udf_scalar",           # §2.10 UDF surface
-    "q_stream_upsert",        # §2.9 restart/upsert (r8 sink guard rep)
-    "q_session_window",       # flagship; §2.9 batch windows
-    "q_stream_session",       # §2.9 streaming twin of the flagship
-    # (q_pipeline_profit / q_tfidf yielded their spine seats to the
-    # full r2 cohort: TPC-H pipelines are canaried by the two r1
-    # pipeline rows above and tier X by the whole dedup block; both
-    # stay pytest-covered catalog-wide)
+    # Round-9 allocation (manifest after r8: ALL 200 ever-green).
+    # Priority 1 is the round's NEW query (PNG decode, first driver
+    # row) plus any query whose code changes this round; then the
+    # longest-stale ever-green cohort — the FULL r3 group (33
+    # queries: TPC-H pipelines, corpus curation, asof/band joins,
+    # SQL CTE/exists, resample); the remaining slots go to r4/r5-stale
+    # queries, preferring ones that double as §2 family reps.
+    "q_multimodal_decode_png",  # NEW: real compressed codec (zlib PNG)
+    "q_stream_dedup_index",     # r9 harness-trim candidate; §2.9 rep
+    # ---- longest-stale rotation: last green r3 (full cohort) ----
+    "q_agg_grouping_sets",
+    "q_apply_in_pandas",        # §2.10 rep
+    "q_chunk_docs",
+    "q_cohort_retention",
+    "q_contamination",
+    "q_corpus_report",
+    "q_embed_assign",
+    "q_embed_quantize",
+    "q_fn_string2",             # §2.8 rep
+    "q_funnel",
+    "q_join_asof_fwd",
+    "q_join_band",
+    "q_mix_corpus",
+    "q_ngram_topk",
+    "q_pii_scan",
+    "q_pipeline_custdist",
+    "q_pipeline_disjunctive",
+    "q_pipeline_excess_supp",
+    "q_pipeline_idle_cust",
+    "q_pipeline_large_orders",
+    "q_pipeline_late_solo_supp",
+    "q_pipeline_market_share",
+    "q_pipeline_min_cost_supp",
+    "q_pipeline_order_priority",
+    "q_pipeline_part_value",
+    "q_pipeline_priority_lines",
+    "q_pipeline_small_qty",
+    "q_pipeline_supp_diversity",
+    "q_pipeline_volume_shipping",
+    "q_split_corpus",
+    "q_sql_correlated_exists",  # SQL-entry rep
+    "q_sql_cte",                # SQL-entry rep
+    "q_ts_resample",
+    # ---- r4/r5-stale fillers (staleness + family-rep dual duty) ----
+    "q_agg_approx_distinct",    # r4; §2.4 rep
+    "q_union_all",              # r4; §2.7 rep
+    "q_win_distribution",       # r4
+    "q_agg_hll_sketch",         # r4
+    "q_agg_stats",              # r4
+    "q_boilerplate",            # r4
+    "q_dedup_latest",           # r4
+    "q_sql_recursive",          # r4
+    "q_join_bloom",             # r5; §2.3 rep
+    # ---- ever-green sentinel spine (families the cohorts miss) ----
+    "q_scan_parquet",           # §2.1 sources
+    "q_filter",                 # §2.2 pushdown path
+    "q_win_rank",               # §2.5 analytic windows (r7)
+    "q_topk_per_group",         # §2.6 top-k (r7)
+    "q_tfidf",                  # tier X rep (owed its seat from r8)
+    "q_session_window",         # flagship; §2.9 batch windows
 )
 
-# Round-9 allocation (write when the r8 CORRECTNESS lands; run
+# Round-10 allocation (write when the r9 CORRECTNESS lands; run
 # scripts/update_green_manifest.py first): lead with any query whose
-# code changed after its last green driver row, then rotate the
-# longest-stale ever-green cohort (next up: the r3 group — 33
-# queries, slightly over one window with a spine; split across r9/r10
-# if needed), keep the flagship, and leave registration FROZEN unless
-# a verdict demands a new operator.
+# code changed after its last green driver row, then the remaining
+# r4-stale cohort (~22: q_agg_approx_quantile, q_fn_array2/bitwise/
+# date2/try/variant, q_join_asof_tol, q_join_temporal, q_lang_id,
+# q_mix_temperature, q_multimodal_features/framesample,
+# q_quality_repetition/score, q_sample_domain_cap, q_scd2,
+# q_sim_topk_int8, q_sql_grouping_sets, q_sql_scalar_subquery,
+# q_tokenize_vocab, q_udf_arrow, q_embed_kmeans) plus the r5 group
+# (24), keep the flagship, and leave registration FROZEN unless a
+# verdict demands a new operator.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -132,6 +132,81 @@ def test_ppm_decode_known_image_and_corrupt_payloads(spark):
         assert got[k].width is None and got[k].r_mean is None
 
 
+def test_png_decode_known_image_and_corrupt_payloads(spark):
+    """The compressed-codec branch: a hand-built 2x2 PNG (one filtered
+    scanline per type exercised across docs elsewhere; here Up + Sub)
+    must decode to its exact channel means, and every corrupt-payload
+    class must yield a valid=false row — never a dead task."""
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+    # pixels row0 = (10,20,30),(40,50,60); row1 = (70,80,90),(100,110,120)
+    # row0 filter 1 (Sub): 10,20,30, 40-10,50-20,60-30
+    # row1 filter 2 (Up):  70-10,80-20,90-30, 100-40,110-50,120-60
+    raw = bytes([1, 10, 20, 30, 30, 30, 30, 2, 60, 60, 60, 60, 60, 60])
+    good = sig + ihdr + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    bad_crc = bytearray(good)
+    bad_crc[len(sig) + 10] ^= 0xFF  # flip a byte inside IHDR data
+    gray_ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    bad_filter_raw = bytes([7]) + bytes(6) + bytes([0]) + bytes(6)
+    corrupt = {
+        2: b"JUNK" + good[4:],                      # bad signature
+        3: bytes(bad_crc),                           # CRC mismatch
+        4: good[:-30],                               # truncated chunk
+        5: sig + gray_ihdr                           # unsupported color type
+           + chunk(b"IDAT", zlib.compress(bytes(6)))
+           + chunk(b"IEND", b""),
+        6: None,                                     # NULL payload
+        7: sig + ihdr + chunk(b"IDAT", b"notzlib")   # inflate failure
+           + chunk(b"IEND", b""),
+        8: sig + ihdr                                # bad filter byte
+           + chunk(b"IDAT", zlib.compress(bad_filter_raw))
+           + chunk(b"IEND", b""),
+        9: sig + ihdr + chunk(b"IDAT", zlib.compress(raw)),  # missing IEND
+    }
+    rows = [(1, good)] + [(k, v) for k, v in corrupt.items()]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="png").collect()}
+    assert len(got) == 9
+    g = got[1]
+    assert (g.valid, g.width, g.height) == (True, 2, 2)
+    assert (g.r_mean, g.g_mean, g.b_mean) == (55.0, 65.0, 75.0)
+    for k in corrupt:
+        assert got[k].valid is False, f"doc {k} should be rejected"
+        assert got[k].width is None and got[k].r_mean is None
+
+
+def test_png_and_ppm_decode_agree(spark, sf_dir):
+    """Both real codecs carry the SAME pinned pixel arithmetic, so
+    their decoded stats must be row-for-row identical — a cheap
+    differential check that catches either codec drifting."""
+    from flink_samples_spark.llmops.multimodal import (
+        synth_png_payload,
+        synth_ppm_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    via_ppm = sorted(
+        map(tuple, decode_features(synth_ppm_payload(docs), codec="ppm").collect())
+    )
+    via_png = sorted(
+        map(tuple, decode_features(synth_png_payload(docs), codec="png").collect())
+    )
+    assert via_ppm == via_png
+    assert all(t[1] for t in via_png)  # every payload valid
+
+
 def test_dedup_components_chain_and_determinism(spark):
     """Min-label CC must propagate across multi-hop chains (diameter >
     1), not just direct pairs; result is partition-invariant."""

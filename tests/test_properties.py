@@ -236,3 +236,86 @@ def test_ppm_parser_roundtrip_and_truncation(w, h, maxval, pix_seed, ws, comment
 
         with pytest.raises(ValueError):
             parse(buf[: max(0, len(buf) - cut)])
+
+
+@given(
+    w=st.integers(1, 8),
+    h=st.integers(1, 8),
+    pix_seed=st.integers(0, 2**32 - 1),
+    filters=st.lists(st.integers(0, 4), min_size=8, max_size=8),
+    flip=st.integers(0, 200),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_decoder_roundtrip_and_corruption(w, h, pix_seed, filters, flip):
+    """Property pin of the PNG decoder: ANY pixel content encoded
+    with ANY per-scanline filter assignment decodes back exactly
+    (filters are lossless re-codings), and flipping a byte anywhere
+    in the file either raises ValueError (CRC/structure) or — never —
+    returns silently-wrong pixels without tripping a check. Byte
+    flips inside the deflate stream that still inflate consistently
+    are caught by the IDAT chunk CRC, so 'decodes fine but wrong' is
+    impossible by construction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import _make_png_decoder
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    rng = np.random.RandomState(pix_seed % (2**31))
+    stride = w * 3
+    pix = rng.randint(0, 256, size=(h, stride), dtype=np.int64)
+    raw = bytearray()
+    zeros = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        recon, prior = pix[r], (pix[r - 1] if r > 0 else zeros)
+        left = np.concatenate([[0, 0, 0], recon[:-3]])
+        upleft = np.concatenate([[0, 0, 0], prior[:-3]])
+        f = filters[r % len(filters)]
+        if f == 0:
+            filt = recon
+        elif f == 1:
+            filt = recon - left
+        elif f == 2:
+            filt = recon - prior
+        elif f == 3:
+            filt = recon - (left + prior) // 2
+        else:
+            p = left + prior - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, upleft)
+            )
+            filt = recon - pred
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+    sig = b"\x89PNG\r\n\x1a\n"
+    buf = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+    decode = _make_png_decoder()
+    got_w, got_h, got = decode(buf)
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, (pix % 256).astype(np.uint8).reshape(-1, 3))
+
+    # single-byte corruption after the signature: must raise, never
+    # return different pixels silently
+    pos = len(sig) + flip % (len(buf) - len(sig))
+    mut = bytearray(buf)
+    mut[pos] ^= 0x5A
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode(bytes(mut))
