@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Drift-normalized bench comparison (round-8 verdict #4).
+
+Round-over-round bench comparison on a shared, noisy host was a
+judgment call: BENCH JSONs carry ``drift_probes`` (three constant-cost
+queries timed inside the same process) and ``loadavg``, but the
+normalization happened by hand. This tool makes it mechanical:
+
+    python scripts/bench_compare.py BENCH_r08.json BENCH_r09.json
+    python scripts/bench_compare.py old.json new.json --threshold 1.3
+
+Per query it prints raw new/old ratio AND the ratio normalized by the
+drift factor (geomean of the probe ratios — how much slower the HOST
+was during the new run, independent of engine code), and flags
+normalized regressions above the threshold. Files may be either the
+driver's wrapper shape (bench line under ``"parsed"``) or bench.py's
+raw JSON line; rounds before r8 have no drift probes, in which case
+the factor falls back to 1.0 and is labeled as such.
+
+Exit code: 0 always (a comparison is a record, not a gate) unless
+``--strict`` is passed, then 1 when any normalized regression exceeds
+the threshold.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+
+
+def load_bench(path: str) -> dict:
+    with open(path) as f:
+        data = json.load(f)
+    if "parsed" in data and isinstance(data["parsed"], dict):
+        data = data["parsed"]
+    if "queries" not in data:
+        sys.exit(f"{path}: no 'queries' map — not a bench JSON")
+    return data
+
+
+def geomean(xs: list[float]) -> float:
+    xs = [x for x in xs if x > 0]
+    if not xs:
+        return 1.0
+    return math.exp(sum(math.log(x) for x in xs) / len(xs))
+
+
+def drift_factor(old: dict, new: dict) -> tuple[float, str]:
+    po, pn = old.get("drift_probes") or {}, new.get("drift_probes") or {}
+    common = sorted(set(po) & set(pn))
+    if not common:
+        return 1.0, "no shared drift probes — raw ratios only"
+    ratios = {k: pn[k] / po[k] for k in common if po[k] > 0}
+    f = geomean(list(ratios.values()))
+    detail = ", ".join(f"{k} {r:.2f}x" for k, r in sorted(ratios.items()))
+    return f, f"geomean of {len(ratios)} probe ratios ({detail})"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.3,
+                    help="flag normalized ratios above this (default 1.3)")
+    ap.add_argument("--strict", action="store_true",
+                    help="exit 1 when any query is flagged")
+    args = ap.parse_args()
+
+    old, new = load_bench(args.old), load_bench(args.new)
+    f, f_note = drift_factor(old, new)
+    qo, qn = old["queries"], new["queries"]
+    common = sorted(set(qo) & set(qn))
+    only_old = sorted(set(qo) - set(qn))
+    only_new = sorted(set(qn) - set(qo))
+
+    rows = []
+    for q in common:
+        if qo[q] <= 0:
+            continue
+        raw = qn[q] / qo[q]
+        rows.append((q, qo[q], qn[q], raw, raw / f))
+    rows.sort(key=lambda r: -r[4])
+
+    print(f"# bench compare: {args.old} -> {args.new}")
+    print(f"drift factor: {f:.3f} ({f_note})")
+    for side, key in (("old", old), ("new", new)):
+        la = key.get("loadavg_start") or key.get("loadavg")
+        if la:
+            print(f"{side} loadavg: {la}")
+    print()
+    print("| query | old s | new s | raw ratio | normalized | flag |")
+    print("|---|---|---|---|---|---|")
+    flagged = []
+    for q, to, tn, raw, norm in rows:
+        flag = ""
+        if norm > args.threshold:
+            flag = f"REGRESSION >{args.threshold}x"
+            flagged.append(q)
+        print(f"| {q} | {to:.3f} | {tn:.3f} | {raw:.2f}x | {norm:.2f}x | {flag} |")
+    print()
+    norm_g = geomean([r[4] for r in rows])
+    raw_g = geomean([r[3] for r in rows])
+    print(f"geomean over {len(rows)} shared queries: raw {raw_g:.3f}x, "
+          f"normalized {norm_g:.3f}x")
+    for label, names in (("only in old", only_old), ("only in new", only_new)):
+        if names:
+            print(f"{label}: {', '.join(names)}")
+    for k in ("stream_events_per_s", "stream_stateful_events_per_s"):
+        if k in old and k in new:
+            print(f"{k}: {old[k]} -> {new[k]}")
+    if flagged:
+        print(f"\nFLAGGED ({len(flagged)}): {', '.join(flagged)}")
+        if args.strict:
+            sys.exit(1)
+    else:
+        print("\nno normalized regressions above threshold")
+
+
+if __name__ == "__main__":
+    main()

@@ -256,15 +256,28 @@ def main() -> None:
         # (orderBy before limit — a bare limit follows partition order)
         return em01.orderBy("vec_id").limit(64)
 
+    def _ann_call(kind: str, q: DataFrame, em: DataFrame, k: int) -> DataFrame:
+        # the ENGINE'S operating point (catalog_llmops.py
+        # q_sim_topk_lsh/_ivf: 4 planes × 12 tables, n_probe 6) — the
+        # r8 probe timed the library defaults (8×4 / probe-4), a
+        # configuration no registered query runs; held-out recall
+        # exposed the mismatch (defaults: lsh 0.51 / ivf 0.79 at 4×;
+        # registered params: 0.96 / 0.90). Timing and recall both
+        # measure what ships.
+        from flink_samples_spark.llmops.similarity import (
+            ivf_cosine_topk,
+            lsh_bucketed_topk,
+        )
+
+        if kind == "ivf":
+            return ivf_cosine_topk(q, em, k=k, n_probe=6)
+        return lsh_bucketed_topk(q, em, k=k, n_planes=4, n_tables=12)
+
     def _ann_thunk(kind: str, q: DataFrame, em: DataFrame):
         def go() -> None:
-            from flink_samples_spark.llmops.similarity import (
-                ivf_cosine_topk,
-                lsh_bucketed_topk,
-            )
-
-            fn = ivf_cosine_topk if kind == "ivf" else lsh_bucketed_topk
-            fn(q, em, k=3).write.format("noop").mode("overwrite").save()
+            _ann_call(kind, q, em, k=3).write.format("noop").mode(
+                "overwrite"
+            ).save()
 
         return go
 
@@ -342,23 +355,41 @@ def main() -> None:
     # permutations at the cut are legitimate, not recall loss — but
     # only exact equality of the rounded scores counts; a >= clause
     # would also credit picks that merely round up to the kth value).
-    def _ann_recall_at(k_rec: int = 10) -> "dict[str, float]":
-        from flink_samples_spark.llmops.similarity import (
-            brute_force_cosine_topk,
-            ivf_cosine_topk,
-            lsh_bucketed_topk,
-        )
+    def _heldout_queries() -> DataFrame:
+        # HELD-OUT query batch (round-8 verdict #2): the member batch
+        # above flatters recall — a corpus member trivially lands in
+        # its own LSH buckets / IVF cell. Perturb the same 64 base
+        # vectors at a PINNED relative noise level (noise norm = 0.25
+        # of the vector norm → cos(q, q') ≈ 0.97) with a per-vector
+        # fixed seed, and give them ids outside every corpus id range
+        # (base ids + k·10^9 shifts never reach 5·10^14), so recall
+        # measures the routing of genuinely NON-member queries.
+        import numpy as np
+
+        rows = _ann_queries(emb01).collect()
+        out = []
+        for r in rows:
+            v = np.asarray(r.embedding, dtype=np.float64)
+            rng = np.random.RandomState(100003 + int(r.vec_id))
+            noise = rng.normal(size=v.shape)
+            noise *= 0.25 * (np.linalg.norm(v) / (np.linalg.norm(noise) + 1e-12))
+            out.append(
+                (int(r.vec_id) + 5 * 10**14, [float(x) for x in v + noise])
+            )
+        return spark.createDataFrame(out, "vec_id bigint, embedding array<double>")
+
+    def _ann_recall_at(q: DataFrame, k_rec: int = 10) -> "dict[str, float]":
+        from flink_samples_spark.llmops.similarity import brute_force_cosine_topk
 
         spark.catalog.clearCache()
-        q = _ann_queries(emb01)
         brute = {}
         for r in brute_force_cosine_topk(q, emb, k=k_rec).collect():
             brute.setdefault(r.query_id, []).append((r.vec_id, r.cos))
         out = {}
-        for name, fn in (("lsh", lsh_bucketed_topk), ("ivf", ivf_cosine_topk)):
+        for name in ("lsh", "ivf"):
             spark.catalog.clearCache()
             got = {}
-            for r in fn(q, emb, k=k_rec).collect():
+            for r in _ann_call(name, q, emb, k=k_rec).collect():
                 got.setdefault(r.query_id, []).append((r.vec_id, r.cos))
             hits = total = 0
             for qid, truth in brute.items():
@@ -370,8 +401,10 @@ def main() -> None:
             out[name] = hits / max(total, 1)
         return out
 
-    print("[probe] ann recall@10 at amplified size", flush=True)
-    ann_recall = _ann_recall_at(10)
+    print("[probe] ann recall@10 at amplified size (member batch)", flush=True)
+    ann_recall = _ann_recall_at(_ann_queries(emb01), 10)
+    print("[probe] ann recall@10 at amplified size (held-out batch)", flush=True)
+    ann_recall_ho = _ann_recall_at(_heldout_queries(), 10)
 
     amp_rows = {  # rows driving each probe
         k: (n_li_small, n_li_big)
@@ -436,7 +469,19 @@ def main() -> None:
         " fixed 64-query batch, ties at the brute 10th score count as"
         f" hits): lsh = **{ann_recall['lsh']:.3f}**, ivf ="
         f" **{ann_recall['ivf']:.3f}** (floor: >= 0.8; the small-sf"
-        " pytest recall floors remain in tests/test_llmops.py).",
+        " pytest recall floors remain in tests/test_llmops.py). Both"
+        " the timing rows and the recall rows run the ENGINE'S"
+        " registered parameters (LSH 4 planes × 12 tables, IVF"
+        " n_probe 6 — catalog_llmops.py), not the library defaults:"
+        " held-out recall at the defaults measured 0.51/0.79, which"
+        " is the configuration gap the r8 member-only batch hid.",
+        "",
+        "HELD-OUT recall@10 (the honest-hard batch: the 64 base query"
+        " vectors perturbed at a pinned noise level — cos(q, q') ≈ 0.97"
+        " — with ids outside every corpus id range, so no query is a"
+        " corpus member and none trivially lands in its own bucket):"
+        f" lsh = **{ann_recall_ho['lsh']:.3f}**, ivf ="
+        f" **{ann_recall_ho['ivf']:.3f}** (floor: >= 0.8).",
         "",
         "Generated by `python scripts/scale_probe.py` (re-run to refresh).",
     ]
