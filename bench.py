@@ -79,6 +79,9 @@ HEADLINE = [
     # round-8 addition: the de-stubbed REAL codec path (Arrow-batched
     # binary parse + numpy stats — the multimodal decode shape)
     "q_multimodal_decode",
+    # round-9 addition: the COMPRESSED real codec (stdlib zlib inflate
+    # + per-scanline filter reconstruction over the same Arrow batches)
+    "q_multimodal_decode_png",
 ]
 
 

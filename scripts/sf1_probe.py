@@ -51,6 +51,11 @@ TOP = [
     "q_curation_v2",
     "q_embed_pca",
     "q_lm_score",
+    # r9: the real-codec Arrow-batch decode paths get a measured scale
+    # exponent like every other family (r8 verdict #6 — their only
+    # prior rows were sf0.01 driver rows + the 0.1 bench)
+    "q_multimodal_decode",
+    "q_multimodal_decode_png",
 ]
 
 MARK_START = "<!-- sf1-probe:start -->"
@@ -161,8 +166,9 @@ def main() -> None:
         "",
         "## sf1 headline probe",
         "",
-        f"The {len(names)} most expensive bench headliners, run as full",
-        "catalog pipelines at sf0.1 and at the ×10-amplified sf1",
+        f"The {len(names)} probed catalog pipelines (the most expensive",
+        "bench headliners plus the real-codec decode paths), run in full",
+        "at sf0.1 and at the ×10-amplified sf1",
         "equivalent (`data/sf1_amp`: disjoint shifted keys; documents are",
         "word-perturbed near-dup copies, the boilerplate-heavy shape).",
         "Same machine, back-to-back, bench-style min-of-2. `exp` =",
