@@ -223,12 +223,19 @@ def _make_png_decoder():
             pos = end + 4
         if width is None or not saw_iend:
             raise ValueError("missing IHDR or IEND")
+        stride = width * 3
+        expected = height * (1 + stride)
         try:
-            raw = zlib.decompress(bytes(idat))
+            # bounded inflate: a crafted deflate bomb in IDAT would
+            # otherwise balloon executor memory BEFORE the size check
+            # (corpus hygiene — one hostile blob must not OOM a task);
+            # max_length caps output at expected+1, so any stream
+            # longer than the header promises fails the length check
+            # without ever materializing
+            raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
         except zlib.error as e:
             raise ValueError(f"IDAT inflate failed: {e}") from e
-        stride = width * 3
-        if len(raw) != height * (1 + stride):
+        if len(raw) != expected:
             raise ValueError("inflated size mismatch")
         out = np.empty((height, stride), dtype=np.uint8)
         for r in range(height):
