@@ -211,6 +211,15 @@ def _make_png_decoder():
                     raise ValueError("unsupported compression/filter/interlace")
                 if width == 0 or height == 0:
                     raise ValueError("zero-dimension image")
+                # the inflate bound below is computed FROM this header,
+                # so a hostile header declaring 60000x60000 would
+                # re-open the bomb hole it closes — cap total pixels
+                # (16.7M px = a 4K+ frame; bounds the inflate to
+                # ~67 MB worst case)
+                if width * height > (1 << 24):
+                    raise ValueError(
+                        f"image dimensions exceed decoder cap: {width}x{height}"
+                    )
             elif ctype == b"IDAT":
                 if width is None:
                     raise ValueError("IDAT before IHDR")

@@ -177,12 +177,18 @@ def test_png_decode_known_image_and_corrupt_payloads(spark):
         10: sig + ihdr                               # deflate bomb: valid
            + chunk(b"IDAT", zlib.compress(bytes(10_000_000)))  # CRC, inflates
            + chunk(b"IEND", b""),                    # far past the header's
-    }                                                # promised 14 bytes —
+                                                     # promised 14 bytes —
     # the bounded inflate must reject it without materializing 10 MB
+        11: sig                                      # hostile header: huge
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(12)))
+           + chunk(b"IEND", b""),                    # declared dims would
+    }                                                # size the inflate bound
+    # itself at ~10 GB — the pixel cap must reject before inflating
     rows = [(1, good)] + [(k, v) for k, v in corrupt.items()]
     media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     got = {r.doc_id: r for r in decode_features(media, codec="png").collect()}
-    assert len(got) == 10
+    assert len(got) == 11
     g = got[1]
     assert (g.valid, g.width, g.height) == (True, 2, 2)
     assert (g.r_mean, g.g_mean, g.b_mean) == (55.0, 65.0, 75.0)
