@@ -164,6 +164,56 @@ def test_batch_stream_twin_pairs_share_one_oracle():
         assert ORACLES[batch] == ORACLES[stream], (batch, stream)
 
 
+def test_bench_compare_normalizes_by_drift_probes(tmp_path):
+    """Pin the comparison tool's contract: the drift factor is the
+    geomean of the probe ratios, normalized ratios divide by it, and
+    a query past the threshold is flagged while a merely-host-slow
+    one is not. (The driver's round record is read through this tool;
+    a silent formula change would corrupt every round-over-round
+    perf judgment.)"""
+    import json
+    import subprocess
+    import sys
+
+    old = {
+        "queries": {"q_a": 1.0, "q_b": 1.0, "q_gone": 1.0},
+        "drift_probes": {"p1": 0.1, "p2": 0.1},
+    }
+    # probes read 2x slower -> drift factor 2.0; q_a at 2x is pure
+    # host noise (normalized 1.0), q_b at 4x is a real 2x regression
+    new = {
+        "parsed": {  # driver wrapper shape on one side
+            "queries": {"q_a": 2.0, "q_b": 4.0, "q_new": 0.5},
+            "drift_probes": {"p1": 0.2, "p2": 0.2},
+        }
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    script = os.path.join(
+        os.path.dirname(os.path.dirname(__file__)), "scripts", "bench_compare.py"
+    )
+    r = subprocess.run(
+        [sys.executable, script, str(po), str(pn), "--threshold", "1.3", "--strict"],
+        capture_output=True,
+        text=True,
+    )
+    assert r.returncode == 1, r.stdout + r.stderr  # strict + flagged
+    assert "drift factor: 2.000" in r.stdout
+    assert "| q_a | 1.000 | 2.000 | 2.00x | 1.00x |  |" in r.stdout
+    assert "| q_b | 1.000 | 4.000 | 4.00x | 2.00x | REGRESSION" in r.stdout
+    assert "only in old: q_gone" in r.stdout
+    assert "only in new: q_new" in r.stdout
+    # no probes on either side -> factor 1.0, nothing crashes
+    pn2 = tmp_path / "new2.json"
+    pn2.write_text(json.dumps({"queries": {"q_a": 1.1}}))
+    r2 = subprocess.run(
+        [sys.executable, script, str(po), str(pn2)], capture_output=True, text=True
+    )
+    assert r2.returncode == 0
+    assert "raw ratios only" in r2.stdout
+
+
 def test_bench_headliners_are_registered():
     """A typo'd headline name only surfaces at bench runtime as an
     errors entry — by then the round's perf record has lost that row.
