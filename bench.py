@@ -79,9 +79,11 @@ HEADLINE = [
     # round-8 addition: the de-stubbed REAL codec path (Arrow-batched
     # binary parse + numpy stats — the multimodal decode shape)
     "q_multimodal_decode",
-    # round-9 addition: the COMPRESSED real codec (stdlib zlib inflate
+    # round-9 additions: the COMPRESSED real codec (stdlib zlib inflate
     # + per-scanline filter reconstruction over the same Arrow batches)
+    # and the AUDIO real codec (RIFF/PCM parse + per-channel means)
     "q_multimodal_decode_png",
+    "q_multimodal_decode_wav",
 ]
 
 

@@ -11,10 +11,11 @@ stats (real plumbing, fake features) used by tests; (b)
 ``codec='ppm'`` — a REAL public codec, binary-PPM (P6) header parse +
 numpy channel means; (c) ``codec='png'`` — a REAL compressed codec,
 PNG 8-bit RGB via stdlib ``zlib`` inflate + per-scanline filter
-reconstruction (None/Sub/Up/Average/Paeth), no PIL needed. Only
-codecs needing external libraries (JPEG/audio/video) remain gated
-behind ``NotImplementedError`` — clearly marked so nobody mistakes
-the gate for a codec.
+reconstruction (None/Sub/Up/Average/Paeth), no PIL needed; (d)
+``codec='wav'`` — a REAL audio codec, RIFF/WAVE 16-bit PCM parse +
+per-channel sample means. Only codecs needing external libraries
+(JPEG/video) remain gated behind ``NotImplementedError`` — clearly
+marked so nobody mistakes the gate for a codec.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition
@@ -45,6 +46,14 @@ FEATURE_SCHEMA = (
 PPM_STATS_SCHEMA = (
     "doc_id bigint, valid boolean, width int, height int, "
     "r_mean double, g_mean double, b_mean double"
+)
+
+# output of the REAL wav codec branch: format fields + per-channel
+# sample means (stereo; mono payloads surface ch1_mean = NULL) —
+# same corrupt-row contract as the image codecs
+WAV_STATS_SCHEMA = (
+    "doc_id bigint, valid boolean, n_channels int, sample_rate int, "
+    "n_frames bigint, ch0_mean double, ch1_mean double"
 )
 
 
@@ -358,6 +367,108 @@ def synth_png_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _make_wav_parser():
+    """Build the WAV (RIFF/PCM) parser — the real public audio
+    container, stdlib-only: RIFF/WAVE magic, chunk walk with even-byte
+    padding per the RIFF spec, ``fmt `` validation (PCM format tag 1,
+    16-bit samples, 1–8 channels, coherent block_align/byte_rate),
+    ``data`` chunk sliced to its declared length. Factory-nested like
+    the image parsers so the decode closure pickles BY VALUE.
+
+    Returns ``parse_wav(buf) -> (n_channels, sample_rate, frames)``
+    with ``frames`` an ``(n_frames, n_channels)`` int16 array;
+    raises ``ValueError`` on anything malformed (bad magic, missing
+    fmt/data, non-PCM, unsupported bit depth, truncated data, a data
+    length that is not a whole number of frames). No compression is
+    involved, so the declared data length is bounded by the actual
+    buffer — no bomb surface."""
+    import struct
+
+    def parse_wav(buf: bytes):
+        if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos = 12
+        fmt = None
+        data = None
+        while pos + 8 <= len(buf):
+            ctype = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            end = pos + 8 + length
+            if end > len(buf):
+                raise ValueError(f"truncated {ctype!r} chunk")
+            body = buf[pos + 8 : end]
+            if ctype == b"fmt ":
+                if length < 16:
+                    raise ValueError("fmt chunk too short")
+                audio_format, n_ch, rate, byte_rate, block_align, bits = (
+                    struct.unpack("<HHIIHH", body[:16])
+                )
+                if audio_format != 1:
+                    raise ValueError(f"unsupported format tag {audio_format} (PCM only)")
+                if bits != 16:
+                    raise ValueError(f"unsupported bit depth {bits} (16-bit only)")
+                if not 1 <= n_ch <= 8:
+                    raise ValueError(f"unsupported channel count {n_ch}")
+                if block_align != n_ch * 2 or byte_rate != rate * block_align:
+                    raise ValueError("incoherent fmt fields")
+                if rate == 0:
+                    raise ValueError("zero sample rate")
+                fmt = (n_ch, rate)
+            elif ctype == b"data":
+                if fmt is None:
+                    raise ValueError("data chunk before fmt")
+                data = body
+                break  # everything after data is ancillary for stats
+            # unknown chunks (LIST, cue, ...) are skipped per spec
+            pos = end + (length & 1)  # RIFF pads chunks to even size
+        if fmt is None or data is None:
+            raise ValueError("missing fmt or data chunk")
+        n_ch, rate = fmt
+        if len(data) % (n_ch * 2) != 0:
+            raise ValueError("data length is not a whole number of frames")
+        frames = np.frombuffer(data, dtype="<i2").reshape(-1, n_ch)
+        return n_ch, rate, frames
+
+    return parse_wav
+
+
+def synth_wav_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: deterministically synthesize a REAL stereo
+    16-bit PCM WAV per doc_id — ``n_frames = 50 + doc_id % 17``,
+    ``sample_rate = 8000 + (doc_id % 4) * 4000``, and interleaved
+    sample ``j`` (= 2*frame + channel) valued
+    ``((doc_id*37 + j) * 131) % 65536 - 32768`` — pinned arithmetic a
+    SQL oracle can recompute independently of the parser, exactly like
+    the PPM/PNG fixtures. An ancillary LIST chunk before ``data``
+    exercises the parser's skip path."""
+    import struct
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 50 + d % 17
+                rate = 8000 + (d % 4) * 4000
+                j = np.arange(nf * 2, dtype=np.int64)
+                pcm = (((d * 37 + j) * 131) % 65536 - 32768).astype("<i2")
+                data = pcm.tobytes()
+                fmt = struct.pack("<HHIIHH", 1, 2, rate, rate * 4, 4, 16)
+                lst = b"INFOICMT" + struct.pack("<I", 4) + b"fix\x00"
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"LIST" + struct.pack("<I", len(lst)) + lst
+                    + b"data" + struct.pack("<I", len(data)) + data
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
 def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-payload feature extraction over Arrow batches.
 
@@ -375,9 +486,61 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     (:func:`_make_png_decoder`) — same output schema and same
     corrupt-payload contract as the ppm branch.
 
-    Any other codec raises — JPEG/audio/video decoders need
-    PIL/ffmpeg/torchaudio, absent in this environment.
+    ``codec='wav'``: a REAL AUDIO codec — RIFF/WAVE 16-bit PCM parse
+    (:func:`_make_wav_parser`) + per-channel numpy sample means —
+    output schema ``WAV_STATS_SCHEMA``, same corrupt-payload contract.
+
+    Any other codec raises — JPEG/video decoders need PIL/ffmpeg,
+    absent in this environment.
     """
+    if codec == "wav":
+        parse_wav = _make_wav_parser()
+
+        def decode_wav_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                rows = {k: [] for k in ("valid", "nc", "rate", "nf", "c0", "c1")}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        n_ch, rate, frames = parse_wav(bytes(payload))
+                        means = frames.mean(axis=0, dtype=np.float64)
+                        rows["valid"].append(True)
+                        rows["nc"].append(n_ch)
+                        rows["rate"].append(rate)
+                        rows["nf"].append(len(frames))
+                        rows["c0"].append(
+                            round(float(means[0]), 6) if len(frames) else None
+                        )
+                        rows["c1"].append(
+                            round(float(means[1]), 6)
+                            if n_ch >= 2 and len(frames)
+                            else None
+                        )
+                    except ValueError:
+                        rows["valid"].append(False)
+                        for k in ("nc", "rate", "nf", "c0", "c1"):
+                            rows[k].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "n_channels": pd.Series(rows["nc"], dtype="Int32"),
+                        "sample_rate": pd.Series(rows["rate"], dtype="Int32"),
+                        "n_frames": pd.Series(rows["nf"], dtype="Int64"),
+                        "ch0_mean": pd.Series(rows["c0"], dtype="float64"),
+                        "ch1_mean": pd.Series(rows["c1"], dtype="float64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_wav_batches, WAV_STATS_SCHEMA
+        )
     if codec == "png":
         decode_png = _make_png_decoder()
 
@@ -468,9 +631,9 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r}: only 'fake' (byte stats), 'ppm' (real P6 "
-            "parse), and 'png' (real zlib inflate + filter reconstruction) "
-            "run in this environment; plug PIL/ffmpeg/torchaudio into "
-            "decode_features here for JPEG/audio/video"
+            "parse), 'png' (real zlib inflate + filter reconstruction), "
+            "and 'wav' (real RIFF/PCM parse) run in this environment; "
+            "plug PIL/ffmpeg into decode_features here for JPEG/video"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -441,6 +441,41 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_png_payload(docs), codec="png")
 
 
+# AUDIO codec decode (round 9): synth_wav_payload builds genuine
+# RIFF/WAVE 16-bit PCM blobs — ancillary LIST chunk included — from
+# pinned doc_id arithmetic (interleaved sample j = ((doc_id*37 + j) *
+# 131) % 65536 - 32768), and decode_features(codec="wav") parses the
+# container and computes per-channel sample means with numpy. Same
+# oracle pattern as the image codecs: the SQL never sees a byte; a
+# parser bug (wrong chunk offset, channel de-interleave, sign/width
+# of samples) lands as a value mismatch.
+@query(
+    "q_multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           2 AS n_channels,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST(nf AS BIGINT) AS n_frames,
+           round(list_sum(list_transform(range(0, nf),
+                 i -> CAST(((a + 2*i) * 131) % 65536 - 32768 AS DOUBLE))) / nf,
+                 6) AS ch0_mean,
+           round(list_sum(list_transform(range(0, nf),
+                 i -> CAST(((a + 2*i + 1) * 131) % 65536 - 32768 AS DOUBLE))) / nf,
+                 6) AS ch1_mean
+    FROM (
+      SELECT doc_id, doc_id * 37 AS a, 50 + doc_id % 17 AS nf
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import synth_wav_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_wav_payload(docs), codec="wav")
+
+
 # Sampling tier (operators.sampling): corpus curation at 100 TB is
 # sampling work. The hash sampler's in/out decision is pure int64
 # arithmetic, so both engines compute it identically — full oracle.

@@ -127,9 +127,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-10 allocation (write when the r9 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): lead with any query whose
-# code changed after its last green driver row, then the remaining
-# r4-stale cohort (~22: q_agg_approx_quantile, q_fn_array2/bitwise/
+# scripts/update_green_manifest.py first): lead with
+# q_multimodal_decode_wav (registered late in r9 after the window was
+# set — NEVER driver-checked; locally green vs its oracle + fixture/
+# property tests), then any query whose code changed after its last
+# green driver row, then the remaining r4-stale cohort (~22: q_agg_approx_quantile, q_fn_array2/bitwise/
 # date2/try/variant, q_join_asof_tol, q_join_temporal, q_lang_id,
 # q_mix_temperature, q_multimodal_features/framesample,
 # q_quality_repetition/score, q_sample_domain_cap, q_scd2,

@@ -56,6 +56,7 @@ TOP = [
     # prior rows were sf0.01 driver rows + the 0.1 bench)
     "q_multimodal_decode",
     "q_multimodal_decode_png",
+    "q_multimodal_decode_wav",
 ]
 
 MARK_START = "<!-- sf1-probe:start -->"

@@ -197,6 +197,52 @@ def test_png_decode_known_image_and_corrupt_payloads(spark):
         assert got[k].width is None and got[k].r_mean is None
 
 
+def test_wav_decode_known_audio_and_corrupt_payloads(spark):
+    """The audio-codec branch: a hand-built stereo PCM WAV must decode
+    to its exact channel means (mono → ch1_mean NULL), and every
+    corrupt-payload class must yield a valid=false row."""
+    import struct
+
+    def wav(n_ch, rate, pcm, fmt_tag=1, bits=16, block_align=None,
+            data_len=None, chunks_order="fd"):
+        data = struct.pack(f"<{len(pcm)}h", *pcm)
+        ba = block_align if block_align is not None else n_ch * 2
+        fmt = struct.pack("<HHIIHH", fmt_tag, n_ch, rate, rate * ba, ba, bits)
+        dl = data_len if data_len is not None else len(data)
+        fc = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        dc = b"data" + struct.pack("<I", dl) + data
+        body = b"WAVE" + (fc + dc if chunks_order == "fd" else dc + fc)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # stereo, 2 frames: ch0 = 100, 200; ch1 = -50, 150
+    good = wav(2, 8000, [100, -50, 200, 150])
+    mono = wav(1, 16000, [10, 20, 30])
+    corrupt = {
+        3: b"JUNK" + good[4:],                      # bad magic
+        4: wav(2, 8000, [1, 2, 3, 4], fmt_tag=3),    # float PCM tag
+        5: wav(2, 8000, [1, 2, 3, 4], bits=8),       # 8-bit depth
+        6: wav(2, 8000, [1, 2, 3, 4], data_len=64),  # truncated data
+        7: wav(2, 8000, [1, 2, 3, 4], block_align=3),  # incoherent fmt
+        8: wav(2, 8000, [1, 2, 3, 4], chunks_order="df"),  # data before fmt
+        9: wav(2, 8000, [1, 2, 3]),                  # partial frame
+        10: None,                                    # NULL payload
+        11: wav(2, 0, [1, 2, 3, 4]),                 # zero sample rate
+    }
+    rows = [(1, good), (2, mono)] + [(k, v) for k, v in corrupt.items()]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="wav").collect()}
+    assert len(got) == 11
+    g = got[1]
+    assert (g.valid, g.n_channels, g.sample_rate, g.n_frames) == (True, 2, 8000, 2)
+    assert (g.ch0_mean, g.ch1_mean) == (150.0, 50.0)
+    m = got[2]
+    assert (m.valid, m.n_channels, m.n_frames, m.ch0_mean) == (True, 1, 3, 20.0)
+    assert m.ch1_mean is None
+    for k in corrupt:
+        assert got[k].valid is False, f"doc {k} should be rejected"
+        assert got[k].n_channels is None and got[k].ch0_mean is None
+
+
 def test_png_and_ppm_decode_agree(spark, sf_dir):
     """Both real codecs carry the SAME pinned pixel arithmetic, so
     their decoded stats must be row-for-row identical — a cheap

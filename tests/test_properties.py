@@ -319,3 +319,47 @@ def test_png_decoder_roundtrip_and_corruption(w, h, pix_seed, filters, flip):
 
     with pytest.raises(ValueError):
         decode(bytes(mut))
+
+
+@given(
+    n_ch=st.integers(1, 4),
+    nf=st.integers(0, 40),
+    seed=st.integers(0, 2**32 - 1),
+    rate=st.integers(1, 192_000),
+    extra_chunk=st.booleans(),
+    cut=st.integers(0, 30),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_parser_roundtrip_and_truncation(n_ch, nf, seed, rate, extra_chunk, cut):
+    """Property pin of the WAV parser: any well-formed 16-bit PCM file
+    (1-4 channels, arbitrary samples, optional ancillary chunk —
+    including the RIFF odd-size pad byte) parses back to its exact
+    frames, and cutting bytes off the data chunk always raises."""
+    import struct
+
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import _make_wav_parser
+
+    rng = np.random.RandomState(seed % (2**31))
+    pcm = rng.randint(-32768, 32768, size=nf * n_ch, dtype=np.int64).astype("<i2")
+    data = pcm.tobytes()
+    ba = n_ch * 2
+    fmt = struct.pack("<HHIIHH", 1, n_ch, rate, rate * ba, ba, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk:  # odd-length ancillary chunk exercises the pad
+        body += b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body += b"data" + struct.pack("<I", len(data)) + data
+    buf = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    parse = _make_wav_parser()
+    got_ch, got_rate, frames = parse(buf)
+    assert (got_ch, got_rate) == (n_ch, rate)
+    assert frames.shape == (nf, n_ch)
+    assert np.array_equal(frames.reshape(-1), pcm.astype(np.int16))
+
+    if cut > 0 and nf > 0:
+        import pytest
+
+        with pytest.raises(ValueError):
+            parse(buf[: len(buf) - min(cut, len(data))])
