@@ -509,17 +509,24 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                         if payload is None:
                             raise ValueError("null payload")
                         n_ch, rate, frames = parse_wav(bytes(payload))
-                        means = frames.mean(axis=0, dtype=np.float64)
+                        # a zero-frame data chunk is VALID (means are
+                        # NULL, not nan) — mean() over it would warn
+                        # and produce nan, so guard before computing
+                        means = (
+                            frames.mean(axis=0, dtype=np.float64)
+                            if len(frames)
+                            else None
+                        )
                         rows["valid"].append(True)
                         rows["nc"].append(n_ch)
                         rows["rate"].append(rate)
                         rows["nf"].append(len(frames))
                         rows["c0"].append(
-                            round(float(means[0]), 6) if len(frames) else None
+                            round(float(means[0]), 6) if means is not None else None
                         )
                         rows["c1"].append(
                             round(float(means[1]), 6)
-                            if n_ch >= 2 and len(frames)
+                            if means is not None and n_ch >= 2
                             else None
                         )
                     except ValueError:

@@ -217,6 +217,7 @@ def test_wav_decode_known_audio_and_corrupt_payloads(spark):
     # stereo, 2 frames: ch0 = 100, 200; ch1 = -50, 150
     good = wav(2, 8000, [100, -50, 200, 150])
     mono = wav(1, 16000, [10, 20, 30])
+    empty = wav(2, 8000, [])  # zero frames: VALID, means NULL not nan
     corrupt = {
         3: b"JUNK" + good[4:],                      # bad magic
         4: wav(2, 8000, [1, 2, 3, 4], fmt_tag=3),    # float PCM tag
@@ -228,16 +229,21 @@ def test_wav_decode_known_audio_and_corrupt_payloads(spark):
         10: None,                                    # NULL payload
         11: wav(2, 0, [1, 2, 3, 4]),                 # zero sample rate
     }
-    rows = [(1, good), (2, mono)] + [(k, v) for k, v in corrupt.items()]
+    rows = [(1, good), (2, mono), (12, empty)] + [
+        (k, v) for k, v in corrupt.items()
+    ]
     media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     got = {r.doc_id: r for r in decode_features(media, codec="wav").collect()}
-    assert len(got) == 11
+    assert len(got) == 12
     g = got[1]
     assert (g.valid, g.n_channels, g.sample_rate, g.n_frames) == (True, 2, 8000, 2)
     assert (g.ch0_mean, g.ch1_mean) == (150.0, 50.0)
     m = got[2]
     assert (m.valid, m.n_channels, m.n_frames, m.ch0_mean) == (True, 1, 3, 20.0)
     assert m.ch1_mean is None
+    e = got[12]
+    assert (e.valid, e.n_frames) == (True, 0)
+    assert e.ch0_mean is None and e.ch1_mean is None
     for k in corrupt:
         assert got[k].valid is False, f"doc {k} should be rejected"
         assert got[k].n_channels is None and got[k].ch0_mean is None
