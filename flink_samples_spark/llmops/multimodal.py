@@ -163,12 +163,22 @@ def _make_png_decoder():
     mismatch, unsupported bit depth/color type, truncated or
     over-long inflate, bad filter byte).
 
-    Scale note: Up/None rows reconstruct vectorized; Sub/Average/
-    Paeth rows need a sequential left-to-right pass (each byte depends
-    on the reconstructed byte 3 to its left), which is a per-row
-    Python loop here. That is the correct *plumbing* shape — at
-    production scale this mapInPandas stage swaps the loop for a
-    C-level codec (PIL/libpng) with zero plan changes.
+    Scale note: None/Up/Sub rows reconstruct vectorized (Sub is a
+    per-channel running sum — uint8 cumsum wraps mod 256); only
+    Average/Paeth rows need a sequential left-to-right per-byte
+    Python pass (each byte depends on the reconstructed byte 3 to its
+    left through a non-linear predictor). The 16.7M-px header cap
+    below bounds inflate MEMORY; it does NOT bound the CPU of that
+    sequential pass — a hostile max-dimension all-Paeth payload costs
+    ~50M interpreter-loop iterations (minutes) in one task. Accepted
+    for this stdlib-only decoder: the task stalls, it does not OOM,
+    and at production scale this mapInPandas stage swaps in a C-level
+    codec (PIL/libpng) with zero plan changes, which resolves both.
+
+    Parse leniency (deliberate, harmless for the stats use): IDAT
+    chunks need not be consecutive, and trailing bytes after IEND are
+    ignored — stricter than nothing (every chunk is still
+    CRC-verified) but looser than spec §5.6/§11.2.4.
     """
     import struct
     import zlib
@@ -266,13 +276,22 @@ def _make_png_decoder():
                 recon = row
             elif f == 2:  # Up — vectorized
                 recon = (row + prior) % 256
-            elif f in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            elif f == 1:
+                # Sub — recon[x] = row[x] + recon[x-3]: a per-CHANNEL
+                # running sum, so a (width, 3) cumsum along axis 0
+                # with uint8 accumulation (wraps mod 256 natively)
+                # replaces the per-byte loop.
+                recon = (
+                    np.cumsum(row.astype(np.uint8).reshape(-1, 3), axis=0,
+                              dtype=np.uint8)
+                    .reshape(-1)
+                    .astype(np.int64)
+                )
+            elif f in (3, 4):  # Average/Paeth — inherently sequential in x
                 recon = np.empty(stride, dtype=np.int64)
                 for x in range(stride):
                     left = recon[x - 3] if x >= 3 else 0
-                    if f == 1:
-                        pred = left
-                    elif f == 3:
+                    if f == 3:
                         pred = (left + prior[x]) // 2
                     else:
                         upleft = prior[x - 3] if x >= 3 else 0

@@ -64,81 +64,95 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-9 allocation (manifest after r8: ALL 200 ever-green).
-    # Priority 1 is the round's NEW query (PNG decode, first driver
-    # row) plus any query whose code changes this round; then the
-    # longest-stale ever-green cohort — the FULL r3 group (33
-    # queries: TPC-H pipelines, corpus curation, asof/band joins,
-    # SQL CTE/exists, resample); the remaining slots go to r4/r5-stale
-    # queries, preferring ones that double as §2 family reps.
-    "q_multimodal_decode_png",  # NEW: real compressed codec (zlib PNG)
-    "q_stream_dedup_index",     # r9 harness-trim candidate; §2.9 rep
-    # ---- longest-stale rotation: last green r3 (full cohort) ----
-    "q_agg_grouping_sets",
-    "q_apply_in_pandas",        # §2.10 rep
-    "q_chunk_docs",
-    "q_cohort_retention",
-    "q_contamination",
-    "q_corpus_report",
-    "q_embed_assign",
-    "q_embed_quantize",
-    "q_fn_string2",             # §2.8 rep
-    "q_funnel",
-    "q_join_asof_fwd",
-    "q_join_band",
-    "q_mix_corpus",
-    "q_ngram_topk",
-    "q_pii_scan",
-    "q_pipeline_custdist",
-    "q_pipeline_disjunctive",
-    "q_pipeline_excess_supp",
-    "q_pipeline_idle_cust",
-    "q_pipeline_large_orders",
-    "q_pipeline_late_solo_supp",
-    "q_pipeline_market_share",
-    "q_pipeline_min_cost_supp",
-    "q_pipeline_order_priority",
-    "q_pipeline_part_value",
-    "q_pipeline_priority_lines",
-    "q_pipeline_small_qty",
-    "q_pipeline_supp_diversity",
-    "q_pipeline_volume_shipping",
-    "q_split_corpus",
-    "q_sql_correlated_exists",  # SQL-entry rep
-    "q_sql_cte",                # SQL-entry rep
-    "q_ts_resample",
-    # ---- r4/r5-stale fillers (staleness + family-rep dual duty) ----
-    "q_agg_approx_distinct",    # r4; §2.4 rep
-    "q_union_all",              # r4; §2.7 rep
-    "q_win_distribution",       # r4
-    "q_agg_hll_sketch",         # r4
-    "q_agg_stats",              # r4
-    "q_boilerplate",            # r4
-    "q_dedup_latest",           # r4
-    "q_sql_recursive",          # r4
-    "q_join_bloom",             # r5; §2.3 rep
-    # ---- ever-green sentinel spine (families the cohorts miss) ----
-    "q_scan_parquet",           # §2.1 sources
-    "q_filter",                 # §2.2 pushdown path
-    "q_win_rank",               # §2.5 analytic windows (r7)
-    "q_topk_per_group",         # §2.6 top-k (r7)
-    "q_tfidf",                  # tier X rep (owed its seat from r8)
+    # Round-10 allocation (manifest after r9: 201 of 202 ever-green;
+    # latest-green histogram r4:23 r5:23 r6:26 r7:33 r8:46 r9:50).
+    # Priority 1 is q_multimodal_decode_wav — the ONLY query with no
+    # driver row ever (registered after the r9 window was set; locally
+    # oracle-green, vanilla-swept, judge spot-checked OK).  Then the
+    # two queries whose evidence this round touches: the PNG decode
+    # (Sub-filter rows vectorized via np.cumsum this round — code
+    # changed after its r9 green row) and q_training_pipeline (the one
+    # bench_compare flag from r9; a fresh green row plus the
+    # interleaved A/B closes it).  Every remaining slot burns the
+    # stale backlog: the FULL r4 cohort (23) + 18 of the r5 cohort.
+    # Five r5 queries whose §2 families are already multiply covered
+    # in-window (q_agg_listagg, q_fn_zorder, q_pattern_absence,
+    # q_sample_reservoir, q_ts_outliers) are deferred to lead r11 so
+    # the family-coverage spine (tests/test_registry_order.py) keeps
+    # one sentinel per family: q_scan_json (§2.1, r6-stale),
+    # q_project (§2.2, r8), q_win_laglead (§2.5, r8), q_topk (§2.6,
+    # r8), q_stream_dedup (§2.9 streaming, r6-stale) — each sentinel
+    # picked from the OLDEST green cohort in its family so the seat
+    # does staleness dual duty.  The last seat keeps the flagship
+    # (q_session_window, §2.9) as the spine's regression canary.
+    # Registration stays FROZEN at 202 unless a verdict demands a new
+    # operator.
+    "q_multimodal_decode_wav",  # NEVER driver-checked — lead the window
+    "q_multimodal_decode_png",  # Sub-filter vectorized this round
+    "q_training_pipeline",      # r9 bench flag — fresh row + A/B
+    # ---- longest-stale rotation: last green r4 (full cohort, 23) ----
+    "q_agg_approx_quantile",
+    "q_agg_histogram",
+    "q_embed_kmeans",
+    "q_fn_array2",
+    "q_fn_bitwise",
+    "q_fn_date2",
+    "q_fn_try",
+    "q_fn_variant",
+    "q_join_asof_tol",
+    "q_join_temporal",
+    "q_lang_id",
+    "q_mix_temperature",
+    "q_multimodal_features",
+    "q_multimodal_framesample",
+    "q_quality_repetition",
+    "q_quality_score",
+    "q_sample_domain_cap",
+    "q_scd2",
+    "q_sim_topk_int8",
+    "q_sql_grouping_sets",
+    "q_sql_scalar_subquery",
+    "q_tokenize_vocab",
+    "q_udf_arrow",              # §2.10 rep
+    # ---- next-stale rotation: last green r5 (18 of 23; 5 deferred
+    # ---- to r11 per the spine note above) ----
+    "q_agg_bitmap_distinct",
+    "q_agg_percentiles",
+    "q_budget_select",
+    "q_curation_v2",
+    "q_data_quality",
+    "q_dedup_span",             # tier X rep
+    "q_dedup_within",           # tier X rep
+    "q_fn_regex",               # §2.8 rep
+    "q_intersect_all",          # §2.7 rep
+    "q_lm_score",               # tier X rep
+    "q_pattern_seq",
+    "q_pii_redact",
+    "q_pivot",                  # §2.4 rep
+    "q_quality_ensemble",
+    "q_sample_weighted",
+    "q_snapshot_diff",
+    "q_ts_ewma",
+    "q_unpivot",
+    # ---- ever-green sentinel spine (families the cohorts miss;
+    # ---- oldest green member per family, staleness dual duty) ----
+    "q_scan_json",              # §2.1 sources (r6-stale)
+    "q_project",                # §2.2 projections (r8)
+    "q_win_laglead",            # §2.5 analytic windows (r8)
+    "q_topk",                   # §2.6 top-k (r8)
+    "q_stream_dedup",           # §2.9 real streaming (r6-stale)
     "q_session_window",         # flagship; §2.9 batch windows
 )
 
-# Round-10 allocation (write when the r9 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): lead with
-# q_multimodal_decode_wav (registered late in r9 after the window was
-# set — NEVER driver-checked; locally green vs its oracle + fixture/
-# property tests), then any query whose code changed after its last
-# green driver row, then the remaining r4-stale cohort (~22: q_agg_approx_quantile, q_fn_array2/bitwise/
-# date2/try/variant, q_join_asof_tol, q_join_temporal, q_lang_id,
-# q_mix_temperature, q_multimodal_features/framesample,
-# q_quality_repetition/score, q_sample_domain_cap, q_scd2,
-# q_sim_topk_int8, q_sql_grouping_sets, q_sql_scalar_subquery,
-# q_tokenize_vocab, q_udf_arrow, q_embed_kmeans) plus the r5 group
-# (24), keep the flagship, and leave registration FROZEN unless a
-# verdict demands a new operator.
+# Round-11 allocation (write when the r10 CORRECTNESS lands; run
+# scripts/update_green_manifest.py first): lead with the five r5
+# deferrals (q_agg_listagg, q_fn_zorder, q_pattern_absence,
+# q_sample_reservoir, q_ts_outliers), then any query whose code
+# changed after its last green row, then the r6-stale cohort (~24
+# after this window re-certifies q_scan_json/q_stream_dedup) and as
+# much of r7 as fits; keep the flagship and one sentinel per family
+# the cohorts miss, and leave registration FROZEN unless a verdict
+# demands a new operator.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

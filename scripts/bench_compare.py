@@ -52,7 +52,9 @@ def drift_factor(old: dict, new: dict) -> tuple[float, str]:
     common = sorted(set(po) & set(pn))
     if not common:
         return 1.0, "no shared drift probes — raw ratios only"
-    ratios = {k: pn[k] / po[k] for k in common if po[k] > 0}
+    ratios = {k: pn[k] / po[k] for k in common if po[k] > 0 and pn[k] > 0}
+    if not ratios:
+        return 1.0, "no usable drift probes — raw ratios only"
     f = geomean(list(ratios.values()))
     detail = ", ".join(f"{k} {r:.2f}x" for k, r in sorted(ratios.items()))
     return f, f"geomean of {len(ratios)} probe ratios ({detail})"

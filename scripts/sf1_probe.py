@@ -61,6 +61,8 @@ TOP = [
 
 MARK_START = "<!-- sf1-probe:start -->"
 MARK_END = "<!-- sf1-probe:end -->"
+MARK_FULL_START = "<!-- sf1-full:start -->"
+MARK_FULL_END = "<!-- sf1-full:end -->"
 
 
 def build_sf1(spark) -> None:
@@ -137,13 +139,14 @@ def time_queries(spark, names: list[str], sf_dir: str) -> dict[str, float]:
     return t
 
 
-def update_scale_probe_md(lines: list[str]) -> None:
+def update_scale_probe_md(lines: list[str], start: str = MARK_START,
+                          end: str = MARK_END) -> None:
     path = os.path.join(ROOT, "SCALE_PROBE.md")
     body = open(path).read() if os.path.exists(path) else "# SCALE_PROBE\n"
-    section = "\n".join([MARK_START, *lines, MARK_END])
-    if MARK_START in body and MARK_END in body:
-        pre = body.split(MARK_START)[0]
-        post = body.split(MARK_END)[1]
+    section = "\n".join([start, *lines, end])
+    if start in body and end in body:
+        pre = body.split(start)[0]
+        post = body.split(end)[1]
         body = pre + section + post
     else:
         body = body.rstrip() + "\n\n" + section + "\n"
@@ -153,7 +156,18 @@ def update_scale_probe_md(lines: list[str]) -> None:
 def main() -> None:
     from flink_samples_spark.session import get_spark
 
-    names = sys.argv[1:] or TOP
+    args = sys.argv[1:]
+    full = "--all" in args
+    args = [a for a in args if a != "--all"]
+    if full:
+        # the WHOLE bench headliner suite (r9 verdict item 6): pin the
+        # 2x bench headroom at 10x scale for every headliner, not just
+        # the 15 most expensive pipelines
+        from bench import HEADLINE
+
+        names = list(HEADLINE)
+    else:
+        names = args or TOP
     spark = get_spark(app_name="sf1-probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_sf1(spark)
@@ -163,18 +177,26 @@ def main() -> None:
     spark.catalog.clearCache()
     big = time_queries(spark, names, SF1_DIR)
 
+    title = "## sf1 full-suite probe" if full else "## sf1 headline probe"
+    scope = (
+        f"ALL {len(names)} bench headliners (the full suite)" if full
+        else f"The {len(names)} probed catalog pipelines (the most expensive\n"
+             "bench headliners plus the real-codec decode paths)"
+    )
     lines = [
         "",
-        "## sf1 headline probe",
+        title,
         "",
-        f"The {len(names)} probed catalog pipelines (the most expensive",
-        "bench headliners plus the real-codec decode paths), run in full",
+        f"{scope}, run in full",
         "at sf0.1 and at the ×10-amplified sf1",
         "equivalent (`data/sf1_amp`: disjoint shifted keys; documents are",
         "word-perturbed near-dup copies, the boilerplate-heavy shape).",
         "Same machine, back-to-back, bench-style min-of-2. `exp` =",
         "log(time ratio)/log(10); ≤1.0 = at-worst-linear, >1.1 would",
         "flag a plan that does not survive the scale-up (plan audit due).",
+        "Sub-second sf0.1 queries carry fixed session overhead in BOTH",
+        "numerators, which deflates their exponents toward 0 — the",
+        "signal is the absence of >1.1 rows, not the tiny values.",
         "",
         "| query | t(sf0.1) s | t(sf1) s | exp |",
         "|---|---|---|---|",
@@ -187,9 +209,13 @@ def main() -> None:
         lines.append(f"| {n} | {small[n]:.2f} | {big[n]:.2f} | {exp:.2f} |")
     lines += [
         "",
-        f"Generated by `python scripts/sf1_probe.py` (re-run to refresh).",
+        "Generated by `python scripts/sf1_probe.py"
+        + (" --all" if full else "") + "` (re-run to refresh).",
     ]
-    update_scale_probe_md(lines)
+    if full:
+        update_scale_probe_md(lines, MARK_FULL_START, MARK_FULL_END)
+    else:
+        update_scale_probe_md(lines)
     print("\n".join(lines))
     if flagged:
         print(f"\nFLAGGED (exp > 1.1, audit these plans): {flagged}")

@@ -32,3 +32,19 @@ if errs:
 nq, tot, unit, sf = len(d["queries"]), d["value"], d["unit"], d["sf"]
 print(f"GATE GREEN: {nq} queries, total {tot} {unit} at sf{sf}")
 ' || exit 1
+
+echo "== bench_compare vs previous round (advisory) =="
+# Round-9 verdict item 5: drift-normalized round-over-round comparison
+# printed INTO the gate log so regressions surface at gate time, not
+# judge time. Advisory by the tool's own philosophy — a flagged query
+# is a signal to investigate (interleaved A/B per the repo protocol),
+# not an automatic blocker, so this step always exits 0.
+PREV=$(ls BENCH_r*_local.json 2>/dev/null | sort -V | tail -1)
+if [ -n "${PREV:-}" ]; then
+  FRESH=$(mktemp /tmp/bench_fresh.XXXXXX.json)
+  echo "$BENCH_OUT" | tail -1 > "$FRESH"
+  python scripts/bench_compare.py "$PREV" "$FRESH" || true
+  rm -f "$FRESH"
+else
+  echo "no committed BENCH_r*_local.json snapshot — skipping comparison"
+fi

@@ -27,7 +27,16 @@ WINDOW = 50
 FAMILY_REPRESENTATIVES = {
     "2.1 sources": {"q_scan_parquet", "q_source_range", "q_scan_json"},
     "2.2 projections/filters": {"q_project", "q_filter"},
-    "2.3 joins": {"q_join_broadcast", "q_join_smj", "q_join_bloom", "q_merge_upsert"},
+    "2.3 joins": {
+        "q_join_broadcast",
+        "q_join_smj",
+        "q_join_bloom",
+        "q_merge_upsert",
+        # as-of / temporal joins are §2.3 rows in SURVEY's own table
+        # (VERDICT r9 §2.3 lists them there) — genuine family members.
+        "q_join_asof_tol",
+        "q_join_temporal",
+    },
     "2.4 aggregations": {
         "q_agg_count_group",
         "q_agg_approx_distinct",
@@ -95,6 +104,14 @@ FAMILY_REPRESENTATIVES = {
         "q_dedup_simhash",
         "q_tfidf",
         "q_embed_pca",
+        # equally-genuine tier-X members (VERDICT r9 LLM-pipeline
+        # table): int8 ANN top-k, span/within-doc dedup, lang-id,
+        # bigram-LM scoring.
+        "q_sim_topk_int8",
+        "q_dedup_span",
+        "q_dedup_within",
+        "q_lang_id",
+        "q_lm_score",
     },
     "SQL entry": {
         "q_sql_session_window",
