@@ -84,6 +84,9 @@ HEADLINE = [
     # and the AUDIO real codec (RIFF/PCM parse + per-channel means)
     "q_multimodal_decode_png",
     "q_multimodal_decode_wav",
+    # round-10 addition: the LOSSY real codec (baseline JPEG Huffman
+    # decode + batched numpy IDCT + JFIF color transform)
+    "q_multimodal_decode_jpeg",
 ]
 
 

@@ -6,16 +6,18 @@ BinaryType natively, so the pipeline shape (schema, partitioning,
 Arrow batch transfer) is identical to production.
 
 The decode seam is :func:`decode_features`, a ``mapInPandas`` stage
-with three codec branches: (a) ``codec='fake'`` — deterministic byte
+with five codec branches: (a) ``codec='fake'`` — deterministic byte
 stats (real plumbing, fake features) used by tests; (b)
 ``codec='ppm'`` — a REAL public codec, binary-PPM (P6) header parse +
 numpy channel means; (c) ``codec='png'`` — a REAL compressed codec,
 PNG 8-bit RGB via stdlib ``zlib`` inflate + per-scanline filter
 reconstruction (None/Sub/Up/Average/Paeth), no PIL needed; (d)
 ``codec='wav'`` — a REAL audio codec, RIFF/WAVE 16-bit PCM parse +
-per-channel sample means. Only codecs needing external libraries
-(JPEG/video) remain gated behind ``NotImplementedError`` — clearly
-marked so nobody mistakes the gate for a codec.
+per-channel sample means; (e) ``codec='jpeg'`` — a REAL lossy codec,
+baseline JPEG (ITU T.81) Huffman decode + batched numpy IDCT + JFIF
+YCbCr→RGB, no PIL needed. Only codecs needing external libraries
+(video) remain gated behind ``NotImplementedError`` — clearly marked
+so nobody mistakes the gate for a codec.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition
@@ -488,6 +490,472 @@ def synth_wav_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _jpeg_canonical_codes(bits, huffvals) -> dict:
+    """Canonical Huffman codes per ITU T.81 Annex C: ``bits[l-1]`` =
+    number of codes of length ``l`` (1..16); codes assigned in
+    huffval order, incrementing, left-shifted at each length step.
+    Returns ``{(length, code): symbol}`` — the shape the bit-at-a-time
+    decoder walks. Driver-side use only (fixture encoder setup +
+    tests): the decoder factory nests its own copy so its worker-side
+    closure keeps pickling by value."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffvals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# T.81 Annex K.3 typical DC Huffman tables (public spec constants):
+# (bits[1..16], huffvals) — values are the DC size categories 0..11.
+_JPEG_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+                 list(range(12)))
+_JPEG_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+                   list(range(12)))
+# minimal legal AC table: ONE 1-bit code ('0') for EOB — the fixture
+# encodes DC-only blocks, so EOB is the only AC symbol that occurs;
+# the decoder still implements the full run/size AC grammar.
+_JPEG_AC_EOB_ONLY = ([1] + [0] * 15, [0x00])
+
+# T.81 Figure A.6 zig-zag order: zigzag[k] = raster index of the k-th
+# coefficient in transmission order.
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _make_jpeg_decoder():
+    """Build the baseline JPEG (ITU T.81) decoder — the real lossy
+    public format, stdlib + numpy only: marker walk (APPn/COM skipped
+    by length), multi-table DQT (8-bit precision), SOF0 validation
+    (8-bit baseline, 1 or 3 components, all sampling factors 1x1 —
+    grayscale or 4:4:4; progressive/subsampled streams raise), DHT
+    canonical-code build per Annex C, DRI/RSTn restart handling, then
+    the entropy-coded scan: bit reader with 0xFF00 unstuffing, per-MCU
+    Huffman DC (DPCM across blocks) + full run/size AC grammar (EOB,
+    ZRL, coefficient receive/extend per F.2.2.1), dequantization,
+    zig-zag inversion, and a single batched numpy IDCT over all blocks
+    (T.81 A.3.3 basis matrix, ``C.T @ S @ C`` via einsum), level shift
+    +128, half-up rounding, clamp. 3-component output converts YCbCr →
+    RGB with the JFIF constants (1.402 / 0.344136 / 0.714136 / 1.772),
+    same half-up rounding; grayscale replicates Y into all channels.
+
+    Returns ``decode_jpeg(buf) -> (width, height, pixels)`` with
+    ``pixels`` a ``(width*height, 3)`` uint8 array in raster order
+    (block padding cropped); raises ``ValueError`` on anything
+    malformed (bad marker structure, missing tables, truncated scan,
+    invalid Huffman code, unsupported mode). The same 16.7M-px cap as
+    the PNG decoder bounds output allocation; JPEG entropy data has no
+    inflate-bomb surface (output size is fixed by the SOF0 header,
+    input is never expanded).
+
+    Scale note: Huffman decoding is bit-serial Python (inherent in
+    the format's variable-length codes) — same documented stance as
+    the PNG Average/Paeth rows: correct plumbing shape, swapped for a
+    C codec (PIL/libjpeg) at production scale with zero plan changes;
+    the IDCT and color transform are fully vectorized numpy.
+    """
+    import struct
+
+    # IDCT basis per T.81 A.3.3: C[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    _C = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+    _C[0, :] /= np.sqrt(2.0)
+    zz = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+
+    def canonical(bits, huffvals):
+        # nested copy of _jpeg_canonical_codes (see its docstring):
+        # Annex C canonical code assignment
+        table = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                table[(length, code)] = huffvals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    class _BitReader:
+        """MSB-first bit reader over the entropy-coded segment with
+        0xFF00 byte unstuffing; stops at any real marker."""
+
+        def __init__(self, buf: bytes, pos: int):
+            self.buf = buf
+            self.pos = pos
+            self.bits = 0
+            self.acc = 0
+
+        def read_bit(self) -> int:
+            if self.bits == 0:
+                if self.pos >= len(self.buf):
+                    raise ValueError("truncated entropy-coded segment")
+                b = self.buf[self.pos]
+                if b == 0xFF:
+                    if self.pos + 1 >= len(self.buf):
+                        raise ValueError("truncated entropy-coded segment")
+                    nxt = self.buf[self.pos + 1]
+                    if nxt == 0x00:
+                        self.pos += 2  # stuffed byte
+                    else:
+                        raise ValueError("marker inside entropy data")
+                else:
+                    self.pos += 1
+                self.acc = b
+                self.bits = 8
+            self.bits -= 1
+            return (self.acc >> self.bits) & 1
+
+        def receive(self, n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.read_bit()
+            return v
+
+        def align_and_expect_rst(self, n: int) -> None:
+            self.bits = 0  # discard pad bits
+            if (
+                self.pos + 2 > len(self.buf)
+                or self.buf[self.pos] != 0xFF
+                or self.buf[self.pos + 1] != 0xD0 + (n & 7)
+            ):
+                raise ValueError("missing/garbled restart marker")
+            self.pos += 2
+
+    def huff_decode(reader, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | reader.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def extend(v: int, t: int) -> int:
+        # F.2.2.1 EXTEND: map the t-bit magnitude to its signed value
+        if t == 0:
+            return 0
+        return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+    def decode_jpeg(buf: bytes):
+        if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG: bad SOI")
+        pos = 2
+        qtables: dict[int, np.ndarray] = {}
+        htables: dict[tuple[int, int], dict] = {}  # (class, id) -> codes
+        sof = None
+        restart_interval = 0
+        while True:
+            if pos + 4 > len(buf):
+                raise ValueError("truncated marker segment")
+            if buf[pos] != 0xFF:
+                raise ValueError("expected marker")
+            marker = buf[pos + 1]
+            (seglen,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+            if seglen < 2 or pos + 2 + seglen > len(buf):
+                raise ValueError("bad segment length")
+            body = buf[pos + 4 : pos + 2 + seglen]
+            pos += 2 + seglen
+            if marker == 0xDB:  # DQT — one or more tables per segment
+                off = 0
+                while off < len(body):
+                    pq, tq = body[off] >> 4, body[off] & 15
+                    if pq != 0:
+                        raise ValueError("only 8-bit quant tables supported")
+                    if off + 65 > len(body):
+                        raise ValueError("truncated DQT")
+                    qtables[tq] = np.frombuffer(
+                        body, np.uint8, 64, off + 1
+                    ).astype(np.int32)
+                    off += 65
+            elif marker == 0xC4:  # DHT — one or more tables per segment
+                off = 0
+                while off < len(body):
+                    tc, th = body[off] >> 4, body[off] & 15
+                    bits = list(body[off + 1 : off + 17])
+                    if len(bits) < 16:
+                        raise ValueError("truncated DHT")
+                    n = sum(bits)
+                    vals = list(body[off + 17 : off + 17 + n])
+                    if len(vals) < n:
+                        raise ValueError("truncated DHT")
+                    htables[(tc, th)] = canonical(bits, vals)
+                    off += 17 + n
+            elif marker == 0xC0:  # SOF0 baseline
+                depth, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+                if depth != 8 or nc not in (1, 3):
+                    raise ValueError(
+                        f"unsupported SOF0: depth={depth} components={nc}"
+                    )
+                if w == 0 or h == 0:
+                    raise ValueError("zero-dimension image")
+                if w * h > (1 << 24):
+                    raise ValueError(f"image dimensions exceed decoder cap: {w}x{h}")
+                comps = []
+                for c in range(nc):
+                    cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                    if samp != 0x11:
+                        raise ValueError(
+                            "only 1x1 sampling (grayscale/4:4:4) supported"
+                        )
+                    comps.append((cid, tq))
+                sof = (w, h, comps)
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError("only baseline sequential (SOF0) supported")
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if sof is None:
+                    raise ValueError("SOS before SOF0")
+                ns = body[0]
+                w, h, comps = sof
+                if ns != len(comps):
+                    raise ValueError("scan/frame component count mismatch")
+                scan = []
+                for c in range(ns):
+                    cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                    td, ta = tables >> 4, tables & 15
+                    cid, tq = comps[c]
+                    if cs != cid:
+                        raise ValueError("scan component order mismatch")
+                    for key, kind in (((0, td), "DC"), ((1, ta), "AC")):
+                        if key not in htables:
+                            raise ValueError(f"missing {kind} Huffman table")
+                    if tq not in qtables:
+                        raise ValueError("missing quant table")
+                    scan.append((htables[(0, td)], htables[(1, ta)],
+                                 qtables[tq].astype(np.float64)))
+                break
+            # APPn (E0-EF) / COM (FE) skipped by length, per spec
+        # --- entropy-coded scan: one 8x8 block per component per MCU
+        w, h, comps = sof
+        bx, by = (w + 7) // 8, (h + 7) // 8
+        n_mcu = bx * by
+        reader = _BitReader(buf, pos)
+        preds = [0] * len(scan)
+        coefs = [np.zeros((n_mcu, 64), dtype=np.float64) for _ in scan]
+        for m in range(n_mcu):
+            if restart_interval and m and m % restart_interval == 0:
+                reader.align_and_expect_rst(m // restart_interval - 1)
+                preds = [0] * len(scan)
+            for ci, (dc_tab, ac_tab, q) in enumerate(scan):
+                t = huff_decode(reader, dc_tab)
+                if t > 11:
+                    raise ValueError("bad DC size category")
+                preds[ci] += extend(reader.receive(t), t)
+                block = coefs[ci][m]
+                block[0] = preds[ci] * q[0]
+                k = 1
+                while k <= 63:
+                    rs = huff_decode(reader, ac_tab)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL: 16 zeros
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    s = rs & 15
+                    if k > 63:
+                        raise ValueError("AC coefficient index overflow")
+                    block[k] = extend(reader.receive(s), s) * q[k]
+                    k += 1
+        # --- batched dequantized-coefficient → pixel reconstruction
+        planes = []
+        for ci in range(len(scan)):
+            S = np.zeros((n_mcu, 64), dtype=np.float64)
+            S[:, zz] = coefs[ci]  # zig-zag inversion
+            S = S.reshape(n_mcu, 8, 8)
+            px = np.einsum("ux,nuv,vy->nxy", _C, S, _C) + 128.0
+            px = np.clip(np.floor(px + 0.5), 0, 255)
+            # reassemble raster plane from 8x8 blocks, crop padding
+            plane = (
+                px.reshape(by, bx, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(by * 8, bx * 8)[:h, :w]
+            )
+            planes.append(plane)
+        if len(planes) == 1:
+            y = planes[0]
+            rgb = np.stack([y, y, y], axis=-1)
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.clip(
+                np.floor(np.stack([r, g, b], axis=-1) + 0.5), 0, 255
+            )
+        return w, h, rgb.reshape(-1, 3).astype(np.uint8)
+
+    return decode_jpeg
+
+
+def synth_jpeg_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: deterministically synthesize a REAL baseline
+    JPEG per doc_id whose decode is EXACTLY predictable — the fixture
+    trick that keeps the lossy format oracle-checkable: every 8x8
+    block is a constant color (AC coefficients all zero) and the
+    quantization tables are all-ones, so the quantized DC coefficient
+    ``8*(value-128)`` reconstructs the block bit-exactly and the
+    decoded channel means follow from pinned arithmetic alone.
+
+    Geometry: ``width = 8*(1 + doc_id % 3)``, ``height =
+    8*(1 + doc_id % 2)``. Block ``b`` (raster order):
+    ``Y = 28 + (doc_id*31 + 5*b) % 200``,
+    ``Cb = 113 + (doc_id + 7*b) % 30``,
+    ``Cr = 114 + (doc_id*3 + 11*b) % 28`` — deviations sized so the
+    JFIF YCbCr→RGB transform never clamps. Docs with ``doc_id % 5 ==
+    0`` emit a GRAYSCALE (1-component) JPEG from the same Y values;
+    docs with ``doc_id % 3 == 0`` add a DRI segment (restart interval
+    2) with RSTn markers, exercising the decoder's restart path. APP0
+    (JFIF) and COM segments exercise skip-by-length; DC tables are the
+    public T.81 Annex K typicals, AC tables the minimal EOB-only
+    table. The SQL oracle recomputes expected means from the Y/Cb/Cr
+    arithmetic + the JFIF formula (same half-up rounding) and never
+    sees a byte of JPEG — a Huffman, DPCM, dequant, zig-zag, IDCT, or
+    color-transform bug lands as a value mismatch.
+    """
+    encode = _make_jpeg_fixture_encoder()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
+def _make_jpeg_fixture_encoder():
+    """Build ``encode(doc_id) -> bytes`` implementing the pinned
+    fixture arithmetic documented on :func:`synth_jpeg_payload`.
+    Factory-nested (constants resolved at factory time into closure
+    data) so the encode closure pickles by value; tests call the same
+    factory, so the property suite and the Spark fixture are one
+    encoder by construction."""
+    import struct
+
+    def emit_dht(tc: int, th: int, spec) -> bytes:
+        bits, vals = spec
+        body = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    dc_luma_codes = {
+        v: (length, code)
+        for (length, code), v in _jpeg_canonical_codes(*_JPEG_DC_LUMA).items()
+    }
+    dc_chroma_codes = {
+        v: (length, code)
+        for (length, code), v in _jpeg_canonical_codes(*_JPEG_DC_CHROMA).items()
+    }
+    app0 = (b"\xff\xe0" + struct.pack(">H", 16)
+            + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = (b"\xff\xdb" + struct.pack(">H", 2 + 2 * 65)
+           + b"\x00" + b"\x01" * 64 + b"\x01" + b"\x01" * 64)
+    dhts = (emit_dht(0, 0, _JPEG_DC_LUMA) + emit_dht(0, 1, _JPEG_DC_CHROMA)
+            + emit_dht(1, 0, _JPEG_AC_EOB_ONLY)
+            + emit_dht(1, 1, _JPEG_AC_EOB_ONLY))
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.nbits = 0
+
+        def put(self, code: int, length: int) -> None:
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.nbits += 1
+                if self.nbits == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)  # byte stuffing
+                    self.acc = 0
+                    self.nbits = 0
+
+        def flush(self) -> None:
+            if self.nbits:
+                self.acc = (self.acc << (8 - self.nbits)) | (
+                    (1 << (8 - self.nbits)) - 1
+                )
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.nbits = 0
+
+    def put_dc_diff(bw, codes: dict, diff: int) -> None:
+        mag, t = abs(diff), 0
+        while mag:
+            mag >>= 1
+            t += 1
+        length, code = codes[t]
+        bw.put(code, length)
+        if t:
+            bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+
+    def encode(d: int) -> bytes:
+        n_bx, n_by = 1 + d % 3, 1 + d % 2
+        w, h = 8 * n_bx, 8 * n_by
+        nb = n_bx * n_by
+        gray = d % 5 == 0
+        dri = 2 if d % 3 == 0 else 0
+        b_idx = np.arange(nb, dtype=np.int64)
+        ys = 28 + (d * 31 + 5 * b_idx) % 200
+        cbs = 113 + (d + 7 * b_idx) % 30
+        crs = 114 + (d * 3 + 11 * b_idx) % 28
+        comps = [(1, 0, ys)] if gray else [(1, 0, ys), (2, 1, cbs), (3, 1, crs)]
+        sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
+        sos = bytes([len(comps)])
+        for cid, tq, _ in comps:
+            sof += bytes([cid, 0x11, tq])
+            sos += bytes([cid, tq << 4 | tq])  # DC/AC table id = tq
+        sos += b"\x00\x3f\x00"
+        head = (b"\xff\xd8" + app0
+                + b"\xff\xfe" + struct.pack(">H", 2 + 11)
+                + b"fixture %03d" % (d % 1000)
+                + dqt + dhts)
+        if dri:
+            head += b"\xff\xdd" + struct.pack(">H", 4) + struct.pack(">H", dri)
+        head += (b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+                 + b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos)
+        bw = _BitWriter()
+        preds = [0] * len(comps)
+        rst = 0
+        for m in range(nb):
+            if dri and m and m % dri == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * len(comps)
+            for ci, (_cid, tq, vals) in enumerate(comps):
+                dc = 8 * (int(vals[m]) - 128)
+                put_dc_diff(
+                    bw, dc_chroma_codes if tq else dc_luma_codes, dc - preds[ci]
+                )
+                preds[ci] = dc
+                bw.put(0, 1)  # EOB ('0' in the minimal AC table)
+        bw.flush()
+        return bytes(head + bw.out + b"\xff\xd9")
+
+    return encode
+
+
 def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-payload feature extraction over Arrow batches.
 
@@ -509,9 +977,57 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     (:func:`_make_wav_parser`) + per-channel numpy sample means —
     output schema ``WAV_STATS_SCHEMA``, same corrupt-payload contract.
 
-    Any other codec raises — JPEG/video decoders need PIL/ffmpeg,
-    absent in this environment.
+    ``codec='jpeg'``: a REAL LOSSY codec — baseline JPEG (T.81) via
+    stdlib Huffman decode + batched numpy IDCT + JFIF color transform
+    (:func:`_make_jpeg_decoder`) — same output schema and corrupt-
+    payload contract as the ppm/png branches.
+
+    Any other codec raises — video decoders need ffmpeg, absent in
+    this environment.
     """
+    if codec == "jpeg":
+        decode_jpeg = _make_jpeg_decoder()
+
+        def decode_jpeg_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                rows = {k: [] for k in ("valid", "width", "height", "r", "g", "b")}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        w, h, pix = decode_jpeg(bytes(payload))
+                        means = pix.mean(axis=0, dtype=np.float64)
+                        rows["valid"].append(True)
+                        rows["width"].append(w)
+                        rows["height"].append(h)
+                        for c, m in zip(("r", "g", "b"), means):
+                            rows[c].append(round(float(m), 6))
+                    except ValueError:
+                        rows["valid"].append(False)
+                        rows["width"].append(None)
+                        rows["height"].append(None)
+                        for c in ("r", "g", "b"):
+                            rows[c].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "width": pd.Series(rows["width"], dtype="Int32"),
+                        "height": pd.Series(rows["height"], dtype="Int32"),
+                        "r_mean": pd.Series(rows["r"], dtype="float64"),
+                        "g_mean": pd.Series(rows["g"], dtype="float64"),
+                        "b_mean": pd.Series(rows["b"], dtype="float64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_jpeg_batches, PPM_STATS_SCHEMA
+        )
     if codec == "wav":
         parse_wav = _make_wav_parser()
 
@@ -658,8 +1174,9 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
         raise NotImplementedError(
             f"codec {codec!r}: only 'fake' (byte stats), 'ppm' (real P6 "
             "parse), 'png' (real zlib inflate + filter reconstruction), "
-            "and 'wav' (real RIFF/PCM parse) run in this environment; "
-            "plug PIL/ffmpeg into decode_features here for JPEG/video"
+            "'wav' (real RIFF/PCM parse), and 'jpeg' (real baseline "
+            "Huffman+IDCT decode) run in this environment; plug ffmpeg "
+            "into decode_features here for video"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -476,6 +476,67 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_wav_payload(docs), codec="wav")
 
 
+# LOSSY codec decode (round-9 verdict optional item 8, closing the
+# last codec gate): synth_jpeg_payload builds genuine baseline JPEGs
+# — Annex-K DC Huffman tables, DPCM across blocks, restart markers on
+# every 3rd doc, a grayscale variant on every 5th — whose decode is
+# EXACTLY predictable because every 8x8 block is a constant color
+# (DC-only, all-ones quant). The oracle recomputes the block Y/Cb/Cr
+# arithmetic + the JFIF color transform (identical float64 half-up
+# rounding on both sides — the decoder's planes are exact integers
+# before the transform, so FLOOR(x + 0.5) agrees bit-for-bit) and
+# never sees a byte of JPEG: a Huffman, DPCM, dequant, zig-zag, IDCT,
+# or color-transform bug lands as a value mismatch. The pure-Python
+# twin check in tests/test_properties.py sweeps ALL 4200 fixture
+# residue classes (lcm of the geometry/value periods) encoder →
+# decoder → pinned arithmetic.
+@query(
+    "q_multimodal_decode_jpeg",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           round(list_sum(list_transform(range(0, nb), b ->
+             CASE WHEN d % 5 = 0
+                  THEN CAST(28 + (d*31 + 5*b) % 200 AS DOUBLE)
+                  ELSE FLOOR(CAST(28 + (d*31 + 5*b) % 200 AS DOUBLE)
+                       + CAST(1.402 AS DOUBLE)
+                         * (CAST(114 + (d*3 + 11*b) % 28 AS DOUBLE) - 128)
+                       + 0.5)
+             END)) / nb, 6) AS r_mean,
+           round(list_sum(list_transform(range(0, nb), b ->
+             CASE WHEN d % 5 = 0
+                  THEN CAST(28 + (d*31 + 5*b) % 200 AS DOUBLE)
+                  ELSE FLOOR(CAST(28 + (d*31 + 5*b) % 200 AS DOUBLE)
+                       - CAST(0.344136 AS DOUBLE)
+                         * (CAST(113 + (d + 7*b) % 30 AS DOUBLE) - 128)
+                       - CAST(0.714136 AS DOUBLE)
+                         * (CAST(114 + (d*3 + 11*b) % 28 AS DOUBLE) - 128)
+                       + 0.5)
+             END)) / nb, 6) AS g_mean,
+           round(list_sum(list_transform(range(0, nb), b ->
+             CASE WHEN d % 5 = 0
+                  THEN CAST(28 + (d*31 + 5*b) % 200 AS DOUBLE)
+                  ELSE FLOOR(CAST(28 + (d*31 + 5*b) % 200 AS DOUBLE)
+                       + CAST(1.772 AS DOUBLE)
+                         * (CAST(113 + (d + 7*b) % 30 AS DOUBLE) - 128)
+                       + 0.5)
+             END)) / nb, 6) AS b_mean
+    FROM (
+      SELECT doc_id, doc_id AS d,
+             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import synth_jpeg_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_jpeg_payload(docs), codec="jpeg")
+
+
 # Sampling tier (operators.sampling): corpus curation at 100 TB is
 # sampling work. The hash sampler's in/out decision is pure int64
 # arithmetic, so both engines compute it identically — full oracle.
@@ -1508,9 +1569,10 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_corpus_shuffle",
     oracle="""
     SELECT doc_id,
-           CAST((doc_id * 2654435761) % 2147483648 AS BIGINT) AS shuffle_key,
+           CAST((doc_id % 2147483648 * 2654435761) % 2147483648 AS BIGINT)
+             AS shuffle_key,
            CAST(row_number() OVER (
-             ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+             ORDER BY (doc_id % 2147483648 * 2654435761) % 2147483648, doc_id
            ) AS BIGINT) AS pos
     FROM documents
     """,
@@ -1519,9 +1581,18 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.operators import global_order_index
 
     docs = load_table(spark, sf_dir, "documents")
+    # reduce doc_id mod 2^31 BEFORE the Knuth multiply: the product
+    # only matters mod 2^31, and (a mod 2^31)*c ≡ a*c (mod 2^31), so
+    # the key is bit-identical — but the raw product overflows int64
+    # under ANSI mode once doc_id > ~3.47e9 (found by the r10 sf1
+    # full-suite probe on the ×10-amplified corpus; guaranteed at
+    # 100 TB id ranges). Max operand is now 2^31 * 2654435761 < 2^63.
     base = docs.select(
         "doc_id",
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(2147483648))
+        F.pmod(
+            F.pmod(F.col("doc_id"), F.lit(2147483648)) * F.lit(2654435761),
+            F.lit(2147483648),
+        )
         .cast("bigint")
         .alias("shuffle_key"),
     )

@@ -57,6 +57,7 @@ TOP = [
     "q_multimodal_decode",
     "q_multimodal_decode_png",
     "q_multimodal_decode_wav",
+    "q_multimodal_decode_jpeg",  # r10: the lossy real codec
 ]
 
 MARK_START = "<!-- sf1-probe:start -->"

@@ -249,6 +249,57 @@ def test_wav_decode_known_audio_and_corrupt_payloads(spark):
         assert got[k].n_channels is None and got[k].ch0_mean is None
 
 
+def test_jpeg_decode_known_images_and_corrupt_payloads(spark):
+    """The lossy-codec branch through the REAL Spark plan: fixture
+    JPEGs for one color doc, one grayscale doc (d%5==0), and one
+    restart-marker doc (d%3==0) must decode to the pinned block
+    arithmetic, and every corrupt-payload class must yield a
+    valid=false row — never a dead task. (Bit-level structural
+    corruption classes are pinned decoder-side in
+    tests/test_properties.py; JPEG has no checksum, so entropy bit
+    flips are out of contract.)"""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_jpeg_fixture_encoder,
+        decode_features,
+    )
+
+    enc = _make_jpeg_fixture_encoder()
+
+    def expected(d):
+        n_bx, n_by = 1 + d % 3, 1 + d % 2
+        b = np.arange(n_bx * n_by)
+        ys = (28 + (d * 31 + 5 * b) % 200).astype(np.float64)
+        if d % 5 == 0:
+            r = g = bl = ys
+        else:
+            cb = (113 + (d + 7 * b) % 30).astype(np.float64)
+            cr = (114 + (d * 3 + 11 * b) % 28).astype(np.float64)
+            r = np.floor(ys + 1.402 * (cr - 128) + 0.5)
+            g = np.floor(ys - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+            bl = np.floor(ys + 1.772 * (cb - 128) + 0.5)
+        return (8 * n_bx, 8 * n_by, round(float(r.mean()), 6),
+                round(float(g.mean()), 6), round(float(bl.mean()), 6))
+
+    # 1: color no-DRI; 3: color with restart markers; 5: grayscale
+    rows = [(1, enc(1)), (3, enc(3)), (5, enc(5)),
+            (100, b"JUNK" + enc(1)[4:]),    # bad SOI
+            (101, enc(1)[:40]),             # truncated mid-header
+            (102, None)]                    # NULL payload
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="jpeg").collect()}
+    assert len(got) == 6
+    for d in (1, 3, 5):
+        ew, eh, er, eg, eb = expected(d)
+        r = got[d]
+        assert (r.valid, r.width, r.height) == (True, ew, eh), f"doc {d}"
+        assert (r.r_mean, r.g_mean, r.b_mean) == (er, eg, eb), f"doc {d}"
+    for d in (100, 101, 102):
+        assert got[d].valid is False, f"doc {d} should be rejected"
+        assert got[d].width is None and got[d].r_mean is None
+
+
 def test_png_and_ppm_decode_agree(spark, sf_dir):
     """Both real codecs carry the SAME pinned pixel arithmetic, so
     their decoded stats must be row-for-row identical — a cheap

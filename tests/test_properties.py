@@ -363,3 +363,111 @@ def test_wav_parser_roundtrip_and_truncation(n_ch, nf, seed, rate, extra_chunk, 
 
         with pytest.raises(ValueError):
             parse(buf[: len(buf) - min(cut, len(data))])
+
+
+def test_jpeg_codec_full_residue_sweep():
+    """Exhaustive pin of the baseline-JPEG codec pair: for EVERY
+    fixture residue class (doc_id mod 4200 = lcm of the geometry and
+    Y/Cb/Cr value periods 3,2,5,200,30,28 — covering color/grayscale,
+    restart/no-restart, all block counts), encode → decode must
+    reproduce the pinned block arithmetic exactly: dimensions, and
+    per-channel means from the Y/Cb/Cr values + the JFIF transform
+    with half-up rounding. This is the same arithmetic the DuckDB
+    oracle recomputes, so a pass here plus the catalog differential
+    pins Huffman, DPCM, dequant, zig-zag, IDCT, and color transform
+    end to end."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_jpeg_decoder,
+        _make_jpeg_fixture_encoder,
+    )
+
+    enc, dec = _make_jpeg_fixture_encoder(), _make_jpeg_decoder()
+
+    def expected(d: int):
+        n_bx, n_by = 1 + d % 3, 1 + d % 2
+        b = np.arange(n_bx * n_by)
+        ys = (28 + (d * 31 + 5 * b) % 200).astype(np.float64)
+        if d % 5 == 0:
+            r = g = bl = ys
+        else:
+            cb = (113 + (d + 7 * b) % 30).astype(np.float64)
+            cr = (114 + (d * 3 + 11 * b) % 28).astype(np.float64)
+            r = np.floor(ys + 1.402 * (cr - 128) + 0.5)
+            g = np.floor(
+                ys - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+            )
+            bl = np.floor(ys + 1.772 * (cb - 128) + 0.5)
+        return (
+            8 * n_bx,
+            8 * n_by,
+            round(float(r.mean()), 6),
+            round(float(g.mean()), 6),
+            round(float(bl.mean()), 6),
+        )
+
+    for d in range(4200):
+        w, h, pix = dec(enc(d))
+        m = pix.mean(axis=0, dtype=np.float64)
+        got = (w, h, round(float(m[0]), 6), round(float(m[1]), 6),
+               round(float(m[2]), 6))
+        assert got == expected(d), f"doc_id residue {d}"
+
+
+@given(d=st.integers(0, 10**9), cut=st.integers(3, 40))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_decoder_structural_corruption(d, cut):
+    """Structural-corruption pin for the JPEG decoder. JPEG carries no
+    checksum (unlike PNG's per-chunk CRC), so entropy-data bit flips
+    can silently change pixels — the contract here is therefore only
+    STRUCTURAL: truncation into the scan, bad SOI, progressive SOF,
+    oversized header dims, and a missing Huffman table must all raise
+    ValueError (→ valid=false rows), never crash or hang."""
+    import struct
+
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_jpeg_decoder,
+        _make_jpeg_fixture_encoder,
+    )
+
+    enc, dec = _make_jpeg_fixture_encoder(), _make_jpeg_decoder()
+    good = enc(d)
+
+    # cut >= 3 always removes EOI (2 bytes) plus at least one byte of
+    # entropy data or its stuffing -> truncated-scan ValueError
+    with pytest.raises(ValueError):
+        dec(good[: len(good) - cut])
+    with pytest.raises(ValueError):
+        dec(b"JUNK" + good[4:])
+    # SOF0 -> SOF2 (progressive): marker byte patch
+    sof_at = good.index(b"\xff\xc0")
+    prog = bytearray(good)
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(ValueError):
+        dec(bytes(prog))
+    # hostile header: patch declared dims to 60000x60000 (the pixel
+    # cap must reject before sizing any buffer)
+    huge = bytearray(good)
+    struct.pack_into(">HH", huge, sof_at + 5, 60000, 60000)
+    with pytest.raises(ValueError):
+        dec(bytes(huge))
+    # drop the DHT run entirely -> SOS must report the missing table
+    dht_at = good.index(b"\xff\xc4")
+    end = dht_at
+    while good[end : end + 2] == b"\xff\xc4":
+        (seglen,) = struct.unpack(">H", good[end + 2 : end + 4])
+        end += 2 + seglen
+    with pytest.raises(ValueError):
+        dec(good[:dht_at] + good[end:])
+    # 16 one-bits at the start of the scan walk past every AC/DC code
+    # of the fixture tables -> invalid-Huffman ValueError (stuffed FFs)
+    sos_at = good.index(b"\xff\xda")
+    (sos_len,) = struct.unpack(">H", good[sos_at + 2 : sos_at + 4])
+    ecs = sos_at + 2 + sos_len
+    bad_scan = bytearray(good)
+    bad_scan[ecs : ecs + 4] = b"\xff\x00\xff\x00"
+    with pytest.raises(ValueError):
+        dec(bytes(bad_scan))
