@@ -647,6 +647,18 @@ def _make_jpeg_decoder():
         return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
     def decode_jpeg(buf: bytes):
+        # normalize malformed-input failure modes to the corrupt-row
+        # contract: short-slice struct.unpack raises struct.error and
+        # a truncated segment body can raise IndexError — both must
+        # surface as ValueError (valid=false row), never a dead task
+        try:
+            return _decode(buf)
+        except ValueError:
+            raise
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"truncated segment body: {e}") from e
+
+    def _decode(buf: bytes):
         if len(buf) < 4 or buf[0:2] != b"\xff\xd8":
             raise ValueError("not a JPEG: bad SOI")
         pos = 2
