@@ -84,9 +84,11 @@ HEADLINE = [
     # and the AUDIO real codec (RIFF/PCM parse + per-channel means)
     "q_multimodal_decode_png",
     "q_multimodal_decode_wav",
-    # round-10 addition: the LOSSY real codec (baseline JPEG Huffman
-    # decode + batched numpy IDCT + JFIF color transform)
+    # round-10 additions: the LOSSY real codec (baseline JPEG Huffman
+    # decode + batched numpy IDCT + JFIF color transform) and the
+    # VIDEO container (y4m planar stream, per-frame iteration)
     "q_multimodal_decode_jpeg",
+    "q_multimodal_decode_y4m",
 ]
 
 

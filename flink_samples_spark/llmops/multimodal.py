@@ -58,6 +58,14 @@ WAV_STATS_SCHEMA = (
     "n_frames bigint, ch0_mean double, ch1_mean double"
 )
 
+# output of the REAL y4m (video) codec branch: stream geometry +
+# per-channel means across all frames — same corrupt-row contract
+Y4M_STATS_SCHEMA = (
+    "doc_id bigint, valid boolean, width int, height int, "
+    "n_frames bigint, fps_num int, fps_den int, "
+    "y_mean double, cb_mean double, cr_mean double"
+)
+
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Test-data adapter: materialize a binary column from text (the
@@ -968,6 +976,147 @@ def _make_jpeg_fixture_encoder():
     return encode
 
 
+def _make_y4m_parser():
+    """Build the YUV4MPEG2 (``.y4m``) parser — the real public
+    UNCOMPRESSED video container (mjpegtools spec), stdlib + numpy
+    only: ``YUV4MPEG2`` magic, space-separated stream parameters
+    (``W``/``H`` dims, ``F<num>:<den>`` frame rate required;
+    ``I``/``A``/``X`` accepted and skipped), then per-frame ``FRAME``
+    markers (optional frame parameters skipped to the newline) each
+    followed by raw planar pixel data. Colourspaces: ``C444`` (3
+    planes of w*h bytes) and ``Cmono`` (1 plane); chroma-subsampled
+    modes (``C420*``/``C422``, including the spec's C420 default when
+    the C tag is absent) raise — supporting them is an upsampling
+    policy choice, not a parse problem, and the corpus-stats use has
+    no need for it.
+
+    Returns ``parse_y4m(buf) -> (w, h, fps_num, fps_den, frames)``
+    with ``frames`` a ``(n_frames, n_planes, w*h)`` uint8 array;
+    raises ``ValueError`` on anything malformed (bad magic, missing
+    required params, zero/oversized dims, unknown bytes where a FRAME
+    marker belongs, truncated frame data). A zero-frame stream is
+    VALID (means are NULL downstream). Uncompressed container ⇒ no
+    bomb surface: output is a view of the input bytes; the same
+    16.7M-px cap as the image codecs bounds per-frame size up front.
+
+    Frame ITERATION is the part that matters for the video shape —
+    the decode stage streams frames out of one binary cell, the same
+    plumbing a compressed codec would feed.
+    """
+
+    def parse_y4m(buf: bytes):
+        eol = buf.find(b"\n")
+        if eol < 0 or not buf.startswith(b"YUV4MPEG2"):
+            raise ValueError("not a YUV4MPEG2 stream")
+        w = h = fn = fd = None
+        cspace = None  # spec default is C420 — rejected below
+        for tok in buf[9:eol].split(b" "):
+            if not tok:
+                continue
+            tag, val = tok[:1], tok[1:]
+            try:
+                if tag == b"W":
+                    w = int(val)
+                elif tag == b"H":
+                    h = int(val)
+                elif tag == b"F":
+                    num, den = val.split(b":")
+                    fn, fd = int(num), int(den)
+                elif tag == b"C":
+                    cspace = bytes(val)
+                # I (interlacing), A (aspect), X (comment): skipped
+            except (ValueError, TypeError) as e:
+                raise ValueError(f"bad stream parameter {tok!r}") from e
+        if w is None or h is None or fn is None or fd is None:
+            raise ValueError("missing required W/H/F stream parameters")
+        if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
+            raise ValueError("non-positive dimension or frame rate")
+        if w * h > (1 << 24):
+            raise ValueError(f"frame dimensions exceed decoder cap: {w}x{h}")
+        if cspace == b"mono":
+            n_planes = 1
+        elif cspace == b"444":
+            n_planes = 3
+        else:
+            raise ValueError(
+                f"unsupported colourspace {cspace!r} (C444/Cmono only; "
+                "C420/C422 need an upsampling policy)"
+            )
+        frame_bytes = n_planes * w * h
+        pos = eol + 1
+        frames = []
+        while pos < len(buf):
+            if buf[pos : pos + 5] != b"FRAME":
+                raise ValueError("expected FRAME marker")
+            feol = buf.find(b"\n", pos + 5)
+            if feol < 0:
+                raise ValueError("unterminated FRAME header")
+            extra = buf[pos + 5 : feol]
+            if extra and not extra.startswith(b" "):
+                raise ValueError("malformed FRAME parameters")
+            pos = feol + 1
+            if pos + frame_bytes > len(buf):
+                raise ValueError("truncated frame data")
+            frames.append(
+                np.frombuffer(buf, np.uint8, frame_bytes, pos).reshape(
+                    n_planes, w * h
+                )
+            )
+            pos += frame_bytes
+        stacked = (
+            np.stack(frames)
+            if frames
+            else np.empty((0, n_planes, w * h), dtype=np.uint8)
+        )
+        return w, h, fn, fd, stacked
+
+    return parse_y4m
+
+
+def synth_y4m_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: deterministically synthesize a REAL
+    YUV4MPEG2 stream per doc_id — ``width = 4 + doc_id % 3``,
+    ``height = 3 + doc_id % 2``, ``n_frames = 2 + doc_id % 3``, frame
+    rate ``(24 + doc_id % 3):(1 + doc_id % 2)``; plane ``p`` (Y=0,
+    Cb=1, Cr=2), frame ``f``, pixel ``i`` valued ``(doc_id*29 + f*17
+    + p*11 + 3*i) % 256`` — pinned arithmetic a SQL oracle recomputes
+    independently of the parser. Docs with ``doc_id % 7 == 0`` emit
+    ``Cmono`` streams (Y plane only → cb/cr means NULL downstream);
+    the stream header carries ``Ip A1:1 Xfixture`` and every frame
+    header a parameter, exercising both skip paths.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 4 + d % 3, 3 + d % 2
+                nf = 2 + d % 3
+                fn, fd = 24 + d % 3, 1 + d % 2
+                n_planes = 1 if d % 7 == 0 else 3
+                cs = b"mono" if n_planes == 1 else b"444"
+                out = bytearray(
+                    b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s Xfixture\n"
+                    % (w, h, fn, fd, cs)
+                )
+                i = np.arange(w * h, dtype=np.int64)
+                for f in range(nf):
+                    out += b"FRAME Xf%d\n" % f
+                    for p in range(n_planes):
+                        out += (
+                            ((d * 29 + f * 17 + p * 11 + 3 * i) % 256)
+                            .astype(np.uint8)
+                            .tobytes()
+                        )
+                payloads.append(bytes(out))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
 def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-payload feature extraction over Arrow batches.
 
@@ -994,9 +1143,81 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     (:func:`_make_jpeg_decoder`) — same output schema and corrupt-
     payload contract as the ppm/png branches.
 
-    Any other codec raises — video decoders need ffmpeg, absent in
-    this environment.
+    ``codec='y4m'``: a REAL VIDEO container — YUV4MPEG2 uncompressed
+    planar stream parse with per-frame iteration
+    (:func:`_make_y4m_parser`) + per-channel means across frames —
+    output schema ``Y4M_STATS_SCHEMA``, same corrupt-payload contract.
+
+    Any other codec raises — compressed/inter-frame video (H.264,
+    VP9, ...) needs ffmpeg, absent in this environment.
     """
+    if codec == "y4m":
+        parse_y4m = _make_y4m_parser()
+
+        def decode_y4m_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                keys = ("valid", "w", "h", "nf", "fn", "fd", "y", "cb", "cr")
+                rows = {k: [] for k in keys}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        w, h, fn, fd, frames = parse_y4m(bytes(payload))
+                        # zero-frame stream is VALID with NULL means
+                        # (same guard as the WAV branch: mean() over
+                        # an empty axis would warn and produce nan)
+                        means = (
+                            frames.mean(axis=(0, 2), dtype=np.float64)
+                            if len(frames)
+                            else None
+                        )
+                        mono = frames.shape[1] == 1
+                        rows["valid"].append(True)
+                        rows["w"].append(w)
+                        rows["h"].append(h)
+                        rows["nf"].append(len(frames))
+                        rows["fn"].append(fn)
+                        rows["fd"].append(fd)
+                        rows["y"].append(
+                            round(float(means[0]), 6) if means is not None else None
+                        )
+                        rows["cb"].append(
+                            round(float(means[1]), 6)
+                            if means is not None and not mono
+                            else None
+                        )
+                        rows["cr"].append(
+                            round(float(means[2]), 6)
+                            if means is not None and not mono
+                            else None
+                        )
+                    except ValueError:
+                        rows["valid"].append(False)
+                        for k in keys[1:]:
+                            rows[k].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "width": pd.Series(rows["w"], dtype="Int32"),
+                        "height": pd.Series(rows["h"], dtype="Int32"),
+                        "n_frames": pd.Series(rows["nf"], dtype="Int64"),
+                        "fps_num": pd.Series(rows["fn"], dtype="Int32"),
+                        "fps_den": pd.Series(rows["fd"], dtype="Int32"),
+                        "y_mean": pd.Series(rows["y"], dtype="float64"),
+                        "cb_mean": pd.Series(rows["cb"], dtype="float64"),
+                        "cr_mean": pd.Series(rows["cr"], dtype="float64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_y4m_batches, Y4M_STATS_SCHEMA
+        )
     if codec == "jpeg":
         decode_jpeg = _make_jpeg_decoder()
 
@@ -1186,9 +1407,10 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
         raise NotImplementedError(
             f"codec {codec!r}: only 'fake' (byte stats), 'ppm' (real P6 "
             "parse), 'png' (real zlib inflate + filter reconstruction), "
-            "'wav' (real RIFF/PCM parse), and 'jpeg' (real baseline "
-            "Huffman+IDCT decode) run in this environment; plug ffmpeg "
-            "into decode_features here for video"
+            "'wav' (real RIFF/PCM parse), 'jpeg' (real baseline "
+            "Huffman+IDCT decode), and 'y4m' (real uncompressed video "
+            "container) run in this environment; plug ffmpeg into "
+            "decode_features here for compressed video (H.264/VP9/...)"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

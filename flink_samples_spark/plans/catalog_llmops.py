@@ -537,6 +537,54 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_jpeg_payload(docs), codec="jpeg")
 
 
+# VIDEO container decode (round 10, closing the video gate the honest
+# way PPM closed the image gate): synth_y4m_payload builds genuine
+# YUV4MPEG2 streams — required W/H/F params plus skipped I/A/X tags,
+# per-frame FRAME markers with frame parameters, C444 and (every 7th
+# doc) Cmono planar data — and decode_features(codec="y4m") parses
+# the container, iterates frames, and computes per-channel means
+# across all frames. Compressed/inter-frame video stays gated (needs
+# ffmpeg); the container/frame-iteration plumbing is the part with
+# dataflow semantics and it is real. Oracle: pinned plane arithmetic
+# (value = (d*29 + f*17 + p*11 + 3*i) % 256), never a byte of y4m.
+@query(
+    "q_multimodal_decode_y4m",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(4 + d % 3 AS INT) AS width,
+           CAST(3 + d % 2 AS INT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(24 + d % 3 AS INT) AS fps_num,
+           CAST(1 + d % 2 AS INT) AS fps_den,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, npx), i ->
+               CAST((d*29 + f*17 + 3*i) % 256 AS DOUBLE)))))
+             / (nf * npx), 6) AS y_mean,
+           CASE WHEN d % 7 = 0 THEN NULL ELSE
+             round(list_sum(list_transform(range(0, nf), f ->
+               list_sum(list_transform(range(0, npx), i ->
+                 CAST((d*29 + f*17 + 11 + 3*i) % 256 AS DOUBLE)))))
+               / (nf * npx), 6) END AS cb_mean,
+           CASE WHEN d % 7 = 0 THEN NULL ELSE
+             round(list_sum(list_transform(range(0, nf), f ->
+               list_sum(list_transform(range(0, npx), i ->
+                 CAST((d*29 + f*17 + 22 + 3*i) % 256 AS DOUBLE)))))
+               / (nf * npx), 6) END AS cr_mean
+    FROM (
+      SELECT doc_id, doc_id AS d, 2 + doc_id % 3 AS nf,
+             (4 + doc_id % 3) * (3 + doc_id % 2) AS npx
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import synth_y4m_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_y4m_payload(docs), codec="y4m")
+
+
 # Sampling tier (operators.sampling): corpus curation at 100 TB is
 # sampling work. The hash sampler's in/out decision is pure int64
 # arithmetic, so both engines compute it identically — full oracle.

@@ -58,6 +58,7 @@ TOP = [
     "q_multimodal_decode_png",
     "q_multimodal_decode_wav",
     "q_multimodal_decode_jpeg",  # r10: the lossy real codec
+    "q_multimodal_decode_y4m",   # r10: the video container
 ]
 
 MARK_START = "<!-- sf1-probe:start -->"

@@ -300,6 +300,54 @@ def test_jpeg_decode_known_images_and_corrupt_payloads(spark):
         assert got[d].width is None and got[d].r_mean is None
 
 
+def test_y4m_decode_known_streams_and_corrupt_payloads(spark):
+    """The video-container branch through the REAL Spark plan: a
+    hand-built 2-frame C444 stream and a mono stream must decode to
+    exact per-channel means (mono → cb/cr NULL), a zero-frame stream
+    is valid with NULL means, and every corrupt-payload class must
+    yield a valid=false row — never a dead task."""
+    from flink_samples_spark.llmops.multimodal import decode_features
+
+    # 2x1 C444, 2 frames: Y = [10,20],[30,40]; Cb = [50,60],[70,80];
+    # Cr = [90,100],[110,120] → means 25, 65, 105
+    good = (b"YUV4MPEG2 W2 H1 F30:1 Ip A1:1 C444 Xfixture\n"
+            + b"FRAME\n" + bytes([10, 20, 50, 60, 90, 100])
+            + b"FRAME Xp\n" + bytes([30, 40, 70, 80, 110, 120]))
+    mono = (b"YUV4MPEG2 W2 H2 F24:1 Cmono\n"
+            + b"FRAME\n" + bytes([8, 16, 24, 32]))
+    empty = b"YUV4MPEG2 W2 H1 F25:1 C444\n"
+    corrupt = {
+        10: b"JUNK" + good[4:],                       # bad magic
+        11: good.replace(b"C444", b"C420"),            # subsampled
+        12: good.replace(b" C444", b""),               # implicit C420
+        13: good.replace(b"W2", b"W0"),                # zero dim
+        14: good[:-3],                                 # truncated frame
+        15: good.replace(b"FRAME\n", b"BLOB!\n", 1),   # bad marker
+        16: good.replace(b"F30:1", b"Ip"),             # missing F param
+        17: None,                                      # NULL payload
+        18: good.replace(b"W2", b"W9000000"),          # pixel cap
+    }
+    rows = [(1, good), (2, mono), (3, empty)] + list(corrupt.items())
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="y4m").collect()}
+    assert len(got) == 12
+    g = got[1]
+    assert (g.valid, g.width, g.height, g.n_frames) == (True, 2, 1, 2)
+    assert (g.fps_num, g.fps_den) == (30, 1)
+    assert (g.y_mean, g.cb_mean, g.cr_mean) == (25.0, 65.0, 105.0)
+    m = got[2]
+    assert (m.valid, m.width, m.height, m.n_frames, m.y_mean) == (
+        True, 2, 2, 1, 20.0,
+    )
+    assert m.cb_mean is None and m.cr_mean is None
+    e = got[3]
+    assert (e.valid, e.n_frames) == (True, 0)
+    assert e.y_mean is None
+    for k in corrupt:
+        assert got[k].valid is False, f"doc {k} should be rejected"
+        assert got[k].width is None and got[k].y_mean is None
+
+
 def test_png_and_ppm_decode_agree(spark, sf_dir):
     """Both real codecs carry the SAME pinned pixel arithmetic, so
     their decoded stats must be row-for-row identical — a cheap

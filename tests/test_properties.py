@@ -471,3 +471,94 @@ def test_jpeg_decoder_structural_corruption(d, cut):
     bad_scan[ecs : ecs + 4] = b"\xff\x00\xff\x00"
     with pytest.raises(ValueError):
         dec(bytes(bad_scan))
+
+
+def test_y4m_parser_full_residue_sweep():
+    """Exhaustive pin of the y4m video-container pair: for every
+    fixture residue class (doc_id mod 42 = lcm of the geometry/frame
+    periods 3,2,3,7; values add a d*29 term but the mean arithmetic
+    is checked exactly per class below, so 0..2099 sweeps 50 full
+    value cycles too), synth → parse must reproduce geometry, frame
+    count, frame rate, and the per-plane means from the pinned
+    arithmetic — the same arithmetic the DuckDB oracle recomputes."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import _make_y4m_parser
+
+    parse = _make_y4m_parser()
+
+    def synth(d):
+        w, h = 4 + d % 3, 3 + d % 2
+        nf = 2 + d % 3
+        fn, fd = 24 + d % 3, 1 + d % 2
+        n_planes = 1 if d % 7 == 0 else 3
+        cs = b"mono" if n_planes == 1 else b"444"
+        out = bytearray(
+            b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s Xfixture\n"
+            % (w, h, fn, fd, cs)
+        )
+        i = np.arange(w * h, dtype=np.int64)
+        for f in range(nf):
+            out += b"FRAME Xf%d\n" % f
+            for p in range(n_planes):
+                out += ((d * 29 + f * 17 + p * 11 + 3 * i) % 256).astype(
+                    np.uint8
+                ).tobytes()
+        return bytes(out)
+
+    for d in range(2100):
+        w, h, fn, fd, frames = parse(synth(d))
+        n_planes = 1 if d % 7 == 0 else 3
+        nf = 2 + d % 3
+        assert (w, h, fn, fd) == (4 + d % 3, 3 + d % 2, 24 + d % 3, 1 + d % 2)
+        assert frames.shape == (nf, n_planes, w * h)
+        i = np.arange(w * h)
+        for p in range(n_planes):
+            exp = np.mean(
+                [((d * 29 + f * 17 + p * 11 + 3 * i) % 256).mean()
+                 for f in range(nf)]
+            )
+            got = frames[:, p, :].mean(dtype=np.float64)
+            assert round(float(got), 6) == round(float(exp), 6), (d, p)
+
+
+@given(d=st.integers(0, 10**9), cut=st.integers(1, 40))
+@settings(max_examples=60, deadline=None)
+def test_y4m_parser_corruption(d, cut):
+    """Corruption pin for the y4m parser: bad magic, chroma-subsampled
+    colourspace (explicit C420 AND the spec's implicit default when C
+    is absent), zero dims, garbage where a FRAME marker belongs, and
+    any truncation into frame data must raise ValueError; a zero-frame
+    stream is VALID."""
+    import numpy as np
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import _make_y4m_parser
+
+    parse = _make_y4m_parser()
+    w, h, nf = 4 + d % 3, 3 + d % 2, 2 + d % 3
+    out = bytearray(b"YUV4MPEG2 W%d H%d F25:1 C444\n" % (w, h))
+    rng = np.random.RandomState(d % (2**31))
+    for f in range(nf):
+        out += b"FRAME\n"
+        out += rng.randint(0, 256, 3 * w * h, dtype=np.int64).astype(
+            np.uint8
+        ).tobytes()
+    good = bytes(out)
+    pw, ph, _, _, frames = parse(good)
+    assert (pw, ph, frames.shape[0]) == (w, h, nf)
+
+    for mut in (
+        b"JUNK" + good[4:],
+        good.replace(b"C444", b"C420"),
+        good.replace(b" C444", b""),           # spec default C420 → reject
+        good.replace(b"W%d" % w, b"W0"),
+        good.replace(b"FRAME\n", b"FRAMX\n", 1),
+        good.replace(b"W%d" % w, b"W99999"),   # pixel-cap / truncated data
+        good[: len(good) - cut],               # truncation into frame data
+    ):
+        with pytest.raises(ValueError):
+            parse(bytes(mut))
+
+    _, _, _, _, empty = parse(b"YUV4MPEG2 W4 H3 F24:1 C444\n")
+    assert empty.shape == (0, 3, 12)
