@@ -559,10 +559,13 @@ def _make_jpeg_decoder():
     ``pixels`` a ``(width*height, 3)`` uint8 array in raster order
     (block padding cropped); raises ``ValueError`` on anything
     malformed (bad marker structure, missing tables, truncated scan,
-    invalid Huffman code, unsupported mode). The same 16.7M-px cap as
-    the PNG decoder bounds output allocation; JPEG entropy data has no
-    inflate-bomb surface (output size is fixed by the SOF0 header,
-    input is never expanded).
+    invalid Huffman code, unsupported mode). A 4.2M-px (2048x2048)
+    header cap bounds the up-front coefficient buffers — tighter than
+    the PNG decoder's 16.7M-px byte-wise cap because this decoder
+    allocates ~16 B/px across components (int32 coefficients +
+    float64 IDCT transients) before the scan runs; JPEG entropy data
+    has no inflate-bomb surface (output size is fixed by the SOF0
+    header, input is never expanded).
 
     Scale note: Huffman decoding is bit-serial Python (inherent in
     the format's variable-length codes) — same documented stance as
@@ -718,7 +721,14 @@ def _make_jpeg_decoder():
                     )
                 if w == 0 or h == 0:
                     raise ValueError("zero-dimension image")
-                if w * h > (1 << 24):
+                # tighter cap than the PNG decoder's 16.7M px: this
+                # decoder allocates per-block coefficient buffers UP
+                # FRONT (~16 B/px across 3 components at int32 +
+                # float64 IDCT transients), so a hostile header
+                # amplifies ~8x more than PNG's byte-wise bound.
+                # 4.2M px = 2048x2048 — plenty for a stdlib decoder;
+                # the production C-codec swap removes the cap.
+                if w * h > (1 << 22):
                     raise ValueError(f"image dimensions exceed decoder cap: {w}x{h}")
                 comps = []
                 for c in range(nc):
@@ -754,7 +764,7 @@ def _make_jpeg_decoder():
                     if tq not in qtables:
                         raise ValueError("missing quant table")
                     scan.append((htables[(0, td)], htables[(1, ta)],
-                                 qtables[tq].astype(np.float64)))
+                                 qtables[tq].astype(np.int64)))
                 break
             # APPn (E0-EF) / COM (FE) skipped by length, per spec
         # --- entropy-coded scan: one 8x8 block per component per MCU
@@ -763,7 +773,10 @@ def _make_jpeg_decoder():
         n_mcu = bx * by
         reader = _BitReader(buf, pos)
         preds = [0] * len(scan)
-        coefs = [np.zeros((n_mcu, 64), dtype=np.float64) for _ in scan]
+        # int32 holds any dequantized coefficient (|value| <= 32767 *
+        # 255) at half the float64 footprint; the IDCT converts to
+        # float64 one component at a time below
+        coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in scan]
         for m in range(n_mcu):
             if restart_interval and m and m % restart_interval == 0:
                 reader.align_and_expect_rst(m // restart_interval - 1)
