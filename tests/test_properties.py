@@ -562,3 +562,142 @@ def test_y4m_parser_corruption(d, cut):
 
     _, _, _, _, empty = parse(b"YUV4MPEG2 W4 H3 F24:1 C444\n")
     assert empty.shape == (0, 3, 12)
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_jpeg_decoder_general_ac_roundtrip(seed):
+    """Exercise the FULL AC grammar the fixtures (DC-only blocks)
+    never hit: random sparse coefficient blocks force run/size AC
+    symbols, ZRL (>=16-zero runs), EOB placement, and negative-value
+    category encoding. The expected pixels come from an INDEPENDENT
+    direct-sum IDCT (per-pixel cosine formula, different code path
+    from the decoder's basis-matrix einsum), so the transform check
+    is non-circular; comparison is atol=1 because the two summation
+    orders may legitimately disagree at exact-half rounding
+    boundaries of random coefficients — any Huffman/zig-zag/DPCM bug
+    shifts pixels by far more than 1."""
+    import struct
+
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _JPEG_DC_LUMA,
+        _JPEG_ZIGZAG,
+        _jpeg_canonical_codes,
+        _make_jpeg_decoder,
+    )
+
+    rng = np.random.RandomState(seed % (2**31))
+    n_bx, n_by = int(rng.randint(1, 4)), int(rng.randint(1, 3))
+    nb = n_bx * n_by
+    # sparse AC: ~15% nonzero, |values| <= 1000 (category <= 10)
+    coefs = np.where(
+        rng.rand(nb, 64) < 0.15, rng.randint(-1000, 1001, (nb, 64)), 0
+    ).astype(np.int64)
+    coefs[:, 0] = rng.randint(-800, 793, nb)  # DC in fixture range
+
+    # --- test-side encoder: grayscale, all-ones quant, Annex-K DC
+    # table, custom flat AC table (all 162 run/size symbols at 9 bits)
+    ac_syms = [0x00] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ] + [0xF0]
+    ac_bits = [0] * 8 + [len(ac_syms)] + [0] * 7
+    dc_codes = {
+        v: (ln, c)
+        for (ln, c), v in _jpeg_canonical_codes(*_JPEG_DC_LUMA).items()
+    }
+    ac_codes = {
+        v: (ln, c)
+        for (ln, c), v in _jpeg_canonical_codes(ac_bits, ac_syms).items()
+    }
+
+    bits_out = []
+
+    def put(code, length):
+        bits_out.extend((code >> i) & 1 for i in range(length - 1, -1, -1))
+
+    def put_val(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    pred = 0
+    for m in range(nb):
+        dc = int(coefs[m, 0])
+        diff = dc - pred
+        pred = dc
+        t = abs(diff).bit_length()
+        put(*reversed(dc_codes[t]))
+        put_val(diff, t)
+        k = 1
+        while k <= 63:
+            run = 0
+            while k <= 63 and coefs[m, k] == 0:
+                run += 1
+                k += 1
+            if k > 63:
+                put(*reversed(ac_codes[0x00]))  # EOB
+                break
+            while run >= 16:
+                put(*reversed(ac_codes[0xF0]))  # ZRL
+                run -= 16
+            v = int(coefs[m, k])
+            s = abs(v).bit_length()
+            put(*reversed(ac_codes[(run << 4) | s]))
+            put_val(v, s)
+            k += 1
+        else:
+            pass
+    # pad with 1s, byte-pack, stuff FFs
+    while len(bits_out) % 8:
+        bits_out.append(1)
+    ecs = bytearray()
+    for i in range(0, len(bits_out), 8):
+        b = int("".join(map(str, bits_out[i : i + 8])), 2)
+        ecs.append(b)
+        if b == 0xFF:
+            ecs.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    w, h = 8 * n_bx, 8 * n_by
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_LUMA[0]) + bytes(_JPEG_DC_LUMA[1])
+    dht_ac = bytes([0x10]) + bytes(ac_bits) + bytes(ac_syms)
+    buf = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + b"\x01" * 64)
+        + seg(0xC4, dht_dc) + seg(0xC4, dht_ac)
+        + seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        + bytes(ecs) + b"\xff\xd9"
+    )
+
+    # --- independent expectation: direct-sum IDCT per pixel
+    def c(u):
+        return 1 / np.sqrt(2) if u == 0 else 1.0
+
+    expect = np.zeros((h, w))
+    for m in range(nb):
+        by, bx = divmod(m, n_bx)
+        S = np.zeros((8, 8))
+        for k in range(64):
+            S[divmod(_JPEG_ZIGZAG[k], 8)] = coefs[m, k]
+        for x in range(8):
+            for y in range(8):
+                acc = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        acc += (
+                            c(u) * c(v) / 4 * S[u, v]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                expect[by * 8 + x, bx * 8 + y] = acc
+    expect = np.clip(np.floor(expect + 128 + 0.5), 0, 255)
+
+    dec = _make_jpeg_decoder()
+    got_w, got_h, pix = dec(buf)
+    assert (got_w, got_h) == (w, h)
+    gray = pix[:, 0].reshape(h, w).astype(np.float64)
+    assert np.abs(gray - expect).max() <= 1.0
