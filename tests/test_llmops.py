@@ -96,8 +96,10 @@ def test_decode_features_deterministic_and_stub_gated(spark, sf_dir):
     a = sorted(decode_features(media).collect())
     b = sorted(decode_features(media.repartition(3)).collect())
     assert a == b
+    # only compressed/inter-frame video remains gated (jpeg/y4m went
+    # real in round 10)
     with pytest.raises(NotImplementedError):
-        decode_features(media, codec="jpeg")
+        decode_features(media, codec="h264")
 
 
 def test_ppm_decode_known_image_and_corrupt_payloads(spark):
