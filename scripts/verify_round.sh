@@ -4,21 +4,17 @@
 # Run from the repo root:   bash scripts/verify_round.sh
 # Exits non-zero unless BOTH pytest and bench.py succeed AND the bench
 # printed a parseable JSON line with zero per-query errors.
+#
+# ORDER MATTERS (round-10 lesson): the bench runs FIRST, while the
+# host is quiet — running it after the 200+-query vanilla sweep left
+# loadavg ~20 and inflated every timing ~1.2x raw (and the sub-second
+# drift probes slipped into scheduler gaps, reading FAST and pushing
+# the normalized table to 34 false flags). pytest and the sweep don't
+# care about load; the bench numbers do.
 set -uo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== pytest =="
-python -m pytest tests/ -q -p no:cacheprovider || { echo "GATE RED: pytest failed"; exit 1; }
-
-echo "== vanilla-session catalog sweep =="
-# Round-5 lesson: the builder's tuned (Arrow-on) session masked a
-# non-Arrow createDataFrame failure the driver's config-free session
-# hit. The full catalog must pass under the driver's session shape
-# once per round. Fresh process so no tuned JVM leaks in.
-(cd /tmp && python /root/repo/.claude/skills/verify/driver_sim.py --vanilla) \
-  || { echo "GATE RED: vanilla-session sweep failed"; exit 1; }
-
-echo "== bench =="
+echo "== bench (quiet host — runs before the load-heavy phases) =="
 BENCH_OUT=$(python bench.py) || { echo "GATE RED: bench.py exited non-zero"; exit 1; }
 echo "$BENCH_OUT" | tail -1
 echo "$BENCH_OUT" | tail -1 | python -c '
@@ -48,3 +44,16 @@ if [ -n "${PREV:-}" ]; then
 else
   echo "no committed BENCH_r*_local.json snapshot — skipping comparison"
 fi
+
+echo "== pytest =="
+python -m pytest tests/ -q -p no:cacheprovider || { echo "GATE RED: pytest failed"; exit 1; }
+
+echo "== vanilla-session catalog sweep =="
+# Round-5 lesson: the builder's tuned (Arrow-on) session masked a
+# non-Arrow createDataFrame failure the driver's config-free session
+# hit. The full catalog must pass under the driver's session shape
+# once per round. Fresh process so no tuned JVM leaks in.
+(cd /tmp && python /root/repo/.claude/skills/verify/driver_sim.py --vanilla) \
+  || { echo "GATE RED: vanilla-session sweep failed"; exit 1; }
+
+echo "GATE GREEN: all phases passed"
