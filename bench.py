@@ -85,10 +85,12 @@ HEADLINE = [
     "q_multimodal_decode_png",
     "q_multimodal_decode_wav",
     # round-10 additions: the LOSSY real codec (baseline JPEG Huffman
-    # decode + batched numpy IDCT + JFIF color transform) and the
-    # VIDEO container (y4m planar stream, per-frame iteration)
+    # decode + batched numpy IDCT + JFIF color transform), the VIDEO
+    # container (y4m planar stream, per-frame iteration), and the
+    # PALETTE+LZW codec (animated GIF — dictionary coding)
     "q_multimodal_decode_jpeg",
     "q_multimodal_decode_y4m",
+    "q_multimodal_decode_gif",
 ]
 
 

@@ -66,6 +66,17 @@ Y4M_STATS_SCHEMA = (
     "y_mean double, cb_mean double, cr_mean double"
 )
 
+# output of the REAL gif codec branch: geometry + palette-mapped
+# channel means across frames, plus r_wsum — a POSITION-WEIGHTED
+# checksum (sum of (global_pixel_index+1) * red). Means are
+# permutation-invariant, so they cannot catch a deinterlace or
+# frame-order bug; the weighted sum can.
+GIF_STATS_SCHEMA = (
+    "doc_id bigint, valid boolean, width int, height int, "
+    "n_frames bigint, r_mean double, g_mean double, b_mean double, "
+    "r_wsum bigint"
+)
+
 
 def attach_binary_payload(docs: DataFrame) -> DataFrame:
     """Test-data adapter: materialize a binary column from text (the
@@ -1130,6 +1141,335 @@ def synth_y4m_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _make_gif_decoder():
+    """Build the GIF87a/89a decoder — the real public palette+LZW
+    format, stdlib + numpy only: header/logical-screen parse, global
+    and local color tables, extension blocks skipped by sub-block
+    chain (GCE/comment/application), per-frame image descriptors,
+    full GIF-LZW decode (LSB-first variable-width codes, CLEAR/END,
+    KwKwK case, code-width growth at table sizes 2^cs, 4096-entry
+    cap with deferred-clear behavior), interlace row reordering, and
+    palette mapping to RGB. Animated GIFs decode as a frame sequence;
+    frames must cover the full logical screen (compositing
+    partial-frame disposal is a rendering policy, not a stats need —
+    such files raise and land as ``valid=false`` rows).
+
+    Returns ``decode_gif(buf) -> (w, h, frames)`` with ``frames`` a
+    ``(n_frames, w*h, 3)`` uint8 array of palette-mapped pixels in
+    raster order (deinterlaced); raises ``ValueError`` on anything
+    malformed. Bomb defense: LZW expands up to ~4096x, so a TOTAL
+    decoded-pixel cap (16.7M across all frames, same budget as the
+    PNG inflate bound) aborts a crafted payload before
+    materialization; each frame additionally may not decode past its
+    own declared size.
+    """
+    import struct
+
+    def skip_subblocks(buf: bytes, pos: int) -> int:
+        while True:
+            if pos >= len(buf):
+                raise ValueError("truncated sub-block chain")
+            n = buf[pos]
+            pos += 1 + n
+            if n == 0:
+                return pos
+
+    def read_subblocks(buf: bytes, pos: int):
+        parts = []
+        while True:
+            if pos >= len(buf):
+                raise ValueError("truncated image data sub-blocks")
+            n = buf[pos]
+            pos += 1
+            if n == 0:
+                return b"".join(parts), pos
+            if pos + n > len(buf):
+                raise ValueError("truncated image data sub-blocks")
+            parts.append(buf[pos : pos + n])
+            pos += n
+
+    def lzw_decode(data: bytes, m: int, cap: int) -> list:
+        clear, end = 1 << m, (1 << m) + 1
+        roots = [[i] for i in range(1 << m)]
+        table = roots + [None, None]
+        cs = m + 1
+        out: list = []
+        prev = None
+        bitpos, total = 0, len(data) * 8
+        while True:
+            if bitpos + cs > total:
+                raise ValueError("truncated LZW stream (no end code)")
+            byte0 = bitpos >> 3
+            chunk = int.from_bytes(data[byte0 : byte0 + 3], "little")
+            code = (chunk >> (bitpos & 7)) & ((1 << cs) - 1)
+            bitpos += cs
+            if code == clear:
+                table = roots + [None, None]
+                cs = m + 1
+                prev = None
+                continue
+            if code == end:
+                return out
+            if prev is None:
+                if code >= len(table) or table[code] is None:
+                    raise ValueError("bad first LZW code")
+                entry = table[code]
+            else:
+                if code < len(table):
+                    if table[code] is None:
+                        raise ValueError("reserved LZW code")
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]  # KwKwK
+                else:
+                    raise ValueError("LZW code beyond table")
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+                    if len(table) == (1 << cs) and cs < 12:
+                        cs += 1
+            out.extend(entry)
+            if len(out) > cap:
+                raise ValueError("LZW output exceeds declared frame size")
+            prev = entry
+
+    # GIF89a appendix E interlace passes: row strides 8,8,4,2 starting
+    # at rows 0,4,2,1 — stored order -> display order permutation
+    def interlace_rows(h: int):
+        rows = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            rows.extend(range(start, h, step))
+        return rows
+
+    def decode_gif(buf: bytes):
+        if len(buf) < 13 or buf[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF: bad header")
+        w, h = struct.unpack("<HH", buf[6:10])
+        packed = buf[10]
+        if w == 0 or h == 0:
+            raise ValueError("zero-dimension logical screen")
+        if w * h > (1 << 24):
+            raise ValueError(f"logical screen exceeds decoder cap: {w}x{h}")
+        pos = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 ** ((packed & 7) + 1)
+            if pos + 3 * n > len(buf):
+                raise ValueError("truncated global color table")
+            gct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+            pos += 3 * n
+        frames = []
+        px_budget = 1 << 24  # total across frames — LZW-bomb defense
+        while True:
+            if pos >= len(buf):
+                raise ValueError("missing trailer")
+            block = buf[pos]
+            pos += 1
+            if block == 0x3B:  # trailer
+                break
+            if block == 0x21:  # extension: label byte + sub-blocks
+                if pos >= len(buf):
+                    raise ValueError("truncated extension")
+                pos = skip_subblocks(buf, pos + 1)
+                continue
+            if block != 0x2C:
+                raise ValueError(f"unexpected block byte 0x{block:02x}")
+            if pos + 9 > len(buf):
+                raise ValueError("truncated image descriptor")
+            left, top, fw, fh = struct.unpack("<HHHH", buf[pos : pos + 8])
+            fpacked = buf[pos + 8]
+            pos += 9
+            if left or top or fw != w or fh != h:
+                raise ValueError("partial-frame GIFs unsupported (compositing)")
+            ct = gct
+            if fpacked & 0x80:  # local color table
+                n = 2 ** ((fpacked & 7) + 1)
+                if pos + 3 * n > len(buf):
+                    raise ValueError("truncated local color table")
+                ct = np.frombuffer(buf, np.uint8, 3 * n, pos).reshape(n, 3)
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("frame has no color table")
+            if pos >= len(buf):
+                raise ValueError("missing LZW minimum code size")
+            m = buf[pos]
+            pos += 1
+            if not 2 <= m <= 8:
+                raise ValueError(f"bad LZW minimum code size {m}")
+            data, pos = read_subblocks(buf, pos)
+            if fw * fh > px_budget:
+                raise ValueError("decoded pixels exceed total cap")
+            px_budget -= fw * fh
+            idx = np.array(lzw_decode(data, m, fw * fh), dtype=np.int64)
+            if len(idx) < fw * fh:
+                raise ValueError("LZW stream ended before frame filled")
+            if (idx >= len(ct)).any():
+                raise ValueError("pixel index outside color table")
+            grid = idx.reshape(fh, fw)
+            if fpacked & 0x40:  # interlaced: stored rows -> display rows
+                disp = np.empty_like(grid)
+                disp[interlace_rows(fh)] = grid
+                grid = disp
+            frames.append(ct[grid.reshape(-1)])
+        return w, h, (
+            np.stack(frames)
+            if frames
+            else np.empty((0, w * h, 3), dtype=np.uint8)
+        )
+
+    return decode_gif
+
+
+def _make_gif_fixture_encoder():
+    """Build ``encode(doc_id) -> bytes`` for the GIF fixture — pinned
+    arithmetic a SQL oracle can recompute: ``width = 4 + doc_id % 3``,
+    ``height = 3 + doc_id % 2``, ``n_frames = 1 + doc_id % 3``,
+    palette of ``2^(2 + doc_id % 2)`` colors with entry ``j`` =
+    ``((d*13 + 7j) % 256, (d*17 + 5j) % 256, (d*19 + 3j) % 256)``,
+    and pixel ``i`` of frame ``f`` indexing color ``(d + 3f + i) %
+    n_colors``. Every 3rd doc stores frames INTERLACED (same decoded
+    pixels — the order-sensitive ``r_wsum`` stat is what catches a
+    deinterlace bug); every 5th doc is GIF87a without extensions,
+    the rest GIF89a with a graphic-control extension per frame and a
+    comment block. The LZW encoder is the decoder's mirror (emission
+    widths track the DECODER's table growth — one entry behind the
+    encoder's own dict — and a forced CLEAR every 20 emissions
+    exercises mid-stream resets); tests roundtrip it exhaustively.
+    """
+    import struct
+
+    def lzw_encode(indices, m: int, clear_every: int = 20) -> bytes:
+        clear, end = 1 << m, (1 << m) + 1
+        R = (1 << m) + 2
+        bits: list = []
+        st = {"cs": m + 1, "dec_table": R, "first": True,
+              "table": {}, "next_code": 0}
+
+        def put(code):
+            for i in range(st["cs"]):
+                bits.append((code >> i) & 1)
+
+        def emit(code):
+            # a data code: mirror the decoder's add/bump — the
+            # decoder adds an entry on every code except the first
+            # after a clear, and grows its width when ITS table hits
+            # 2^cs (one entry behind this encoder's dict)
+            put(code)
+            if st["first"]:
+                st["first"] = False
+            elif st["dec_table"] < 4096:
+                st["dec_table"] += 1
+                if st["dec_table"] == (1 << st["cs"]) and st["cs"] < 12:
+                    st["cs"] += 1
+
+        def do_clear():
+            put(clear)
+            st["table"] = {(i,): i for i in range(1 << m)}
+            st["next_code"] = R
+            st["cs"] = m + 1
+            st["dec_table"] = R
+            st["first"] = True
+
+        do_clear()
+        prev = ()
+        emitted = 0
+        for sym in indices:
+            cur = prev + (int(sym),)
+            if cur in st["table"]:
+                prev = cur
+                continue
+            emit(st["table"][prev])
+            emitted += 1
+            if st["next_code"] < 4096:
+                st["table"][cur] = st["next_code"]
+                st["next_code"] += 1
+            prev = (int(sym),)
+            if clear_every and emitted % clear_every == 0:
+                do_clear()
+        if prev:
+            emit(st["table"][prev])
+        put(end)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                b |= bit << j
+            data.append(b)
+        return bytes(data)
+
+    def subblocks(data: bytes) -> bytes:
+        out = bytearray()
+        for i in range(0, len(data), 255):
+            part = data[i : i + 255]
+            out.append(len(part))
+            out += part
+        out.append(0)
+        return bytes(out)
+
+    def interlace_rows(h: int):
+        rows = []
+        for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+            rows.extend(range(start, h, step))
+        return rows
+
+    def encode(d: int) -> bytes:
+        w, h = 4 + d % 3, 3 + d % 2
+        nf = 1 + d % 3
+        m = 2 + d % 2
+        nc = 1 << m
+        interlaced = d % 3 == 0
+        ext89 = d % 5 != 0
+        j = np.arange(nc, dtype=np.int64)
+        palette = np.stack(
+            [(d * 13 + 7 * j) % 256, (d * 17 + 5 * j) % 256,
+             (d * 19 + 3 * j) % 256], axis=1
+        ).astype(np.uint8)
+        out = bytearray(b"GIF89a" if ext89 else b"GIF87a")
+        out += struct.pack("<HH", w, h)
+        out += bytes([0x80 | (m - 1), 0, 0])  # GCT flag + size bits
+        out += palette.tobytes()
+        if ext89:  # comment extension — a skip path with sub-blocks
+            out += b"\x21\xfe" + subblocks(b"fixture %d" % (d % 1000))
+        i = np.arange(w * h, dtype=np.int64)
+        for f in range(nf):
+            if ext89:  # graphic control extension per frame
+                out += b"\x21\xf9" + subblocks(
+                    struct.pack("<BHB", 0, 4, 0)
+                )
+            idx = ((d + 3 * f + i) % nc).reshape(h, w)
+            if interlaced:
+                idx = idx[interlace_rows(h)]  # store rows in pass order
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+            out += bytes([0x40 if interlaced else 0x00])
+            out += bytes([m])
+            out += subblocks(lzw_encode(idx.reshape(-1), m))
+        out += b"\x3b"
+        return bytes(out)
+
+    return encode
+
+
+def synth_gif_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: deterministically synthesize a REAL animated
+    GIF per doc_id (see :func:`_make_gif_fixture_encoder` for the
+    pinned arithmetic) — palette+LZW with interlaced and GIF87a
+    variants, so every decode exercises the dictionary codec, not a
+    passthrough."""
+    encode = _make_gif_fixture_encoder()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
 def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-payload feature extraction over Arrow batches.
 
@@ -1161,9 +1501,73 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     (:func:`_make_y4m_parser`) + per-channel means across frames —
     output schema ``Y4M_STATS_SCHEMA``, same corrupt-payload contract.
 
+    ``codec='gif'``: a REAL PALETTE+LZW codec — GIF87a/89a decode
+    (:func:`_make_gif_decoder`) with animation frames, interlace and
+    local-color-table support — output schema ``GIF_STATS_SCHEMA``
+    (means + an order-sensitive weighted checksum), same
+    corrupt-payload contract.
+
     Any other codec raises — compressed/inter-frame video (H.264,
     VP9, ...) needs ffmpeg, absent in this environment.
     """
+    if codec == "gif":
+        decode_gif = _make_gif_decoder()
+
+        def decode_gif_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                keys = ("valid", "w", "h", "nf", "r", "g", "b", "ws")
+                rows = {k: [] for k in keys}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        w, h, frames = decode_gif(bytes(payload))
+                        means = (
+                            frames.mean(axis=(0, 1), dtype=np.float64)
+                            if len(frames)
+                            else None
+                        )
+                        red = frames[:, :, 0].reshape(-1).astype(np.int64)
+                        wsum = int(
+                            (red * (np.arange(len(red), dtype=np.int64) + 1)).sum()
+                        )
+                        rows["valid"].append(True)
+                        rows["w"].append(w)
+                        rows["h"].append(h)
+                        rows["nf"].append(len(frames))
+                        for c, k in zip((0, 1, 2), ("r", "g", "b")):
+                            rows[k].append(
+                                round(float(means[c]), 6)
+                                if means is not None
+                                else None
+                            )
+                        rows["ws"].append(wsum)
+                    except ValueError:
+                        rows["valid"].append(False)
+                        for k in keys[1:]:
+                            rows[k].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "width": pd.Series(rows["w"], dtype="Int32"),
+                        "height": pd.Series(rows["h"], dtype="Int32"),
+                        "n_frames": pd.Series(rows["nf"], dtype="Int64"),
+                        "r_mean": pd.Series(rows["r"], dtype="float64"),
+                        "g_mean": pd.Series(rows["g"], dtype="float64"),
+                        "b_mean": pd.Series(rows["b"], dtype="float64"),
+                        "r_wsum": pd.Series(rows["ws"], dtype="Int64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_gif_batches, GIF_STATS_SCHEMA
+        )
     if codec == "y4m":
         parse_y4m = _make_y4m_parser()
 

@@ -585,6 +585,54 @@ def q_multimodal_decode_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_y4m_payload(docs), codec="y4m")
 
 
+# PALETTE+LZW codec decode (round 10): the dictionary-coding family
+# none of the other codecs exercise. synth_gif_payload builds genuine
+# animated GIFs (real LZW compression with mid-stream CLEARs, GCE +
+# comment extensions, interlaced frames on every 3rd doc, GIF87a on
+# every 5th) from pinned palette/index arithmetic. The oracle
+# recomputes channel means AND r_wsum — a position-weighted checksum
+# that catches deinterlace/frame-order bugs means alone cannot (means
+# are permutation-invariant). Never sees a byte of GIF: an LZW,
+# code-width, palette, or interlace bug lands as a value mismatch.
+@query(
+    "q_multimodal_decode_gif",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(4 + d % 3 AS INT) AS width,
+           CAST(3 + d % 2 AS INT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, npx), i ->
+               CAST((d*13 + 7*((d + 3*f + i) % nc)) % 256 AS DOUBLE)))))
+             / (nf * npx), 6) AS r_mean,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, npx), i ->
+               CAST((d*17 + 5*((d + 3*f + i) % nc)) % 256 AS DOUBLE)))))
+             / (nf * npx), 6) AS g_mean,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, npx), i ->
+               CAST((d*19 + 3*((d + 3*f + i) % nc)) % 256 AS DOUBLE)))))
+             / (nf * npx), 6) AS b_mean,
+           CAST(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, npx), i ->
+               (f*npx + i + 1) * ((d*13 + 7*((d + 3*f + i) % nc)) % 256)))))
+             AS BIGINT) AS r_wsum
+    FROM (
+      SELECT doc_id, doc_id AS d, 1 + doc_id % 3 AS nf,
+             (4 + doc_id % 3) * (3 + doc_id % 2) AS npx,
+             CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8 END AS nc
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import synth_gif_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_gif_payload(docs), codec="gif")
+
+
 # Sampling tier (operators.sampling): corpus curation at 100 TB is
 # sampling work. The hash sampler's in/out decision is pure int64
 # arithmetic, so both engines compute it identically — full oracle.

@@ -74,13 +74,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # changed after its r9 green row) and q_training_pipeline (the one
     # bench_compare flag from r9; a fresh green row plus the
     # interleaved A/B closes it).  Every remaining slot burns the
-    # stale backlog: the FULL r4 cohort (23) + 16 of the r5 cohort.
-    # Seven r5 queries whose §2 families are already multiply covered
+    # stale backlog: the FULL r4 cohort (23) + 15 of the r5 cohort.
+    # Eight r5 queries whose §2 families are already multiply covered
     # in-window (q_agg_listagg, q_fn_zorder, q_pattern_absence,
     # q_quality_ensemble, q_sample_reservoir, q_sample_weighted,
-    # q_ts_outliers — two of those seats went to the round's NEW
-    # q_multimodal_decode_jpeg/_y4m, which outrank staleness) are
-    # deferred to lead r11 so
+    # q_ts_ewma — its oracle is pytest-pinned identical to the
+    # in-window streaming twin's — q_ts_outliers; three of those
+    # seats went to the round's NEW q_multimodal_decode_jpeg/_y4m/
+    # _gif, which outrank staleness) are deferred to lead r11 so
     # the family-coverage spine (tests/test_registry_order.py) keeps
     # one sentinel per family: q_scan_json (§2.1, r6-stale),
     # q_project (§2.2, r8), q_win_laglead (§2.5, r8), q_topk (§2.6,
@@ -94,6 +95,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_decode_png",  # Sub-filter vectorized this round
     "q_multimodal_decode_jpeg", # NEW this round: baseline JPEG codec
     "q_multimodal_decode_y4m",  # NEW this round: y4m video container
+    "q_multimodal_decode_gif",  # NEW this round: palette+LZW codec
     "q_training_pipeline",      # r9 bench flag — fresh row + A/B
     # ---- longest-stale rotation: last green r4 (full cohort, 23) ----
     "q_agg_approx_quantile",
@@ -135,7 +137,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_pii_redact",
     "q_pivot",                  # §2.4 rep
     "q_snapshot_diff",
-    "q_ts_ewma",
     "q_unpivot",
     # ---- ever-green sentinel spine (families the cohorts miss;
     # ---- oldest green member per family, staleness dual duty) ----
@@ -148,10 +149,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-11 allocation (write when the r10 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): lead with the seven r5
+# scripts/update_green_manifest.py first): lead with the eight r5
 # deferrals (q_agg_listagg, q_fn_zorder, q_pattern_absence,
 # q_quality_ensemble, q_sample_reservoir, q_sample_weighted,
-# q_ts_outliers), then any query whose code
+# q_ts_ewma, q_ts_outliers), then any query whose code
 # changed after its last green row, then the r6-stale cohort (~24
 # after this window re-certifies q_scan_json/q_stream_dedup) and as
 # much of r7 as fits; keep the flagship and one sentinel per family

@@ -59,6 +59,7 @@ TOP = [
     "q_multimodal_decode_wav",
     "q_multimodal_decode_jpeg",  # r10: the lossy real codec
     "q_multimodal_decode_y4m",   # r10: the video container
+    "q_multimodal_decode_gif",   # r10: the palette+LZW codec
 ]
 
 MARK_START = "<!-- sf1-probe:start -->"

@@ -350,6 +350,54 @@ def test_y4m_decode_known_streams_and_corrupt_payloads(spark):
         assert got[k].width is None and got[k].y_mean is None
 
 
+def test_gif_decode_known_images_and_corrupt_payloads(spark):
+    """The palette+LZW branch through the REAL Spark plan: fixture
+    GIFs for a plain doc, an interlaced+GIF87a doc (d%15==0 hits
+    both), and a GIF89a-with-extensions doc must decode to the pinned
+    arithmetic including the order-sensitive checksum; corrupt
+    payloads yield valid=false rows."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_gif_fixture_encoder,
+        decode_features,
+    )
+
+    enc = _make_gif_fixture_encoder()
+
+    def expected(d):
+        w, h = 4 + d % 3, 3 + d % 2
+        nf = 1 + d % 3
+        nc = 1 << (2 + d % 2)
+        i = np.arange(w * h)
+        means = {}
+        reds = None
+        for k, (a, b) in (("r", (13, 7)), ("g", (17, 5)), ("b", (19, 3))):
+            frames = [(d * a + b * ((d + 3 * f + i) % nc)) % 256
+                      for f in range(nf)]
+            means[k] = round(float(np.mean(frames)), 6)
+            if k == "r":
+                reds = np.concatenate(frames).astype(np.int64)
+        wsum = int((reds * (np.arange(len(reds)) + 1)).sum())
+        return (w, h, nf, means["r"], means["g"], means["b"], wsum)
+
+    rows = [(1, enc(1)), (15, enc(15)), (7, enc(7)),
+            (100, b"JUNK00" + enc(1)[6:]),   # bad magic
+            (101, enc(1)[:-4]),              # truncated
+            (102, None)]                     # NULL payload
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="gif").collect()}
+    assert len(got) == 6
+    for d in (1, 15, 7):
+        ew, eh, enf, er, eg, eb, ews = expected(d)
+        r = got[d]
+        assert (r.valid, r.width, r.height, r.n_frames) == (True, ew, eh, enf), d
+        assert (r.r_mean, r.g_mean, r.b_mean, r.r_wsum) == (er, eg, eb, ews), d
+    for d in (100, 101, 102):
+        assert got[d].valid is False, f"doc {d} should be rejected"
+        assert got[d].width is None and got[d].r_wsum is None
+
+
 def test_png_and_ppm_decode_agree(spark, sf_dir):
     """Both real codecs carry the SAME pinned pixel arithmetic, so
     their decoded stats must be row-for-row identical — a cheap

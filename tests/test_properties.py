@@ -701,3 +701,189 @@ def test_jpeg_decoder_general_ac_roundtrip(seed):
     assert (got_w, got_h) == (w, h)
     gray = pix[:, 0].reshape(h, w).astype(np.float64)
     assert np.abs(gray - expect).max() <= 1.0
+
+
+def test_gif_codec_full_residue_sweep():
+    """Exhaustive pin of the GIF codec pair: every fixture residue
+    class (doc_id mod 4200 covers the geometry/palette periods and
+    full value cycles) encode → decode must reproduce the pinned
+    palette/index arithmetic exactly — dimensions, frame count,
+    channel means, AND the position-weighted red checksum (the stat
+    that catches deinterlace/frame-order bugs means cannot)."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_gif_decoder,
+        _make_gif_fixture_encoder,
+    )
+
+    enc, dec = _make_gif_fixture_encoder(), _make_gif_decoder()
+
+    def expected(d):
+        w, h = 4 + d % 3, 3 + d % 2
+        nf = 1 + d % 3
+        nc = 1 << (2 + d % 2)
+        i = np.arange(w * h)
+        means = {}
+        reds = None
+        for k, (a, b) in (("r", (13, 7)), ("g", (17, 5)), ("b", (19, 3))):
+            frames = [(d * a + b * ((d + 3 * f + i) % nc)) % 256
+                      for f in range(nf)]
+            means[k] = round(float(np.mean(frames)), 6)
+            if k == "r":
+                reds = np.concatenate(frames).astype(np.int64)
+        wsum = int((reds * (np.arange(len(reds)) + 1)).sum())
+        return (w, h, nf, means["r"], means["g"], means["b"], wsum)
+
+    for d in range(4200):
+        w, h, frames = dec(enc(d))
+        m = frames.mean(axis=(0, 1), dtype=np.float64)
+        red = frames[:, :, 0].reshape(-1).astype(np.int64)
+        ws = int((red * (np.arange(len(red)) + 1)).sum())
+        got = (w, h, len(frames), round(float(m[0]), 6),
+               round(float(m[1]), 6), round(float(m[2]), 6), ws)
+        assert got == expected(d), f"doc_id residue {d}"
+
+
+@given(
+    m=st.integers(2, 8),
+    seed=st.integers(0, 2**32 - 1),
+    n=st.integers(0, 700),
+    clear_every=st.sampled_from([0, 3, 7, 20, 50]),
+)
+@settings(max_examples=80, deadline=None)
+def test_gif_lzw_decoder_vs_independent_writer(m, seed, n, clear_every):
+    """Pin the LZW DECODER against an INDEPENDENT reference writer:
+    a root-codes-only emitter that follows the spec's width rules
+    directly (grow when the decoder's table hits 2^cs; the decoder
+    adds an entry on every code except the first after a clear) —
+    no shared code with the decoder, any index sequence, any root
+    size, with and without forced mid-stream CLEARs. The compressed
+    path (dictionary hits, KwKwK, deep chains) is pinned separately
+    by the 4200-class fixture sweep, whose encoder compresses for
+    real with forced clears every 20 emissions."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import _make_gif_decoder
+
+    rng = np.random.RandomState(seed % (2**31))
+    seq = []
+    while len(seq) < n:
+        if rng.rand() < 0.5:
+            seq.append(int(rng.randint(1 << m)))
+        else:
+            pat = [int(rng.randint(1 << m)) for _ in range(rng.randint(1, 4))]
+            seq.extend(pat * int(rng.randint(2, 9)))
+    seq = seq[:n]
+
+    # hand-build a GIF holding exactly this index stream (w = n, h = 1)
+    if n == 0:
+        return
+    import struct
+
+    w, h = n, 1
+    nc = 1 << m
+    palette = np.stack([np.arange(nc) % 256] * 3, axis=1).astype(np.uint8)
+
+    clear, end = 1 << m, (1 << m) + 1
+    bits = []
+    cs = [m + 1]
+    dec_table = [nc + 2]
+    first = [True]
+
+    def put(code):
+        for i in range(cs[0]):
+            bits.append((code >> i) & 1)
+
+    def emit_root(sym):
+        put(sym)
+        if first[0]:
+            first[0] = False
+        elif dec_table[0] < 4096:
+            dec_table[0] += 1
+            if dec_table[0] == (1 << cs[0]) and cs[0] < 12:
+                cs[0] += 1
+
+    put(clear)
+    k = 0
+    for sym in seq:
+        emit_root(sym)
+        k += 1
+        if clear_every and k % clear_every == 0:
+            put(clear)
+            cs[0] = m + 1
+            dec_table[0] = nc + 2
+            first[0] = True
+    put(end)
+    data = bytearray()
+    for i in range(0, len(bits), 8):
+        b = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            b |= bit << j
+        data.append(b)
+
+    def subblocks(d):
+        out = bytearray()
+        for i in range(0, len(d), 255):
+            part = d[i : i + 255]
+            out.append(len(part))
+            out += part
+        out.append(0)
+        return bytes(out)
+
+    buf = (b"GIF89a" + struct.pack("<HH", w, h)
+           + bytes([0x80 | (m - 1), 0, 0]) + palette.tobytes()
+           + b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+           + bytes([m]) + subblocks(bytes(data)) + b"\x3b")
+
+    dec = _make_gif_decoder()
+    got_w, got_h, frames = dec(buf)
+    assert (got_w, got_h, len(frames)) == (w, h, 1)
+    assert frames[0][:, 0].tolist() == [s % 256 for s in seq]
+
+
+def test_gif_decoder_structural_corruption():
+    """Corruption classes for the GIF decoder: every structural break
+    must raise ValueError (→ valid=false rows), including the
+    LZW-bomb defense (a tiny stream whose declared logical screen
+    would expand past the total-pixel cap)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_gif_decoder,
+        _make_gif_fixture_encoder,
+    )
+
+    enc, dec = _make_gif_fixture_encoder(), _make_gif_decoder()
+    good = enc(1)
+
+    cases = {
+        "magic": b"JUNK00" + good[6:],
+        "no trailer": good[:-1],
+        "bad block byte": good[: good.index(b"\x2c")] + b"\x7f" + good[good.index(b"\x2c") + 1 :],
+        "truncated descriptor": good[: good.index(b"\x2c") + 4],
+    }
+    for name, mut in cases.items():
+        with pytest.raises(ValueError):
+            dec(bytes(mut))
+    # hostile logical screen past the cap: header patch
+    huge = bytearray(good)
+    struct.pack_into("<HH", huge, 6, 8192, 8192)
+    with pytest.raises(ValueError):
+        dec(bytes(huge))
+    # partial frame: patch the image descriptor's left offset
+    part = bytearray(good)
+    di = good.index(b"\x2c")
+    struct.pack_into("<H", part, di + 1, 1)
+    with pytest.raises(ValueError):
+        dec(bytes(part))
+    # LZW min code size out of range
+    bad_m = bytearray(good)
+    # min code byte sits right after the 9-byte descriptor (doc 1 has
+    # no local color table)
+    bad_m[di + 10] = 1
+    with pytest.raises(ValueError):
+        dec(bytes(bad_m))
