@@ -6,7 +6,7 @@ BinaryType natively, so the pipeline shape (schema, partitioning,
 Arrow batch transfer) is identical to production.
 
 The decode seam is :func:`decode_features`, a ``mapInPandas`` stage
-with five codec branches: (a) ``codec='fake'`` — deterministic byte
+with seven codec branches: (a) ``codec='fake'`` — deterministic byte
 stats (real plumbing, fake features) used by tests; (b)
 ``codec='ppm'`` — a REAL public codec, binary-PPM (P6) header parse +
 numpy channel means; (c) ``codec='png'`` — a REAL compressed codec,
@@ -15,9 +15,12 @@ reconstruction (None/Sub/Up/Average/Paeth), no PIL needed; (d)
 ``codec='wav'`` — a REAL audio codec, RIFF/WAVE 16-bit PCM parse +
 per-channel sample means; (e) ``codec='jpeg'`` — a REAL lossy codec,
 baseline JPEG (ITU T.81) Huffman decode + batched numpy IDCT + JFIF
-YCbCr→RGB, no PIL needed. Only codecs needing external libraries
-(video) remain gated behind ``NotImplementedError`` — clearly marked
-so nobody mistakes the gate for a codec.
+YCbCr→RGB, no PIL needed; (f) ``codec='y4m'`` — a REAL video
+container, YUV4MPEG2 planar frame iteration; (g) ``codec='gif'`` — a
+REAL palette+LZW codec, animated GIF87a/89a with interlace. Only
+compressed/inter-frame video (H.264/VP9, needs ffmpeg) remains gated
+behind ``NotImplementedError`` — clearly marked so nobody mistakes
+the gate for a codec.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition
