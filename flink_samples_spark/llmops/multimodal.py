@@ -581,6 +581,12 @@ def _make_jpeg_decoder():
     has no inflate-bomb surface (output size is fixed by the SOF0
     header, input is never expanded).
 
+    Parse leniency (deliberate, harmless for the stats use — same
+    stance as the PNG decoder's documented leniencies): decoding
+    stops after the last MCU of the single scan, so a missing EOI
+    marker or trailing bytes after the entropy-coded data (including
+    a concatenated second image) are ignored, not errors.
+
     Scale note: Huffman decoding is bit-serial Python (inherent in
     the format's variable-length codes) — same documented stance as
     the PNG Average/Paeth rows: correct plumbing shape, swapped for a
@@ -1058,6 +1064,11 @@ def _make_y4m_parser():
             raise ValueError("missing required W/H/F stream parameters")
         if w <= 0 or h <= 0 or fn <= 0 or fd <= 0:
             raise ValueError("non-positive dimension or frame rate")
+        if fn > 0x7FFFFFFF or fd > 0x7FFFFFFF:
+            # the stats schema types these as int32; an absurd frame
+            # rate must land as a corrupt row, not a batch-killing
+            # cast error in the pandas assembly
+            raise ValueError("frame rate out of range")
         if w * h > (1 << 24):
             raise ValueError(f"frame dimensions exceed decoder cap: {w}x{h}")
         if cspace == b"mono":
@@ -1535,9 +1546,14 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                             if len(frames)
                             else None
                         )
+                        # zero-frame GIF: NULL all stats incl. the
+                        # checksum, matching the wav/y4m no-data rows
                         red = frames[:, :, 0].reshape(-1).astype(np.int64)
-                        wsum = int(
-                            (red * (np.arange(len(red), dtype=np.int64) + 1)).sum()
+                        wsum = (
+                            int((red * (np.arange(len(red), dtype=np.int64) + 1))
+                                .sum())
+                            if len(frames)
+                            else None
                         )
                         rows["valid"].append(True)
                         rows["w"].append(w)
@@ -1828,9 +1844,10 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
             f"codec {codec!r}: only 'fake' (byte stats), 'ppm' (real P6 "
             "parse), 'png' (real zlib inflate + filter reconstruction), "
             "'wav' (real RIFF/PCM parse), 'jpeg' (real baseline "
-            "Huffman+IDCT decode), and 'y4m' (real uncompressed video "
-            "container) run in this environment; plug ffmpeg into "
-            "decode_features here for compressed video (H.264/VP9/...)"
+            "Huffman+IDCT decode), 'y4m' (real uncompressed video "
+            "container), and 'gif' (real palette+LZW decode) run in this "
+            "environment; plug ffmpeg into decode_features here for "
+            "compressed video (H.264/VP9/...)"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -121,7 +121,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sql_scalar_subquery",
     "q_tokenize_vocab",
     "q_udf_arrow",              # §2.10 rep
-    # ---- next-stale rotation: last green r5 (18 of 23; 5 deferred
+    # ---- next-stale rotation: last green r5 (15 of 23; 8 deferred
     # ---- to r11 per the spine note above) ----
     "q_agg_bitmap_distinct",
     "q_agg_percentiles",

@@ -321,6 +321,8 @@ def test_y4m_decode_known_streams_and_corrupt_payloads(spark):
     corrupt = {
         10: b"JUNK" + good[4:],                       # bad magic
         11: good.replace(b"C444", b"C420"),            # subsampled
+        19: good.replace(b"F30:1", b"F99999999999:1"),  # fps > int32:
+        # must be a corrupt ROW, not a batch-killing Int32 cast error
         12: good.replace(b" C444", b""),               # implicit C420
         13: good.replace(b"W2", b"W0"),                # zero dim
         14: good[:-3],                                 # truncated frame
@@ -332,7 +334,7 @@ def test_y4m_decode_known_streams_and_corrupt_payloads(spark):
     rows = [(1, good), (2, mono), (3, empty)] + list(corrupt.items())
     media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     got = {r.doc_id: r for r in decode_features(media, codec="y4m").collect()}
-    assert len(got) == 12
+    assert len(got) == 13
     g = got[1]
     assert (g.valid, g.width, g.height, g.n_frames) == (True, 2, 1, 2)
     assert (g.fps_num, g.fps_den) == (30, 1)
@@ -381,13 +383,19 @@ def test_gif_decode_known_images_and_corrupt_payloads(spark):
         wsum = int((reds * (np.arange(len(reds)) + 1)).sum())
         return (w, h, nf, means["r"], means["g"], means["b"], wsum)
 
-    rows = [(1, enc(1)), (15, enc(15)), (7, enc(7)),
+    # zero-frame GIF (header + global table + trailer): VALID with
+    # n_frames=0 and ALL stats NULL incl. the checksum (wav/y4m parity)
+    empty = enc(1)[: enc(1).index(b"\x21")] + b"\x3b"
+    rows = [(1, enc(1)), (15, enc(15)), (7, enc(7)), (50, empty),
             (100, b"JUNK00" + enc(1)[6:]),   # bad magic
             (101, enc(1)[:-4]),              # truncated
             (102, None)]                     # NULL payload
     media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
     got = {r.doc_id: r for r in decode_features(media, codec="gif").collect()}
-    assert len(got) == 6
+    assert len(got) == 7
+    z = got[50]
+    assert (z.valid, z.n_frames) == (True, 0)
+    assert z.r_mean is None and z.r_wsum is None
     for d in (1, 15, 7):
         ew, eh, enf, er, eg, eb, ews = expected(d)
         r = got[d]
