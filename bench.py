@@ -86,11 +86,14 @@ HEADLINE = [
     "q_multimodal_decode_wav",
     # round-10 additions: the LOSSY real codec (baseline JPEG Huffman
     # decode + batched numpy IDCT + JFIF color transform), the VIDEO
-    # container (y4m planar stream, per-frame iteration), and the
-    # PALETTE+LZW codec (animated GIF — dictionary coding)
+    # container (y4m planar stream, per-frame iteration), the
+    # PALETTE+LZW codec (animated GIF — dictionary coding), and the
+    # COMPRESSED VIDEO codec (MJPEG-in-AVI — RIFF walk + per-frame
+    # JPEG decode)
     "q_multimodal_decode_jpeg",
     "q_multimodal_decode_y4m",
     "q_multimodal_decode_gif",
+    "q_multimodal_decode_mjpeg",
 ]
 
 

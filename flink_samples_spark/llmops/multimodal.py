@@ -6,7 +6,7 @@ BinaryType natively, so the pipeline shape (schema, partitioning,
 Arrow batch transfer) is identical to production.
 
 The decode seam is :func:`decode_features`, a ``mapInPandas`` stage
-with seven codec branches: (a) ``codec='fake'`` — deterministic byte
+with eight codec branches: (a) ``codec='fake'`` — deterministic byte
 stats (real plumbing, fake features) used by tests; (b)
 ``codec='ppm'`` — a REAL public codec, binary-PPM (P6) header parse +
 numpy channel means; (c) ``codec='png'`` — a REAL compressed codec,
@@ -17,10 +17,12 @@ per-channel sample means; (e) ``codec='jpeg'`` — a REAL lossy codec,
 baseline JPEG (ITU T.81) Huffman decode + batched numpy IDCT + JFIF
 YCbCr→RGB, no PIL needed; (f) ``codec='y4m'`` — a REAL video
 container, YUV4MPEG2 planar frame iteration; (g) ``codec='gif'`` — a
-REAL palette+LZW codec, animated GIF87a/89a with interlace. Only
-compressed/inter-frame video (H.264/VP9, needs ffmpeg) remains gated
-behind ``NotImplementedError`` — clearly marked so nobody mistakes
-the gate for a codec.
+REAL palette+LZW codec, animated GIF87a/89a with interlace; (h)
+``codec='mjpeg'`` — a REAL compressed-video codec, MJPEG-in-AVI: the
+RIFF container walk composed with the baseline JPEG decoder per
+frame. Only INTER-FRAME predictive video (H.264/VP9, needs ffmpeg)
+remains gated behind ``NotImplementedError`` — clearly marked so
+nobody mistakes the gate for a codec.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition
@@ -78,6 +80,18 @@ GIF_STATS_SCHEMA = (
     "doc_id bigint, valid boolean, width int, height int, "
     "n_frames bigint, r_mean double, g_mean double, b_mean double, "
     "r_wsum bigint"
+)
+
+# output of the REAL mjpeg (compressed video) codec branch: container
+# geometry + per-channel means across all decoded frames, plus
+# r_fwsum — a FRAME-weighted red checksum (sum over frames of
+# (frame_index+1) * frame red total). Means are frame-permutation-
+# invariant, so they cannot catch a frame-order bug in the container
+# walk; the weighted sum can. Same corrupt-row contract.
+MJPEG_STATS_SCHEMA = (
+    "doc_id bigint, valid boolean, width int, height int, "
+    "n_frames bigint, fps_num int, fps_den int, "
+    "r_mean double, g_mean double, b_mean double, r_fwsum bigint"
 )
 
 
@@ -962,16 +976,21 @@ def _make_jpeg_fixture_encoder():
         if t:
             bw.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
 
-    def encode(d: int) -> bytes:
+    def encode(d: int, f: int = 0) -> bytes:
+        # f is a frame offset for the MJPEG fixture (synth_avi_payload
+        # wraps one JPEG per video frame): it shifts the block values
+        # inside the SAME modular ranges, so f=0 reduces bit-exactly to
+        # the single-image arithmetic documented on synth_jpeg_payload
+        # and no deviation can clamp in the JFIF transform.
         n_bx, n_by = 1 + d % 3, 1 + d % 2
         w, h = 8 * n_bx, 8 * n_by
         nb = n_bx * n_by
         gray = d % 5 == 0
         dri = 2 if d % 3 == 0 else 0
         b_idx = np.arange(nb, dtype=np.int64)
-        ys = 28 + (d * 31 + 5 * b_idx) % 200
-        cbs = 113 + (d + 7 * b_idx) % 30
-        crs = 114 + (d * 3 + 11 * b_idx) % 28
+        ys = 28 + (d * 31 + 5 * b_idx + 23 * f) % 200
+        cbs = 113 + (d + 7 * b_idx + 13 * f) % 30
+        crs = 114 + (d * 3 + 11 * b_idx + 17 * f) % 28
         comps = [(1, 0, ys)] if gray else [(1, 0, ys), (2, 1, cbs), (3, 1, crs)]
         sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([len(comps)])
         sos = bytes([len(comps)])
@@ -1484,6 +1503,284 @@ def synth_gif_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _make_avi_parser():
+    """Build the AVI (RIFF) container walker for MJPEG video — the
+    real public compressed-video format whose frames are intra-coded
+    baseline JPEGs, so this parser composes with
+    :func:`_make_jpeg_decoder` to give an end-to-end compressed-video
+    decode, stdlib-only. Structure parsed (all public: the RIFF spec
+    plus Microsoft's AVI/BITMAPINFOHEADER layouts):
+
+    ``RIFF <size> 'AVI '`` → ``LIST hdrl`` holding ``avih`` (the
+    56-byte MainAVIHeader: frame period, total frames, stream count,
+    logical width/height) and one ``LIST strl`` per stream holding
+    ``strh`` (AVIStreamHeader: fccType/fccHandler, dwScale/dwRate —
+    the exact frame rate — and dwLength) and ``strf``
+    (BITMAPINFOHEADER: geometry + biCompression) → ``LIST movi``
+    holding the ``00dc`` frame chunks (optionally wrapped in
+    ``LIST rec`` groups) → an optional trailing ``idx1`` index.
+    ``JUNK`` alignment chunks are skipped anywhere; every chunk obeys
+    the RIFF even-byte padding rule (the same rule the WAV parser
+    enforces — AVI is the other RIFF form).
+
+    Scope and coherence checks: exactly ONE stream, fccType ``vids``,
+    handler and biCompression ``MJPG`` (inter-frame codecs like H.264
+    carry different fourccs and raise — that family genuinely needs
+    ffmpeg); strf geometry must match avih; dwScale/dwRate must be
+    positive int32s (absurd rates land as corrupt rows, the y4m
+    lesson); the number of frame chunks found in movi must equal BOTH
+    avih.dwTotalFrames and strh.dwLength (a truncated movi list is a
+    corrupt payload, not a short video). Frame-count (4096) and
+    total-pixel (16.7M, the shared codec budget) caps bound a hostile
+    header before any JPEG decode runs; each frame JPEG additionally
+    has the JPEG decoder's own 4.2M-px cap underneath.
+
+    Parse leniency (deliberate, harmless for the stats use — same
+    stance as the PNG/JPEG decoders' documented leniencies): bytes
+    after the RIFF payload end are ignored, the ``idx1`` index is not
+    cross-checked against chunk offsets, and ancillary LIST forms
+    (``INFO`` etc.) are skipped unread.
+
+    Returns ``parse_avi(buf) -> (width, height, fps_num, fps_den,
+    frames)`` with ``frames`` a list of JPEG byte strings in stream
+    order; raises ``ValueError`` on anything malformed.
+    """
+    import struct
+
+    MAX_FRAMES = 4096
+    MAX_TOTAL_PX = 1 << 24  # 16.7M px across all frames (shared budget)
+
+    def read_chunk_header(buf: bytes, pos: int, end: int):
+        if pos + 8 > end:
+            raise ValueError("truncated chunk header")
+        fourcc = buf[pos : pos + 4]
+        (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise ValueError(f"chunk {fourcc!r} overruns its parent")
+        # RIFF rule: chunk bodies are padded to even length
+        nxt = body + size + (size & 1)
+        return fourcc, body, size, nxt
+
+    def collect_frames(buf: bytes, pos: int, end: int, frames: list) -> None:
+        # walk a movi (or nested 'rec ') LIST body, appending '00dc'
+        # frame payloads; '00db' (uncompressed DIB) would be a
+        # non-MJPEG stream sneaking in — reject, the strh said MJPG
+        while pos < end:
+            fourcc, body, size, pos = read_chunk_header(buf, pos, end)
+            if fourcc == b"LIST":
+                if size < 4:
+                    raise ValueError("LIST chunk too short for a form type")
+                if buf[body : body + 4] == b"rec ":
+                    collect_frames(buf, body + 4, body + size, frames)
+                continue
+            if fourcc == b"00dc":
+                if len(frames) >= MAX_FRAMES:
+                    raise ValueError("frame count exceeds decoder cap")
+                frames.append(buf[body : body + size])
+            elif fourcc == b"JUNK":
+                continue
+            elif fourcc[2:4] in (b"dc", b"db", b"wb", b"tx"):
+                raise ValueError(
+                    f"unexpected data chunk {fourcc!r}: this container "
+                    "declares a single MJPEG video stream ('00dc' "
+                    "frames only)"
+                )
+            # any other chunk id: ancillary, skip
+
+    def parse_avi(buf: bytes):
+        if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"AVI ":
+            raise ValueError("not an AVI: bad RIFF/form magic")
+        (riff_size,) = struct.unpack("<I", buf[4:8])
+        end = 8 + riff_size
+        if end > len(buf):
+            raise ValueError("RIFF size overruns the payload")
+        pos = 12
+        avih = None  # (total_frames, streams, width, height)
+        strh = None  # (handler, scale, rate, length)
+        strf = None  # (width, height, compression)
+        frames: list[bytes] = []
+        saw_movi = False
+        while pos < end:
+            fourcc, body, size, pos = read_chunk_header(buf, pos, end)
+            if fourcc == b"JUNK" or fourcc == b"idx1":
+                continue
+            if fourcc != b"LIST":
+                continue  # ancillary top-level chunk: skip
+            if size < 4:
+                raise ValueError("LIST chunk too short for a form type")
+            form, lpos, lend = buf[body : body + 4], body + 4, body + size
+            if form == b"hdrl":
+                while lpos < lend:
+                    c, cb, cs, lpos = read_chunk_header(buf, lpos, lend)
+                    if c == b"avih":
+                        if cs < 40:
+                            raise ValueError("avih shorter than MainAVIHeader")
+                        v = struct.unpack("<10I", buf[cb : cb + 40])
+                        # fields 4/6/8/9: totalframes, streams, w, h
+                        avih = (v[4], v[6], v[8], v[9])
+                    elif c == b"LIST" and cs >= 4 and buf[cb : cb + 4] == b"strl":
+                        spos, send = cb + 4, cb + cs
+                        while spos < send:
+                            sc, sb, ss, spos = read_chunk_header(buf, spos, send)
+                            if sc == b"strh":
+                                if ss < 36:
+                                    raise ValueError("strh too short")
+                                if buf[sb : sb + 4] != b"vids":
+                                    raise ValueError(
+                                        "non-video stream in a single-"
+                                        "stream MJPEG container"
+                                    )
+                                handler = buf[sb + 4 : sb + 8]
+                                scale, rate = struct.unpack(
+                                    "<II", buf[sb + 20 : sb + 28]
+                                )
+                                (length,) = struct.unpack(
+                                    "<I", buf[sb + 32 : sb + 36]
+                                )
+                                if strh is not None:
+                                    raise ValueError("multiple streams declared")
+                                strh = (handler, scale, rate, length)
+                            elif sc == b"strf":
+                                if ss < 40:
+                                    raise ValueError(
+                                        "strf shorter than BITMAPINFOHEADER"
+                                    )
+                                bw, bh = struct.unpack("<ii", buf[sb + 4 : sb + 12])
+                                comp = buf[sb + 16 : sb + 20]
+                                strf = (bw, abs(bh), comp)
+            elif form == b"movi":
+                saw_movi = True
+                collect_frames(buf, lpos, lend, frames)
+            # other LIST forms (INFO, ...): ancillary, skip
+        if avih is None or strh is None or strf is None or not saw_movi:
+            raise ValueError("missing avih/strh/strf/movi structure")
+        total_frames, n_streams, width, height = avih
+        handler, scale, rate, length = strh
+        if n_streams != 1:
+            raise ValueError(f"single-stream MJPEG only, header says {n_streams}")
+        if handler.lower() != b"mjpg" or strf[2].lower() != b"mjpg":
+            raise ValueError(
+                f"not MJPEG (handler {handler!r} / biCompression {strf[2]!r}):"
+                " inter-frame codecs need ffmpeg, see decode_features"
+            )
+        if strf[0] != width or strf[1] != height:
+            raise ValueError("strf geometry disagrees with avih")
+        if width <= 0 or height <= 0:
+            raise ValueError(f"bad geometry {width}x{height}")
+        if not (0 < scale <= 0x7FFFFFFF and 0 < rate <= 0x7FFFFFFF):
+            raise ValueError(f"absurd frame rate {rate}/{scale}")
+        if len(frames) != total_frames or len(frames) != length:
+            raise ValueError(
+                f"movi holds {len(frames)} frames, header declares "
+                f"{total_frames} (avih) / {length} (strh)"
+            )
+        if len(frames) * width * height > MAX_TOTAL_PX:
+            raise ValueError("declared video exceeds total pixel budget")
+        return width, height, rate, scale, frames
+
+    return parse_avi
+
+
+def synth_avi_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: deterministically synthesize a REAL MJPEG
+    AVI per doc_id — ``2 + doc_id % 3`` video frames, each a genuine
+    baseline JPEG from :func:`_make_jpeg_fixture_encoder` with the
+    frame index threaded into the pinned block arithmetic
+    (``Y = 28 + (d*31 + 5*b + 23*f) % 200``, ``Cb = 113 +
+    (d + 7*b + 13*f) % 30``, ``Cr = 114 + (d*3 + 11*b + 17*f) % 28``;
+    geometry and the grayscale/restart variants follow the JPEG
+    fixture's own periods). Frame rate ``(12 + d % 4) / (1 + d % 2)``
+    via strh dwRate/dwScale. Container variants exercise the walker's
+    branches: every doc carries a JUNK alignment chunk, every 4th doc
+    a trailing idx1 index, every 6th doc wraps its frames in a
+    ``LIST rec`` group (the interleaved-file convention). The SQL
+    oracle recomputes means and the frame-weighted checksum from the
+    arithmetic + the JFIF transform and never sees a byte of AVI or
+    JPEG — a container-walk, frame-order, or any JPEG-stage bug lands
+    as a value mismatch."""
+    encode = _make_avi_fixture_encoder()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
+def _make_avi_fixture_encoder():
+    """Build ``encode(doc_id) -> bytes`` implementing the pinned MJPEG
+    fixture arithmetic documented on :func:`synth_avi_payload`.
+    Factory-nested so the closure pickles by value; tests call the
+    same factory, so the property suite and the Spark fixture are one
+    encoder by construction."""
+    import struct
+
+    encode_jpeg = _make_jpeg_fixture_encoder()
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    def encode(d: int) -> bytes:
+        w, h = 8 * (1 + d % 3), 8 * (1 + d % 2)
+        nf = 2 + d % 3
+        rate, scale = 12 + d % 4, 1 + d % 2
+        jpegs = [encode_jpeg(d, f) for f in range(nf)]
+        avih = struct.pack(
+            "<10I4I",
+            1_000_000 * scale // rate,  # dwMicroSecPerFrame
+            0, 0, 0x10,                 # maxbytes, padding, AVIF_HASINDEX-ish
+            nf, 0, 1,                   # totalframes, initial, streams
+            max(len(j) for j in jpegs), w, h,
+            0, 0, 0, 0,                 # dwReserved[4]
+        )
+        strh = (
+            b"vids" + b"MJPG" + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0,             # flags, priority, language, initial
+                scale, rate, 0, nf,     # dwScale, dwRate, start, length
+                max(len(j) for j in jpegs), 0xFFFFFFFF, 0,  # buf, quality, samplesize
+                0, 0, w, h,             # rcFrame
+            )
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+        )
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        frame_chunks = [chunk(b"00dc", j) for j in jpegs]
+        if d % 6 == 0:
+            movi_body = b"".join(lst(b"rec ", fc) for fc in frame_chunks)
+        else:
+            movi_body = b"".join(frame_chunks)
+        body = hdrl + chunk(b"JUNK", b"\x00" * (4 + d % 8)) + lst(b"movi", movi_body)
+        if d % 4 == 0:
+            # idx1: one 16-byte entry per frame (id, flags, offset, size)
+            idx = b"".join(
+                b"00dc" + struct.pack("<III", 0x10, 4 + i * 8, len(j))
+                for i, j in enumerate(jpegs)
+            )
+            body += chunk(b"idx1", idx)
+        return chunk(b"RIFF", b"AVI " + body)
+
+    return encode
+
+
 def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Per-payload feature extraction over Arrow batches.
 
@@ -1521,9 +1818,89 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     (means + an order-sensitive weighted checksum), same
     corrupt-payload contract.
 
-    Any other codec raises — compressed/inter-frame video (H.264,
+    ``codec='mjpeg'``: a REAL COMPRESSED VIDEO codec — MJPEG-in-AVI,
+    composing the RIFF container walk (:func:`_make_avi_parser`) with
+    the baseline JPEG decoder per frame — output schema
+    ``MJPEG_STATS_SCHEMA`` (geometry + frame rate + means + a
+    frame-order-sensitive weighted checksum), same corrupt-payload
+    contract. Every decoded frame's dimensions must match the
+    container header (a lying frame makes the payload corrupt, and
+    the JPEG decoder's own pixel cap bounds it first).
+
+    Any other codec raises — INTER-FRAME predictive video (H.264,
     VP9, ...) needs ffmpeg, absent in this environment.
     """
+    if codec == "mjpeg":
+        parse_avi = _make_avi_parser()
+        decode_jpeg_frame = _make_jpeg_decoder()
+
+        def decode_mjpeg_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                keys = ("valid", "w", "h", "nf", "fn", "fd", "r", "g", "b", "ws")
+                rows = {k: [] for k in keys}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        w, h, fn, fd, frames = parse_avi(bytes(payload))
+                        sums = np.zeros(3, dtype=np.float64)
+                        wsum = 0
+                        for f, jpeg in enumerate(frames):
+                            fw, fh, pix = decode_jpeg_frame(jpeg)
+                            if (fw, fh) != (w, h):
+                                raise ValueError(
+                                    f"frame {f} is {fw}x{fh}, container "
+                                    f"declares {w}x{h}"
+                                )
+                            sums += pix.sum(axis=0, dtype=np.float64)
+                            wsum += (f + 1) * int(
+                                pix[:, 0].sum(dtype=np.int64)
+                            )
+                        nf = len(frames)
+                        # zero-frame AVI: VALID with NULL stats incl.
+                        # the checksum (wav/y4m/gif no-data parity)
+                        means = sums / (nf * w * h) if nf else None
+                        rows["valid"].append(True)
+                        rows["w"].append(w)
+                        rows["h"].append(h)
+                        rows["nf"].append(nf)
+                        rows["fn"].append(fn)
+                        rows["fd"].append(fd)
+                        for c, k in zip((0, 1, 2), ("r", "g", "b")):
+                            rows[k].append(
+                                round(float(means[c]), 6)
+                                if means is not None
+                                else None
+                            )
+                        rows["ws"].append(wsum if nf else None)
+                    except ValueError:
+                        rows["valid"].append(False)
+                        for k in keys[1:]:
+                            rows[k].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "width": pd.Series(rows["w"], dtype="Int32"),
+                        "height": pd.Series(rows["h"], dtype="Int32"),
+                        "n_frames": pd.Series(rows["nf"], dtype="Int64"),
+                        "fps_num": pd.Series(rows["fn"], dtype="Int32"),
+                        "fps_den": pd.Series(rows["fd"], dtype="Int32"),
+                        "r_mean": pd.Series(rows["r"], dtype="float64"),
+                        "g_mean": pd.Series(rows["g"], dtype="float64"),
+                        "b_mean": pd.Series(rows["b"], dtype="float64"),
+                        "r_fwsum": pd.Series(rows["ws"], dtype="Int64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_mjpeg_batches, MJPEG_STATS_SCHEMA
+        )
     if codec == "gif":
         decode_gif = _make_gif_decoder()
 
@@ -1845,9 +2222,10 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
             "parse), 'png' (real zlib inflate + filter reconstruction), "
             "'wav' (real RIFF/PCM parse), 'jpeg' (real baseline "
             "Huffman+IDCT decode), 'y4m' (real uncompressed video "
-            "container), and 'gif' (real palette+LZW decode) run in this "
+            "container), 'gif' (real palette+LZW decode), and 'mjpeg' "
+            "(real AVI walk + per-frame JPEG decode) run in this "
             "environment; plug ffmpeg into decode_features here for "
-            "compressed video (H.264/VP9/...)"
+            "inter-frame predictive video (H.264/VP9/...)"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -633,6 +633,80 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_gif_payload(docs), codec="gif")
 
 
+# COMPRESSED VIDEO decode (round 10, narrowing the last codec gate to
+# inter-frame prediction only): MJPEG-in-AVI composes the RIFF
+# container walk with the baseline JPEG decoder per frame — the real
+# format security cameras and capture cards emit. synth_avi_payload
+# builds genuine AVIs (avih/strh/strf headers, JUNK alignment chunks,
+# idx1 on every 4th doc, LIST-rec frame grouping on every 6th) whose
+# frames are the JPEG fixture with the frame index threaded into the
+# pinned block arithmetic. The oracle recomputes per-frame block
+# values + the JFIF transform (the JPEG query's arithmetic, frame-
+# shifted) AND r_fwsum — a frame-weighted checksum that catches
+# frame-order bugs the means cannot (each 8x8 block is constant, so
+# pixel sums are 64x block sums). Never sees a byte of AVI or JPEG.
+@query(
+    "q_multimodal_decode_mjpeg",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(12 + doc_id % 4 AS INT) AS fps_num,
+           CAST(1 + doc_id % 2 AS INT) AS fps_den,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, nb), b ->
+               CASE WHEN d % 5 = 0
+                    THEN CAST(28 + (d*31 + 5*b + 23*f) % 200 AS DOUBLE)
+                    ELSE FLOOR(CAST(28 + (d*31 + 5*b + 23*f) % 200 AS DOUBLE)
+                         + CAST(1.402 AS DOUBLE)
+                           * (CAST(114 + (d*3 + 11*b + 17*f) % 28 AS DOUBLE) - 128)
+                         + 0.5)
+               END)))) / (nf * nb), 6) AS r_mean,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, nb), b ->
+               CASE WHEN d % 5 = 0
+                    THEN CAST(28 + (d*31 + 5*b + 23*f) % 200 AS DOUBLE)
+                    ELSE FLOOR(CAST(28 + (d*31 + 5*b + 23*f) % 200 AS DOUBLE)
+                         - CAST(0.344136 AS DOUBLE)
+                           * (CAST(113 + (d + 7*b + 13*f) % 30 AS DOUBLE) - 128)
+                         - CAST(0.714136 AS DOUBLE)
+                           * (CAST(114 + (d*3 + 11*b + 17*f) % 28 AS DOUBLE) - 128)
+                         + 0.5)
+               END)))) / (nf * nb), 6) AS g_mean,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, nb), b ->
+               CASE WHEN d % 5 = 0
+                    THEN CAST(28 + (d*31 + 5*b + 23*f) % 200 AS DOUBLE)
+                    ELSE FLOOR(CAST(28 + (d*31 + 5*b + 23*f) % 200 AS DOUBLE)
+                         + CAST(1.772 AS DOUBLE)
+                           * (CAST(113 + (d + 7*b + 13*f) % 30 AS DOUBLE) - 128)
+                         + 0.5)
+               END)))) / (nf * nb), 6) AS b_mean,
+           CAST(list_sum(list_transform(range(0, nf), f ->
+             (f + 1) * 64 * list_sum(list_transform(range(0, nb), b ->
+               CASE WHEN d % 5 = 0
+                    THEN CAST(28 + (d*31 + 5*b + 23*f) % 200 AS DOUBLE)
+                    ELSE FLOOR(CAST(28 + (d*31 + 5*b + 23*f) % 200 AS DOUBLE)
+                         + CAST(1.402 AS DOUBLE)
+                           * (CAST(114 + (d*3 + 11*b + 17*f) % 28 AS DOUBLE) - 128)
+                         + 0.5)
+               END)))) AS BIGINT) AS r_fwsum
+    FROM (
+      SELECT doc_id, doc_id AS d, 2 + doc_id % 3 AS nf,
+             (1 + doc_id % 3) * (1 + doc_id % 2) AS nb
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import synth_avi_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_avi_payload(docs), codec="mjpeg")
+
+
 # Sampling tier (operators.sampling): corpus curation at 100 TB is
 # sampling work. The hash sampler's in/out decision is pure int64
 # arithmetic, so both engines compute it identically — full oracle.

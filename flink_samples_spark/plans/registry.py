@@ -75,13 +75,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # bench_compare flag from r9; a fresh green row plus the
     # interleaved A/B closes it).  Every remaining slot burns the
     # stale backlog: the FULL r4 cohort (23) + 15 of the r5 cohort.
-    # Eight r5 queries whose §2 families are already multiply covered
-    # in-window (q_agg_listagg, q_fn_zorder, q_pattern_absence,
+    # Nine r5 queries whose §2 families are already multiply covered
+    # in-window (q_agg_listagg, q_agg_percentiles — four other §2.4
+    # members hold seats — q_fn_zorder, q_pattern_absence,
     # q_quality_ensemble, q_sample_reservoir, q_sample_weighted,
     # q_ts_ewma — its oracle is pytest-pinned identical to the
-    # in-window streaming twin's — q_ts_outliers; three of those
+    # in-window streaming twin's — q_ts_outliers; four of those
     # seats went to the round's NEW q_multimodal_decode_jpeg/_y4m/
-    # _gif, which outrank staleness) are deferred to lead r11 so
+    # _gif/_mjpeg, which outrank staleness) are deferred to lead r11 so
     # the family-coverage spine (tests/test_registry_order.py) keeps
     # one sentinel per family: q_scan_json (§2.1, r6-stale),
     # q_project (§2.2, r8), q_win_laglead (§2.5, r8), q_topk (§2.6,
@@ -89,13 +90,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # picked from the OLDEST green cohort in its family so the seat
     # does staleness dual duty.  The last seat keeps the flagship
     # (q_session_window, §2.9) as the spine's regression canary.
-    # Registration stays FROZEN at 202 unless a verdict demands a new
-    # operator.
+    # Registration grew 202 → 206 this round on the r9 verdict's
+    # optional item 8 (JPEG — plus its natural siblings y4m/gif/mjpeg
+    # completing the video+animation modalities); it stays FROZEN at
+    # 206 unless a verdict demands a new operator.
     "q_multimodal_decode_wav",  # NEVER driver-checked — lead the window
     "q_multimodal_decode_png",  # Sub-filter vectorized this round
     "q_multimodal_decode_jpeg", # NEW this round: baseline JPEG codec
     "q_multimodal_decode_y4m",  # NEW this round: y4m video container
     "q_multimodal_decode_gif",  # NEW this round: palette+LZW codec
+    "q_multimodal_decode_mjpeg",# NEW this round: MJPEG-in-AVI video
     "q_training_pipeline",      # r9 bench flag — fresh row + A/B
     # ---- longest-stale rotation: last green r4 (full cohort, 23) ----
     "q_agg_approx_quantile",
@@ -121,10 +125,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_sql_scalar_subquery",
     "q_tokenize_vocab",
     "q_udf_arrow",              # §2.10 rep
-    # ---- next-stale rotation: last green r5 (15 of 23; 8 deferred
+    # ---- next-stale rotation: last green r5 (14 of 23; 9 deferred
     # ---- to r11 per the spine note above) ----
     "q_agg_bitmap_distinct",
-    "q_agg_percentiles",
     "q_budget_select",
     "q_curation_v2",
     "q_data_quality",
@@ -149,8 +152,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-11 allocation (write when the r10 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): lead with the eight r5
-# deferrals (q_agg_listagg, q_fn_zorder, q_pattern_absence,
+# scripts/update_green_manifest.py first): lead with the nine r5
+# deferrals (q_agg_listagg, q_agg_percentiles, q_fn_zorder,
+# q_pattern_absence,
 # q_quality_ensemble, q_sample_reservoir, q_sample_weighted,
 # q_ts_ewma, q_ts_outliers), then any query whose code
 # changed after its last green row, then the r6-stale cohort (~24

