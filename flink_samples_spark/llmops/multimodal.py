@@ -1562,17 +1562,24 @@ def _make_avi_parser():
         nxt = body + size + (size & 1)
         return fourcc, body, size, nxt
 
-    def collect_frames(buf: bytes, pos: int, end: int, frames: list) -> None:
+    def collect_frames(
+        buf: bytes, pos: int, end: int, frames: list, depth: int = 0
+    ) -> None:
         # walk a movi (or nested 'rec ') LIST body, appending '00dc'
         # frame payloads; '00db' (uncompressed DIB) would be a
-        # non-MJPEG stream sneaking in — reject, the strh said MJPG
+        # non-MJPEG stream sneaking in — reject, the strh said MJPG.
+        # The spec nests rec groups ONE level under movi; cap the
+        # depth so a crafted header chain cannot recurse to a
+        # RecursionError (which would escape the ValueError contract)
+        if depth > 4:
+            raise ValueError("rec groups nested past any valid AVI")
         while pos < end:
             fourcc, body, size, pos = read_chunk_header(buf, pos, end)
             if fourcc == b"LIST":
                 if size < 4:
                     raise ValueError("LIST chunk too short for a form type")
                 if buf[body : body + 4] == b"rec ":
-                    collect_frames(buf, body + 4, body + size, frames)
+                    collect_frames(buf, body + 4, body + size, frames, depth + 1)
                 continue
             if fourcc == b"00dc":
                 if len(frames) >= MAX_FRAMES:
@@ -1589,6 +1596,18 @@ def _make_avi_parser():
             # any other chunk id: ancillary, skip
 
     def parse_avi(buf: bytes):
+        # normalize malformed-input failure modes to the corrupt-row
+        # contract (the wav/y4m lesson): every unpack here is behind a
+        # length check, but a missed path must surface as ValueError
+        # (valid=false row), never kill the whole Arrow batch
+        try:
+            return _parse(buf)
+        except ValueError:
+            raise
+        except (IndexError, struct.error) as e:
+            raise ValueError(f"truncated chunk body: {e}") from e
+
+    def _parse(buf: bytes):
         if len(buf) < 12 or buf[0:4] != b"RIFF" or buf[8:12] != b"AVI ":
             raise ValueError("not an AVI: bad RIFF/form magic")
         (riff_size,) = struct.unpack("<I", buf[4:8])

@@ -1019,6 +1019,17 @@ def test_avi_parser_structural_corruption():
     struct.pack_into("<II", huge, avih_body + 32, 1 << 13, 1 << 13)
     struct.pack_into("<ii", huge, strf_body + 4, 1 << 13, 1 << 13)
     cases["pixel budget"] = bytes(huge)
+    # hostile nesting: deeply nested LIST-rec chain must hit the depth
+    # cap as a ValueError, never escape as a RecursionError
+    def chunk(f, b):
+        return f + struct.pack("<I", len(b)) + b + (b"\x00" if len(b) & 1 else b"")
+    inner = b""
+    for _ in range(40):
+        inner = chunk(b"LIST", b"rec " + inner)
+    movi_hdr = good.index(b"movi") - 8
+    deep = bytearray(good[:movi_hdr] + chunk(b"LIST", b"movi" + inner))
+    struct.pack_into("<I", deep, 4, len(deep) - 8)
+    cases["rec depth bomb"] = bytes(deep)
     for name, mut in cases.items():
         with pytest.raises(ValueError):
             parse(mut)  # pytest fails this case if nothing raises
