@@ -66,15 +66,17 @@ ORACLES: dict[str, str] = {}
 DRIVER_PRIORITY: tuple[str, ...] = (
     # Round-10 allocation (manifest after r9: 201 of 202 ever-green;
     # latest-green histogram r4:23 r5:23 r6:26 r7:33 r8:46 r9:50).
-    # Priority 1 is q_multimodal_decode_wav — the ONLY query with no
-    # driver row ever (registered after the r9 window was set; locally
-    # oracle-green, vanilla-swept, judge spot-checked OK).  Then the
-    # two queries whose evidence this round touches: the PNG decode
+    # Priority 1 is q_multimodal_decode_wav — the only query entering
+    # the round with no driver row ever (registered after the r9
+    # window was set; locally oracle-green, vanilla-swept, judge spot
+    # checked OK); the round's four NEW codec queries (jpeg/y4m/gif/
+    # mjpeg, also never driver-checked) follow it.  Then the two
+    # queries whose evidence this round touches: the PNG decode
     # (Sub-filter rows vectorized via np.cumsum this round — code
     # changed after its r9 green row) and q_training_pipeline (the one
     # bench_compare flag from r9; a fresh green row plus the
     # interleaved A/B closes it).  Every remaining slot burns the
-    # stale backlog: the FULL r4 cohort (23) + 15 of the r5 cohort.
+    # stale backlog: the FULL r4 cohort (23) + 14 of the r5 cohort.
     # Nine r5 queries whose §2 families are already multiply covered
     # in-window (q_agg_listagg, q_agg_percentiles — four other §2.4
     # members hold seats — q_fn_zorder, q_pattern_absence,
