@@ -1035,3 +1035,41 @@ def test_avi_parser_structural_corruption():
             parse(mut)  # pytest fails this case if nothing raises
     # sanity: the unpatched fixture still parses
     assert len(parse(good)[4]) == 3
+
+
+@given(d=st.integers(0, 10**6), pos_frac=st.floats(0, 1), delta=st.integers(1, 255))
+@settings(max_examples=120, deadline=None)
+def test_mjpeg_stack_single_byte_mutation_never_escapes(d, pos_frac, delta):
+    """Mutation fuzz over the full MJPEG stack (AVI walk + per-frame
+    JPEG decode): flipping ONE byte anywhere in a fixture AVI must
+    either still decode (JPEG entropy data carries no checksum, so
+    some flips silently change pixels — that is the format's nature,
+    same stance as the JPEG structural property) or raise ValueError.
+    It must NEVER surface any other exception (struct.error,
+    IndexError, RecursionError, OverflowError...) — on a 100 TB
+    corpus a single flipped byte must cost one valid=false row, not
+    an executor task."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_avi_fixture_encoder,
+        _make_avi_parser,
+        _make_jpeg_decoder,
+    )
+
+    enc, parse, dec = (
+        _make_avi_fixture_encoder(),
+        _make_avi_parser(),
+        _make_jpeg_decoder(),
+    )
+    good = bytearray(enc(d))
+    pos = min(int(pos_frac * len(good)), len(good) - 1)
+    good[pos] = (good[pos] + delta) % 256
+    try:
+        w, h, fn, fd, frames = parse(bytes(good))
+        for jpeg in frames:
+            fw, fh, pix = dec(jpeg)
+            # a surviving decode must still be internally coherent
+            assert pix.shape == (fw * fh, 3)
+    except ValueError:
+        pass  # the corrupt-row contract
