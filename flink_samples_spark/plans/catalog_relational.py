@@ -288,6 +288,20 @@ def q_join_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped multi-aggregate over two group keys.
+
+    r10 bench-flag closure (bench_compare r9→r10 local flagged 1.84×
+    raw / 1.39× normalized on the committed snapshot's 0.423 s
+    sample; code unchanged for many rounds): same-session interleaved
+    min-of-7 on the SAME host window reads **0.330 s** — raw 1.43×
+    vs the r9 local 0.230 s against a 1.33× drift factor ≈ 1.08×
+    normalized, inside the band — and the family twins moved with the
+    host, not with this query (q_agg_rollup 1.30× raw, q_filter
+    1.06×). The snapshot caught a high draw of a sub-half-second
+    query; min-of-2 does not fully de-noise at that resolution (the
+    same sub-resolution effect the q_training_pipeline r9 flag
+    documented).
+    """
     li = load_table(spark, sf_dir, "lineitem")
     return hash_agg(
         li,
