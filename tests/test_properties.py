@@ -1073,3 +1073,96 @@ def test_mjpeg_stack_single_byte_mutation_never_escapes(d, pos_frac, delta):
             assert pix.shape == (fw * fh, 3)
     except ValueError:
         pass  # the corrupt-row contract
+
+
+def _codec_fuzz_fixtures():
+    """(name, good_payload_bytes, decode_callable) per REAL codec —
+    the uniform mutation-fuzz surface. Factory-built where a fixture
+    encoder exists; hand-assembled minimal-valid payloads otherwise
+    (same construction the per-codec known-good tests use)."""
+    import struct
+    import zlib
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_avi_fixture_encoder,
+        _make_avi_parser,
+        _make_gif_decoder,
+        _make_gif_fixture_encoder,
+        _make_jpeg_decoder,
+        _make_jpeg_fixture_encoder,
+        _make_png_decoder,
+        _make_ppm_parser,
+        _make_wav_parser,
+        _make_y4m_parser,
+    )
+
+    ppm = b"P6\n# c\n3 2\n255\n" + bytes(range(18))
+
+    def png_chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    raw = b"".join(b"\x00" + bytes(range(i * 9, i * 9 + 9)) for i in range(2))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + png_chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 2, 0, 0, 0))
+        + png_chunk(b"IDAT", zlib.compress(raw))
+        + png_chunk(b"IEND", b"")
+    )
+
+    frames = b"".join(struct.pack("<h", 100 * i - 300) for i in range(8))
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + len(frames)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(frames)) + frames
+    )
+
+    plane = bytes(range(12))
+    y4m = (
+        b"YUV4MPEG2 W4 H3 F24:1 C444\n"
+        + b"FRAME\n" + plane * 3
+        + b"FRAME\n" + plane * 3
+    )
+
+    return [
+        ("ppm", ppm, _make_ppm_parser()),
+        ("png", png, _make_png_decoder()),
+        ("wav", wav, _make_wav_parser()),
+        ("y4m", y4m, _make_y4m_parser()),
+        ("jpeg", _make_jpeg_fixture_encoder()(7), _make_jpeg_decoder()),
+        ("gif", _make_gif_fixture_encoder()(7), _make_gif_decoder()),
+        ("mjpeg", _make_avi_fixture_encoder()(7), _make_avi_parser()),
+    ]
+
+
+@given(pos_frac=st.floats(0, 1), delta=st.integers(1, 255))
+@settings(max_examples=80, deadline=None)
+def test_every_codec_single_byte_mutation_never_escapes(pos_frac, delta):
+    """The UNIFORM corrupt-row contract across all seven real codecs:
+    flipping one byte anywhere in a valid payload must either still
+    parse/decode or raise ValueError — never any other exception
+    class. This is the property the mapInPandas decode branches rely
+    on: they catch exactly ValueError, so anything else would kill an
+    executor task instead of producing one valid=false row."""
+    for name, good, dec in _codec_fuzz_fixtures():
+        buf = bytearray(good)
+        pos = min(int(pos_frac * len(buf)), len(buf) - 1)
+        buf[pos] = (buf[pos] + delta) % 256
+        try:
+            dec(bytes(buf))
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001 — the property under test
+            raise AssertionError(
+                f"codec {name}: byte {pos} flip escaped as "
+                f"{type(e).__name__}: {e}"
+            ) from e
+
+
+def test_codec_fuzz_fixtures_are_valid():
+    """The fuzz fixtures themselves must parse cleanly — otherwise the
+    mutation property would vacuously test corrupt inputs only."""
+    for name, good, dec in _codec_fuzz_fixtures():
+        dec(bytes(good))  # must not raise
