@@ -1166,3 +1166,25 @@ def test_codec_fuzz_fixtures_are_valid():
     mutation property would vacuously test corrupt inputs only."""
     for name, good, dec in _codec_fuzz_fixtures():
         dec(bytes(good))  # must not raise
+
+
+@given(cut_frac=st.floats(0, 1))
+@settings(max_examples=80, deadline=None)
+def test_every_codec_truncation_never_escapes(cut_frac):
+    """Truncation twin of the mutation property: cutting a valid
+    payload at ANY byte offset (the most common real-world corruption
+    — a short object read, a partial upload) must raise ValueError or,
+    for offsets past the meaningful payload (RIFF/PNG/GIF carry
+    explicit sizes; trailing bytes are documented leniency), still
+    decode. Never any other exception class."""
+    for name, good, dec in _codec_fuzz_fixtures():
+        cut = min(int(cut_frac * len(good)), len(good) - 1)
+        try:
+            dec(bytes(good[:cut]))
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001 — the property under test
+            raise AssertionError(
+                f"codec {name}: truncation at {cut} escaped as "
+                f"{type(e).__name__}: {e}"
+            ) from e
