@@ -94,6 +94,10 @@ HEADLINE = [
     "q_multimodal_decode_y4m",
     "q_multimodal_decode_gif",
     "q_multimodal_decode_mjpeg",
+    # round-10 late addition: the COMPRESSED LOSSLESS audio codec
+    # (FLAC — Rice residuals, FIXED/LPC prediction, stereo
+    # decorrelation, CRC-8/16 + MD5 verification)
+    "q_multimodal_decode_flac",
 ]
 
 

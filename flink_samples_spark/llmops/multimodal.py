@@ -6,18 +6,21 @@ BinaryType natively, so the pipeline shape (schema, partitioning,
 Arrow batch transfer) is identical to production.
 
 The decode seam is :func:`decode_features`, a ``mapInPandas`` stage
-with eight codec branches: (a) ``codec='fake'`` — deterministic byte
+with nine codec branches: (a) ``codec='fake'`` — deterministic byte
 stats (real plumbing, fake features) used by tests; (b)
 ``codec='ppm'`` — a REAL public codec, binary-PPM (P6) header parse +
 numpy channel means; (c) ``codec='png'`` — a REAL compressed codec,
 PNG 8-bit RGB via stdlib ``zlib`` inflate + per-scanline filter
 reconstruction (None/Sub/Up/Average/Paeth), no PIL needed; (d)
 ``codec='wav'`` — a REAL audio codec, RIFF/WAVE 16-bit PCM parse +
-per-channel sample means; (e) ``codec='jpeg'`` — a REAL lossy codec,
+per-channel sample means; (e) ``codec='flac'`` — a REAL COMPRESSED
+LOSSLESS audio codec, FLAC subset-16-bit decode (Rice residuals,
+FIXED/LPC prediction, stereo decorrelation, CRC-8/16 + MD5 checks),
+no libFLAC needed; (f) ``codec='jpeg'`` — a REAL lossy codec,
 baseline JPEG (ITU T.81) Huffman decode + batched numpy IDCT + JFIF
-YCbCr→RGB, no PIL needed; (f) ``codec='y4m'`` — a REAL video
-container, YUV4MPEG2 planar frame iteration; (g) ``codec='gif'`` — a
-REAL palette+LZW codec, animated GIF87a/89a with interlace; (h)
+YCbCr→RGB, no PIL needed; (g) ``codec='y4m'`` — a REAL video
+container, YUV4MPEG2 planar frame iteration; (h) ``codec='gif'`` — a
+REAL palette+LZW codec, animated GIF87a/89a with interlace; (i)
 ``codec='mjpeg'`` — a REAL compressed-video codec, MJPEG-in-AVI: the
 RIFF container walk composed with the baseline JPEG decoder per
 frame. Only INTER-FRAME predictive video (H.264/VP9, needs ffmpeg)
@@ -520,6 +523,674 @@ def synth_wav_payload(docs: DataFrame) -> DataFrame:
                 )
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
+def _make_flac_decoder():
+    """Build the FLAC decoder — the real COMPRESSED LOSSLESS audio
+    format (RFC 9639 / xiph.org spec), done honestly with ONLY the
+    stdlib + numpy: ``fLaC`` magic, metadata-block walk (STREAMINFO
+    parsed, everything else skipped), and per-frame decode of the
+    full subset-16-bit grammar — frame-header CRC-8 (poly 0x07) and
+    whole-frame CRC-16 (poly 0x8005) verification, UTF-8-style coded
+    frame/sample numbers, all block-size/sample-rate/sample-size
+    header codings (table codes AND the uncommon end-of-header
+    fields), CONSTANT / VERBATIM / FIXED(order 0-4) / LPC subframes,
+    wasted-bits shifts, Rice residual coding (both 4- and 5-bit
+    parameter methods, partitioned, including the raw-bits escape),
+    and all four stereo decorrelation modes (independent, left/side,
+    right/side, mid/side). The STREAMINFO MD5 signature is verified
+    over the decoded interleaved samples (16-bit streams) — an
+    end-to-end integrity check the container itself defines.
+
+    Factory-nested like the image parsers so the decode closure
+    pickles BY VALUE — executors never need this module importable.
+
+    Returns ``decode_flac(buf) -> (n_channels, sample_rate, frames)``
+    with ``frames`` an ``(n_samples, n_channels)`` int64 array;
+    raises ``ValueError`` on anything malformed (bad magic, CRC or
+    MD5 mismatch, reserved codes, truncation anywhere, frame fields
+    that contradict STREAMINFO, out-of-sequence frame numbers).
+
+    Bomb surfaces, bounded BEFORE materialization: a CONSTANT
+    subframe expands ~6 bytes to a whole block, so declared/decoded
+    samples×channels are capped at 16.7M (the PNG pixel-cap policy,
+    ``llmops/multimodal.py`` PNG notes) — beyond it the decode fails
+    without allocating; hostile LPC coefficient feedback is cut off
+    by a 2^35 divergence bound (Python-int math, so no silent wrap);
+    FIXED reconstruction integrates with object-dtype cumsum (exact,
+    no int64 overflow) and bounds-checks the result. Like the PNG
+    decoder, the bit-level inner loops are interpreted Python — fine
+    at fixture scale, and the mapInPandas seam means a C codec swap
+    changes no plan at 100 TB.
+    """
+    import hashlib
+
+    crc8_tab = []
+    for b in range(256):
+        r = b
+        for _ in range(8):
+            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
+        crc8_tab.append(r)
+    crc16_tab = []
+    for b in range(256):
+        r = b << 8
+        for _ in range(8):
+            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 else (r << 1) & 0xFFFF
+        crc16_tab.append(r)
+
+    def crc8(data: bytes) -> int:
+        r = 0
+        for byte in data:
+            r = crc8_tab[r ^ byte]
+        return r
+
+    def crc16(data: bytes) -> int:
+        r = 0
+        for byte in data:
+            r = crc16_tab[((r >> 8) ^ byte) & 0xFF] ^ ((r << 8) & 0xFFFF)
+        return r
+
+    BLOCKSIZE_TAB = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                     13: 8192, 14: 16384, 15: 32768}
+    RATE_TAB = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+                6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+                11: 96000}
+    SIZE_TAB = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+    SAMPLE_CAP = 1 << 24  # decoded samples × channels — PNG-cap policy
+    VALUE_BOUND = 1 << 35  # any reconstructed sample beyond this is corrupt
+
+    class Bits:
+        __slots__ = ("buf", "pos", "n")
+
+        def __init__(self, buf: bytes, bytepos: int = 0):
+            self.buf = buf
+            self.pos = bytepos * 8
+            self.n = len(buf) * 8
+
+        def read(self, k: int) -> int:
+            p = self.pos
+            if p + k > self.n:
+                raise ValueError("truncated bitstream")
+            self.pos = p + k
+            v = 0
+            while k:
+                avail = 8 - (p & 7)
+                take = avail if avail < k else k
+                v = (v << take) | (
+                    (self.buf[p >> 3] >> (avail - take)) & ((1 << take) - 1)
+                )
+                p += take
+                k -= take
+            return v
+
+        def read_signed(self, k: int) -> int:
+            v = self.read(k)
+            return v - (1 << k) if v >> (k - 1) else v
+
+        def read_unary(self) -> int:
+            q = 0
+            while not self.read(1):  # read() bounds the loop
+                q += 1
+            return q
+
+        def align(self) -> None:
+            pad = (-self.pos) % 8
+            if pad and self.read(pad) != 0:
+                raise ValueError("nonzero frame padding bits")
+
+        def bytepos(self) -> int:
+            return self.pos >> 3
+
+    def read_coded_number(bits: Bits, max_bytes: int) -> int:
+        """UTF-8-style frame/sample number (extended to 36 bits)."""
+        b0 = bits.read(8)
+        if b0 < 0x80:
+            return b0
+        extra = 0
+        mask = 0x40
+        while b0 & mask:
+            extra += 1
+            mask >>= 1
+        if extra == 0 or extra > max_bytes - 1:
+            raise ValueError("malformed coded number")
+        v = b0 & (mask - 1)
+        for _ in range(extra):
+            c = bits.read(8)
+            if c & 0xC0 != 0x80:
+                raise ValueError("malformed coded-number continuation")
+            v = (v << 6) | (c & 0x3F)
+        return v
+
+    def read_residuals(bits: Bits, blocksize: int, order: int) -> list:
+        method = bits.read(2)
+        if method > 1:
+            raise ValueError(f"reserved residual method {method}")
+        plen = 4 + method
+        esc = (1 << plen) - 1
+        nparts = 1 << bits.read(4)
+        if blocksize % nparts:
+            raise ValueError("partition order does not divide block size")
+        res = []
+        for p in range(nparts):
+            count = blocksize // nparts - (order if p == 0 else 0)
+            if count < 0:
+                raise ValueError("first partition smaller than predictor order")
+            k = bits.read(plen)
+            if k == esc:
+                nbits = bits.read(5)
+                if nbits:
+                    res.extend(bits.read_signed(nbits) for _ in range(count))
+                else:
+                    res.extend([0] * count)
+            else:
+                for _ in range(count):
+                    u = (bits.read_unary() << k) | (bits.read(k) if k else 0)
+                    res.append((u >> 1) ^ -(u & 1))
+        return res
+
+    def fixed_restore(order: int, warm: list, res: list) -> list:
+        # The order-k FIXED predictor's residual IS the k-th finite
+        # difference, so reconstruction is k exact integrations:
+        # each level's initial value is the (k-1)-th difference of the
+        # warmup at its last index. object dtype keeps the cumsums
+        # exact — hostile residuals cannot silently wrap int64.
+        if order == 0:
+            return list(res)
+        w = np.array(warm, dtype=object)
+        level = np.array(res, dtype=object)
+        for j in range(order, 0, -1):
+            init = np.diff(w, n=j - 1)[-1] if j > 1 else warm[-1]
+            if len(level):
+                level = init + np.cumsum(level)
+        return warm + list(level)
+
+    def read_subframe(bits: Bits, blocksize: int, bps: int) -> list:
+        if bits.read(1):
+            raise ValueError("nonzero subframe padding bit")
+        t = bits.read(6)
+        wasted = 0
+        if bits.read(1):
+            wasted = bits.read_unary() + 1
+        eff = bps - wasted
+        if eff <= 0:
+            raise ValueError("wasted bits exceed sample size")
+        if t == 0:
+            s = [bits.read_signed(eff)] * blocksize
+        elif t == 1:
+            s = [bits.read_signed(eff) for _ in range(blocksize)]
+        elif 8 <= t <= 12:
+            order = t - 8
+            if order > blocksize:
+                raise ValueError("predictor order exceeds block size")
+            warm = [bits.read_signed(eff) for _ in range(order)]
+            s = fixed_restore(order, warm, read_residuals(bits, blocksize, order))
+        elif t >= 32:
+            order = t - 31
+            if order > blocksize:
+                raise ValueError("predictor order exceeds block size")
+            warm = [bits.read_signed(eff) for _ in range(order)]
+            prec = bits.read(4)
+            if prec == 15:
+                raise ValueError("invalid LPC precision code")
+            prec += 1
+            shift = bits.read_signed(5)
+            if shift < 0:
+                raise ValueError("negative LPC shift")
+            coefs = [bits.read_signed(prec) for _ in range(order)]
+            s = list(warm)
+            for r in read_residuals(bits, blocksize, order):
+                pred = 0
+                for j in range(order):
+                    pred += coefs[j] * s[-1 - j]
+                v = r + (pred >> shift)
+                if not -VALUE_BOUND < v < VALUE_BOUND:
+                    raise ValueError("LPC reconstruction diverged")
+                s.append(v)
+        else:
+            raise ValueError(f"reserved subframe type {t}")
+        for v in s:
+            if not -VALUE_BOUND < v < VALUE_BOUND:
+                raise ValueError("reconstructed sample out of range")
+        if wasted:
+            s = [v << wasted for v in s]
+        return s
+
+    def decode_flac(buf: bytes):
+        if len(buf) < 42 or buf[0:4] != b"fLaC":
+            raise ValueError("not a FLAC stream")
+        pos = 4
+        streaminfo = None
+        last = False
+        while not last:
+            if pos + 4 > len(buf):
+                raise ValueError("truncated metadata block header")
+            head = buf[pos]
+            last = bool(head & 0x80)
+            btype = head & 0x7F
+            length = int.from_bytes(buf[pos + 1 : pos + 4], "big")
+            pos += 4
+            if pos + length > len(buf):
+                raise ValueError("truncated metadata block")
+            if btype == 0:
+                if streaminfo is not None:
+                    raise ValueError("duplicate STREAMINFO")
+                if length != 34:
+                    raise ValueError("bad STREAMINFO length")
+                body = buf[pos : pos + length]
+                bb = Bits(body)
+                bb.read(16), bb.read(16)  # min/max block size
+                bb.read(24), bb.read(24)  # min/max frame size
+                rate = bb.read(20)
+                n_ch = bb.read(3) + 1
+                bps = bb.read(5) + 1
+                total = bb.read(36)
+                if rate == 0:
+                    raise ValueError("zero sample rate")
+                if bps < 4:
+                    raise ValueError(f"unsupported bit depth {bps}")
+                streaminfo = (rate, n_ch, bps, total, body[18:34])
+            elif btype == 127:
+                raise ValueError("invalid metadata block type 127")
+            pos += length
+        if streaminfo is None:
+            raise ValueError("missing STREAMINFO")
+        rate, n_ch, bps, total, md5 = streaminfo
+        if total * n_ch > SAMPLE_CAP:
+            raise ValueError("declared stream exceeds decoder sample cap")
+
+        chans: list[list] = [[] for _ in range(n_ch)]
+        got = 0
+        frame_idx = 0
+        strategy = None
+        while pos < len(buf):
+            if total and got >= total:
+                break  # trailing bytes: documented leniency (RIFF/PNG stance)
+            frame_start = pos
+            bits = Bits(buf, pos)
+            if bits.read(14) != 0x3FFE:
+                raise ValueError("bad frame sync code")
+            if bits.read(1):
+                raise ValueError("reserved frame header bit set")
+            variable = bits.read(1)
+            if strategy is None:
+                strategy = variable
+            elif strategy != variable:
+                raise ValueError("blocking strategy changed mid-stream")
+            bs_code = bits.read(4)
+            rate_code = bits.read(4)
+            chan_code = bits.read(4)
+            size_code = bits.read(3)
+            if bits.read(1):
+                raise ValueError("reserved frame header bit set")
+            number = read_coded_number(bits, 7 if variable else 6)
+            if number != (got if variable else frame_idx):
+                raise ValueError("frame number out of sequence")
+            if bs_code == 0:
+                raise ValueError("reserved block size code")
+            elif bs_code == 6:
+                blocksize = bits.read(8) + 1
+            elif bs_code == 7:
+                blocksize = bits.read(16) + 1
+            else:
+                blocksize = BLOCKSIZE_TAB[bs_code]
+            if rate_code == 0:
+                frate = rate
+            elif rate_code == 12:
+                frate = bits.read(8) * 1000
+            elif rate_code == 13:
+                frate = bits.read(16)
+            elif rate_code == 14:
+                frate = bits.read(16) * 10
+            elif rate_code == 15:
+                raise ValueError("invalid sample rate code")
+            else:
+                frate = RATE_TAB[rate_code]
+            if frate != rate:
+                raise ValueError("frame sample rate differs from STREAMINFO")
+            if chan_code <= 7:
+                fch, mode = chan_code + 1, "indep"
+            elif chan_code == 8:
+                fch, mode = 2, "ls"
+            elif chan_code == 9:
+                fch, mode = 2, "rs"
+            elif chan_code == 10:
+                fch, mode = 2, "ms"
+            else:
+                raise ValueError(f"reserved channel assignment {chan_code}")
+            if fch != n_ch:
+                raise ValueError("frame channel count differs from STREAMINFO")
+            if size_code == 0:
+                fbps = bps
+            elif size_code == 3:
+                raise ValueError("reserved sample size code")
+            else:
+                fbps = SIZE_TAB[size_code]
+            if fbps != bps:
+                raise ValueError("frame sample size differs from STREAMINFO")
+            hdr_end = bits.bytepos()  # header fields are byte-aligned here
+            if crc8(buf[frame_start:hdr_end]) != bits.read(8):
+                raise ValueError("frame header CRC-8 mismatch")
+            if (got + blocksize) * n_ch > SAMPLE_CAP:
+                raise ValueError("decoded samples exceed decoder sample cap")
+            subs = []
+            for ch in range(fch):
+                extra = (mode == "ls" and ch == 1) or (
+                    mode == "rs" and ch == 0
+                ) or (mode == "ms" and ch == 1)
+                subs.append(read_subframe(bits, blocksize, fbps + extra))
+            bits.align()
+            crc_pos = bits.bytepos()
+            if crc_pos + 2 > len(buf):
+                raise ValueError("truncated frame CRC-16")
+            want = (buf[crc_pos] << 8) | buf[crc_pos + 1]
+            if crc16(buf[frame_start:crc_pos]) != want:
+                raise ValueError("frame CRC-16 mismatch")
+            pos = crc_pos + 2
+            if mode == "indep":
+                out = subs
+            elif mode == "ls":
+                left, side = subs
+                out = [left, [a - b for a, b in zip(left, side)]]
+            elif mode == "rs":
+                side, right = subs
+                out = [[a + b for a, b in zip(right, side)], right]
+            else:  # mid/side: side's LSB restores the halved sum
+                mid, side = subs
+                out = [[], []]
+                for m, sd in zip(mid, side):
+                    m2 = (m << 1) | (sd & 1)
+                    out[0].append((m2 + sd) >> 1)
+                    out[1].append((m2 - sd) >> 1)
+            for ch in range(n_ch):
+                chans[ch].extend(out[ch])
+            got += blocksize
+            frame_idx += 1
+        if total and got != total:
+            raise ValueError("stream sample count differs from STREAMINFO")
+        frames = (
+            np.array(chans, dtype=np.int64).T.copy()
+            if got
+            else np.zeros((0, n_ch), dtype=np.int64)
+        )
+        # STREAMINFO MD5 over the decoded interleaved samples: the
+        # container's own end-to-end integrity check (zero = unknown)
+        if bps == 16 and got and md5 != b"\x00" * 16:
+            if hashlib.md5(frames.astype("<i2").tobytes()).digest() != md5:
+                raise ValueError("decoded-audio MD5 signature mismatch")
+        return n_ch, rate, frames
+
+    return decode_flac
+
+
+def _make_flac_stream_encoder():
+    """Build the FLAC fixture encoder core — a genuine (if simple)
+    FLAC encoder over the stdlib: STREAMINFO with the real MD5
+    signature, a PADDING block (exercises the decoder's skip path),
+    and per-block frames whose stereo decorrelation mode rotates
+    through independent/left-side/right-side/mid-side and whose
+    subframe types rotate through FIXED orders 0-4, VERBATIM, and a
+    genuine LPC subframe (order 1, coefficient [1], shift 0 — the
+    same prediction as FIXED-1, but exercising the LPC bitstream
+    grammar end to end). Channels whose samples share trailing zero
+    bits are written with the wasted-bits shift, constant blocks as
+    CONSTANT subframes, and all-zero residual partitions with the
+    raw-bits escape (n=0) — the encode decisions a real encoder
+    makes, so the decoder's uncommon paths are exercised by the
+    fixtures themselves. Lossless: none of these choices change the
+    decoded samples, so the pinned-arithmetic oracle never needs to
+    know which path a payload took.
+
+    Returns ``encode_stream(frames, rate, block_size=64, seed=0)``
+    with ``frames`` an ``(n, ch)`` int array (ch 1 or 2, 16-bit
+    values); ``seed`` varies the mode/type rotation. Driver-side AND
+    executor-side (the synth adapter maps it over Arrow batches), so
+    it is factory-nested to pickle by value like the decoders."""
+    import hashlib
+
+    crc8_tab = []
+    for b in range(256):
+        r = b
+        for _ in range(8):
+            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
+        crc8_tab.append(r)
+    crc16_tab = []
+    for b in range(256):
+        r = b << 8
+        for _ in range(8):
+            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 else (r << 1) & 0xFFFF
+        crc16_tab.append(r)
+
+    def crc8(data: bytes) -> int:
+        r = 0
+        for byte in data:
+            r = crc8_tab[r ^ byte]
+        return r
+
+    def crc16(data: bytes) -> int:
+        r = 0
+        for byte in data:
+            r = crc16_tab[((r >> 8) ^ byte) & 0xFF] ^ ((r << 8) & 0xFFFF)
+        return r
+
+    BLOCKSIZE_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
+                       256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
+                       8192: 13, 16384: 14, 32768: 15}
+    RATE_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,
+                  22050: 6, 24000: 7, 32000: 8, 44100: 9, 48000: 10,
+                  96000: 11}
+
+    class BitWriter:
+        def __init__(self):
+            self.acc = 0
+            self.nbits = 0
+            self.out = bytearray()
+
+        def put(self, v: int, k: int) -> None:
+            self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+            self.nbits += k
+            while self.nbits >= 8:
+                self.nbits -= 8
+                self.out.append((self.acc >> self.nbits) & 0xFF)
+            self.acc &= (1 << self.nbits) - 1
+
+        def put_unary(self, q: int) -> None:
+            self.put(1, q + 1)  # q zero bits then a one
+
+        def align(self) -> None:
+            if self.nbits:
+                self.put(0, 8 - self.nbits)
+
+    def rice_put(w: BitWriter, v: int, k: int) -> None:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1
+        w.put_unary(u >> k)
+        if k:
+            w.put(u & ((1 << k) - 1), k)
+
+    def coded_number(n: int) -> bytes:
+        """UTF-8-style coding, extended to the 36-bit 7-byte form."""
+        if n < 0x80:
+            return bytes([n])
+        for extra in range(1, 7):
+            head_bits = 6 - extra if extra < 6 else 0
+            if n < (1 << (head_bits + 6 * extra)):
+                lead = 0xFE if extra == 6 else (0xFF << (7 - extra)) & 0xFF
+                b = [lead | ((n >> (6 * extra)) & ((1 << head_bits) - 1))]
+                b.extend(
+                    0x80 | ((n >> (6 * i)) & 0x3F)
+                    for i in range(extra - 1, -1, -1)
+                )
+                return bytes(b)
+        raise ValueError("coded number exceeds 36 bits")
+
+    def put_residuals(w: BitWriter, res: list, order: int, bs: int,
+                      use_part: bool) -> None:
+        nparts = 2 if use_part and bs % 2 == 0 and bs // 2 > order else 1
+        w.put(0, 2)  # method 0: 4-bit Rice parameters
+        w.put(nparts.bit_length() - 1, 4)  # partition order 0 or 1
+        start = 0
+        for p in range(nparts):
+            count = bs // nparts - (order if p == 0 else 0)
+            part = res[start : start + count]
+            start += count
+            uvals = [(v << 1) if v >= 0 else ((-v) << 1) - 1 for v in part]
+            if part and not any(uvals):
+                w.put(15, 4)  # escape, n=0: the all-zero partition
+                w.put(0, 5)
+                continue
+            mean = (sum(uvals) // max(1, len(uvals))) or 1
+            k = min(14, max(0, mean.bit_length() - 1))
+            w.put(k, 4)
+            for v in part:
+                rice_put(w, v, k)
+
+    def put_subframe(w: BitWriter, samples: list, bps: int, t_seed: int) -> None:
+        if all(v == samples[0] for v in samples):
+            w.put(0, 1), w.put(0, 6), w.put(0, 1)  # CONSTANT
+            w.put(samples[0], bps)
+            return
+        tz = min(
+            (v & -v).bit_length() - 1 for v in samples if v != 0
+        )
+        wasted = min(tz, 3)
+        w.put(0, 1)  # padding bit — type written per branch below
+        vals = [v >> wasted for v in samples]
+        eff = bps - wasted
+        n = len(vals)
+        t = t_seed % 7
+        order = t if t <= 4 else (1 if t == 6 else 0)
+        if t <= 4 and order < n:  # FIXED order 0..4
+            w.put(8 + order, 6)
+            _put_wasted(w, wasted)
+            for v in vals[:order]:
+                w.put(v, eff)
+            res = np.diff(np.array(vals, dtype=np.int64), n=order).tolist()
+            put_residuals(w, res, order, n, use_part=bool(t_seed & 1))
+        elif t == 6 and n >= 2:  # LPC order 1, coeff [1], shift 0
+            w.put(32, 6)
+            _put_wasted(w, wasted)
+            w.put(vals[0], eff)
+            w.put(1, 4)  # precision-1 → 2-bit coefficients
+            w.put(0, 5)  # shift 0
+            w.put(1, 2)  # coefficient +1: predict s[i-1]
+            res = [vals[i] - vals[i - 1] for i in range(1, n)]
+            put_residuals(w, res, 1, n, use_part=bool(t_seed & 1))
+        else:  # VERBATIM
+            w.put(1, 6)
+            _put_wasted(w, wasted)
+            for v in vals:
+                w.put(v, eff)
+
+    def _put_wasted(w: BitWriter, wasted: int) -> None:
+        if wasted:
+            w.put(1, 1)
+            w.put_unary(wasted - 1)
+        else:
+            w.put(0, 1)
+
+    def encode_stream(frames, rate: int, block_size: int = 64,
+                      seed: int = 0) -> bytes:
+        frames = np.asarray(frames, dtype=np.int64)
+        n, n_ch = frames.shape
+        if n_ch not in (1, 2) or n == 0:
+            raise ValueError("fixture encoder: 1-2 channels, >=1 sample")
+        if rate not in RATE_CODES and not 0 < rate < 65536:
+            raise ValueError("fixture encoder: rate needs a 16-bit end field")
+        md5 = hashlib.md5(frames.astype("<i2").tobytes()).digest()
+        si = BitWriter()
+        si.put(block_size, 16), si.put(block_size, 16)
+        si.put(0, 24), si.put(0, 24)  # frame sizes unknown
+        si.put(rate, 20), si.put(n_ch - 1, 3), si.put(15, 5)  # 16-bit
+        si.put(n, 36)
+        out = bytearray(b"fLaC")
+        out += bytes([0]) + len(si.out + md5).to_bytes(3, "big") + si.out + md5
+        out += bytes([0x81]) + (4).to_bytes(3, "big") + b"\x00" * 4  # PADDING
+        for f, start in enumerate(range(0, n, block_size)):
+            block = frames[start : start + block_size]
+            bs = len(block)
+            mode = ("indep", "ls", "rs", "ms")[(seed + f) % 4] if n_ch == 2 else "indep"
+            if mode == "indep":
+                chan_code, chans = n_ch - 1, [block[:, c].tolist() for c in range(n_ch)]
+            else:
+                left, right = block[:, 0], block[:, 1]
+                side = (left - right).tolist()
+                if mode == "ls":
+                    chan_code, chans = 8, [left.tolist(), side]
+                elif mode == "rs":
+                    chan_code, chans = 9, [side, right.tolist()]
+                else:
+                    chan_code, chans = 10, [((left + right) >> 1).tolist(), side]
+            w = BitWriter()
+            w.put(0x3FFE, 14), w.put(0, 1), w.put(0, 1)  # sync, fixed strategy
+            bs_code = BLOCKSIZE_CODES.get(bs, 6 if bs <= 256 else 7)
+            w.put(bs_code, 4)
+            w.put(RATE_CODES.get(rate, 13), 4)
+            w.put(chan_code, 4)
+            w.put(4, 3), w.put(0, 1)  # 16-bit sample size code, reserved
+            for byte in coded_number(f):
+                w.put(byte, 8)
+            if bs_code == 6:
+                w.put(bs - 1, 8)
+            elif bs_code == 7:
+                w.put(bs - 1, 16)
+            if rate not in RATE_CODES:
+                w.put(rate, 16)
+            w.put(crc8(bytes(w.out)), 8)
+            for ch, vals in enumerate(chans):
+                extra = (mode == "ls" and ch == 1) or (
+                    mode == "rs" and ch == 0
+                ) or (mode == "ms" and ch == 1)
+                put_subframe(w, vals, 16 + extra, seed + f + ch)
+            w.align()
+            w.put(crc16(bytes(w.out)), 16)
+            out += w.out
+        return bytes(out)
+
+    return encode_stream
+
+
+def _make_flac_fixture_encoder():
+    """Driver/test-side convenience: ``encode(d) -> bytes`` building
+    the pinned-arithmetic FLAC fixture for doc ``d`` — stereo 16-bit,
+    ``n = 96 + d % 29`` samples (two frames at block size 64, the
+    last one short and odd-sized for odd d), rate rotating through
+    8000/16000/44100/48000 (all table-coded), channel sample ``i``
+    valued ``((d*41 + 2*i + ch) * 157) % 65536 - 32768``. The 157
+    multiplier keeps sample parity equal to ``(d + ch)`` parity, so
+    every doc has exactly one all-even channel — the encoder's
+    wasted-bits path fires on half the corpus by construction."""
+    encode_stream = _make_flac_stream_encoder()
+
+    def encode(d: int) -> bytes:
+        n = 96 + d % 29
+        rate = (8000, 16000, 44100, 48000)[d % 4]
+        i = np.arange(n, dtype=np.int64)
+        ch0 = ((d * 41 + 2 * i) * 157) % 65536 - 32768
+        ch1 = ((d * 41 + 2 * i + 1) * 157) % 65536 - 32768
+        return encode_stream(np.stack([ch0, ch1], axis=1), rate, seed=d)
+
+    return encode
+
+
+def synth_flac_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: deterministically synthesize a REAL FLAC
+    stream per doc_id via :func:`_make_flac_fixture_encoder` — pinned
+    arithmetic a SQL oracle can recompute independently of the codec,
+    exactly like the PPM/PNG/WAV fixtures."""
+    encode = _make_flac_fixture_encoder()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
 
     return parallelize_narrow(docs.select("doc_id")).mapInPandas(
         gen, "doc_id bigint, payload binary"
@@ -1821,6 +2492,13 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     (:func:`_make_wav_parser`) + per-channel numpy sample means —
     output schema ``WAV_STATS_SCHEMA``, same corrupt-payload contract.
 
+    ``codec='flac'``: a REAL COMPRESSED LOSSLESS audio codec — FLAC
+    subset-16-bit decode (:func:`_make_flac_decoder`: Rice residuals,
+    FIXED/LPC prediction, stereo decorrelation, CRC-8/CRC-16 + MD5
+    verification) + the same per-channel means — output schema
+    ``WAV_STATS_SCHEMA`` (the stats are codec-independent), same
+    corrupt-payload contract.
+
     ``codec='jpeg'``: a REAL LOSSY codec — baseline JPEG (T.81) via
     stdlib Huffman decode + batched numpy IDCT + JFIF color transform
     (:func:`_make_jpeg_decoder`) — same output schema and corrupt-
@@ -2092,6 +2770,60 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
 
         return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
             decode_jpeg_batches, PPM_STATS_SCHEMA
+        )
+    if codec == "flac":
+        decode_flac = _make_flac_decoder()
+
+        def decode_flac_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                rows = {k: [] for k in ("valid", "nc", "rate", "nf", "c0", "c1")}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        n_ch, rate, frames = decode_flac(bytes(payload))
+                        # zero-sample stream: VALID with NULL means
+                        # (the wav branch's no-data parity)
+                        means = (
+                            frames.mean(axis=0, dtype=np.float64)
+                            if len(frames)
+                            else None
+                        )
+                        rows["valid"].append(True)
+                        rows["nc"].append(n_ch)
+                        rows["rate"].append(rate)
+                        rows["nf"].append(len(frames))
+                        rows["c0"].append(
+                            round(float(means[0]), 6) if means is not None else None
+                        )
+                        rows["c1"].append(
+                            round(float(means[1]), 6)
+                            if means is not None and n_ch >= 2
+                            else None
+                        )
+                    except ValueError:
+                        rows["valid"].append(False)
+                        for k in ("nc", "rate", "nf", "c0", "c1"):
+                            rows[k].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "n_channels": pd.Series(rows["nc"], dtype="Int32"),
+                        "sample_rate": pd.Series(rows["rate"], dtype="Int32"),
+                        "n_frames": pd.Series(rows["nf"], dtype="Int64"),
+                        "ch0_mean": pd.Series(rows["c0"], dtype="float64"),
+                        "ch1_mean": pd.Series(rows["c1"], dtype="float64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_flac_batches, WAV_STATS_SCHEMA
         )
     if codec == "wav":
         parse_wav = _make_wav_parser()

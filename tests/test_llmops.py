@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 
 from pyspark.sql import functions as F
@@ -246,6 +247,41 @@ def test_wav_decode_known_audio_and_corrupt_payloads(spark):
     e = got[12]
     assert (e.valid, e.n_frames) == (True, 0)
     assert e.ch0_mean is None and e.ch1_mean is None
+    for k in corrupt:
+        assert got[k].valid is False, f"doc {k} should be rejected"
+        assert got[k].n_channels is None and got[k].ch0_mean is None
+
+
+def test_flac_decode_known_audio_and_corrupt_payloads(spark):
+    """The compressed-lossless-audio branch through the REAL Spark
+    plan: a fixture FLAC must decode to the pinned channel means, and
+    every coarse corrupt-payload class must yield a valid=false row —
+    never a dead task. (Bit-level structural classes + exhaustive
+    mutation/truncation fuzz are pinned decoder-side in
+    tests/test_properties.py.)"""
+    from flink_samples_spark.llmops.multimodal import _make_flac_fixture_encoder
+
+    good = _make_flac_fixture_encoder()(7)
+    md5_off = 4 + 4 + 18
+    corrupt = {
+        3: b"fLaX" + good[4:],                       # bad magic
+        4: good[:20],                                # truncated metadata
+        5: good[:md5_off] + bytes([good[md5_off] ^ 1]) + good[md5_off + 1 :],
+        6: good[:-9],                                # cut into final frame
+        7: None,                                     # NULL payload
+    }
+    rows = [(1, good)] + [(k, v) for k, v in corrupt.items()]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="flac").collect()}
+    assert len(got) == 6
+    g = got[1]
+    n = 96 + 7 % 29
+    i = np.arange(n, dtype=np.int64)
+    ch0 = (7 * 41 + 2 * i) * 157 % 65536 - 32768
+    ch1 = (7 * 41 + 2 * i + 1) * 157 % 65536 - 32768
+    assert (g.valid, g.n_channels, g.sample_rate, g.n_frames) == (True, 2, 48000, n)
+    assert g.ch0_mean == round(float(ch0.mean()), 6)
+    assert g.ch1_mean == round(float(ch1.mean()), 6)
     for k in corrupt:
         assert got[k].valid is False, f"doc {k} should be rejected"
         assert got[k].n_channels is None and got[k].ch0_mean is None

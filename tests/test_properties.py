@@ -365,6 +365,120 @@ def test_wav_parser_roundtrip_and_truncation(n_ch, nf, seed, rate, extra_chunk, 
             parse(buf[: len(buf) - min(cut, len(data))])
 
 
+@given(
+    n=st.integers(1, 150),
+    n_ch=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+    rate=st.one_of(
+        st.sampled_from([8000, 22050, 44100, 96000, 176400]),
+        st.integers(1, 65535),  # non-table rates: the 16-bit end field
+    ),
+    block_size=st.sampled_from([32, 64, 192, 256]),
+)
+@settings(max_examples=60, deadline=None)
+def test_flac_codec_roundtrip_property(n, n_ch, seed, rate, block_size):
+    """Property pin of the FLAC codec pair: ANY 16-bit sample array
+    (1-2 channels, arbitrary values — constant and all-zero blocks
+    included via the RNG, block sizes hitting both table codes and
+    the 8-bit end field, table and end-field sample rates) must
+    encode to a stream the decoder reproduces BIT-EXACTLY, whatever
+    decorrelation mode / subframe type / wasted-bits rotation the
+    seed picks. Losslessness is the codec's contract and the reason
+    the DuckDB oracle never needs to know the encode path."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_flac_decoder,
+        _make_flac_stream_encoder,
+    )
+
+    rng = np.random.RandomState(seed)
+    kind = seed % 4
+    if kind == 0:  # white noise: worst case for Rice
+        frames = rng.randint(-32768, 32768, size=(n, n_ch), dtype=np.int64)
+    elif kind == 1:  # smooth ramp: FIXED predictors compress it
+        frames = (
+            np.arange(n * n_ch, dtype=np.int64).reshape(n, n_ch) % 5000 - 2500
+        )
+    elif kind == 2:  # constant: CONSTANT subframes + escape partitions
+        frames = np.full((n, n_ch), int(rng.randint(-100, 100)), dtype=np.int64)
+    else:  # even-valued: the wasted-bits path
+        frames = rng.randint(-16384, 16384, size=(n, n_ch), dtype=np.int64) * 2
+
+    buf = _make_flac_stream_encoder()(frames, rate, block_size=block_size, seed=seed)
+    got_ch, got_rate, got = _make_flac_decoder()(buf)
+    assert (got_ch, got_rate) == (n_ch, rate)
+    assert got.shape == (n, n_ch)
+    assert np.array_equal(got, frames)
+
+
+def test_flac_codec_full_residue_sweep():
+    """Exhaustive pin of the FLAC codec pair: for EVERY fixture
+    residue class (doc_id mod 812 = lcm of the sample-count period
+    29, rate period 4, decorrelation-mode period 4, and subframe-type
+    period 7 — covering every (mode, type, partition, wasted-bits)
+    combination the fixture encoder can emit), encode → decode must
+    reproduce the pinned channel arithmetic exactly. This is the same
+    arithmetic the DuckDB oracle recomputes means of, so a pass here
+    plus the catalog differential pins Rice coding, FIXED/LPC
+    reconstruction, stereo decorrelation, and the wasted-bits shift
+    end to end."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_flac_decoder,
+        _make_flac_fixture_encoder,
+    )
+
+    enc, dec = _make_flac_fixture_encoder(), _make_flac_decoder()
+    for d in range(812):
+        n_ch, rate, frames = dec(enc(d))
+        n = 96 + d % 29
+        i = np.arange(n, dtype=np.int64)
+        assert (n_ch, rate) == (2, (8000, 16000, 44100, 48000)[d % 4]), d
+        assert frames.shape == (n, 2), d
+        assert np.array_equal(frames[:, 0], (d * 41 + 2 * i) * 157 % 65536 - 32768), d
+        assert np.array_equal(frames[:, 1], (d * 41 + 2 * i + 1) * 157 % 65536 - 32768), d
+
+
+def test_flac_decoder_structural_corruption_classes():
+    """Known-bad FLAC payload classes land as ValueError (the decode
+    branch's corrupt-row contract), and the documented leniency —
+    trailing bytes after the final frame of a stream whose STREAMINFO
+    declares its length — still decodes (the RIFF/PNG stance)."""
+    import numpy as np
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_flac_decoder,
+        _make_flac_fixture_encoder,
+    )
+
+    dec = _make_flac_decoder()
+    good = _make_flac_fixture_encoder()(7)
+
+    # leniency pin: junk after the last frame is ignored
+    n_ch, rate, frames = dec(good + b"JUNKJUNK")
+    assert frames.shape[0] == 96 + 7 % 29
+
+    md5_off = 4 + 4 + 18  # magic + block header + STREAMINFO prefix
+    total_off = 4 + 4 + 13  # the 36-bit total-samples field region
+    bad = {
+        "magic": b"fLaX" + good[4:],
+        "empty": b"",
+        "metadata truncated": good[:20],
+        "no frames": good[: 4 + 4 + 34 + 4 + 4],  # ends after PADDING
+        "md5 flip": good[:md5_off] + bytes([good[md5_off] ^ 1]) + good[md5_off + 1 :],
+        "total lie": good[:total_off]
+        + bytes([good[total_off] ^ 4])
+        + good[total_off + 1 :],
+        "frame bytes cut": good[:-9],
+    }
+    for name, buf in bad.items():
+        with pytest.raises(ValueError):
+            dec(buf)
+
+
 def test_jpeg_codec_full_residue_sweep():
     """Exhaustive pin of the baseline-JPEG codec pair: for EVERY
     fixture residue class (doc_id mod 4200 = lcm of the geometry and
@@ -1086,6 +1200,8 @@ def _codec_fuzz_fixtures():
     from flink_samples_spark.llmops.multimodal import (
         _make_avi_fixture_encoder,
         _make_avi_parser,
+        _make_flac_decoder,
+        _make_flac_fixture_encoder,
         _make_gif_decoder,
         _make_gif_fixture_encoder,
         _make_jpeg_decoder,
@@ -1134,13 +1250,14 @@ def _codec_fuzz_fixtures():
         ("jpeg", _make_jpeg_fixture_encoder()(7), _make_jpeg_decoder()),
         ("gif", _make_gif_fixture_encoder()(7), _make_gif_decoder()),
         ("mjpeg", _make_avi_fixture_encoder()(7), _make_avi_parser()),
+        ("flac", _make_flac_fixture_encoder()(7), _make_flac_decoder()),
     ]
 
 
 @given(pos_frac=st.floats(0, 1), delta=st.integers(1, 255))
 @settings(max_examples=80, deadline=None)
 def test_every_codec_single_byte_mutation_never_escapes(pos_frac, delta):
-    """The UNIFORM corrupt-row contract across all seven real codecs:
+    """The UNIFORM corrupt-row contract across all eight real codecs:
     flipping one byte anywhere in a valid payload must either still
     parse/decode or raise ValueError — never any other exception
     class. This is the property the mapInPandas decode branches rely
