@@ -94,10 +94,13 @@ HEADLINE = [
     "q_multimodal_decode_y4m",
     "q_multimodal_decode_gif",
     "q_multimodal_decode_mjpeg",
-    # round-10 late addition: the COMPRESSED LOSSLESS audio codec
+    # round-10 late additions: the COMPRESSED LOSSLESS audio codec
     # (FLAC — Rice residuals, FIXED/LPC prediction, stereo
-    # decorrelation, CRC-8/16 + MD5 verification)
+    # decorrelation, CRC-8/16 + MD5 verification) and the INTER-FRAME
+    # video codec (MS-RLE8-in-AVI — skip opcodes carry pixels forward
+    # from the previous frame)
     "q_multimodal_decode_flac",
+    "q_multimodal_decode_rle",
 ]
 
 

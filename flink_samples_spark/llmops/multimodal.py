@@ -6,7 +6,7 @@ BinaryType natively, so the pipeline shape (schema, partitioning,
 Arrow batch transfer) is identical to production.
 
 The decode seam is :func:`decode_features`, a ``mapInPandas`` stage
-with nine codec branches: (a) ``codec='fake'`` — deterministic byte
+with ten codec branches: (a) ``codec='fake'`` — deterministic byte
 stats (real plumbing, fake features) used by tests; (b)
 ``codec='ppm'`` — a REAL public codec, binary-PPM (P6) header parse +
 numpy channel means; (c) ``codec='png'`` — a REAL compressed codec,
@@ -23,9 +23,12 @@ container, YUV4MPEG2 planar frame iteration; (h) ``codec='gif'`` — a
 REAL palette+LZW codec, animated GIF87a/89a with interlace; (i)
 ``codec='mjpeg'`` — a REAL compressed-video codec, MJPEG-in-AVI: the
 RIFF container walk composed with the baseline JPEG decoder per
-frame. Only INTER-FRAME predictive video (H.264/VP9, needs ffmpeg)
-remains gated behind ``NotImplementedError`` — clearly marked so
-nobody mistakes the gate for a codec.
+frame; (j) ``codec='mrle'`` — a REAL INTER-FRAME video codec,
+Microsoft RLE8-in-AVI: skip/delta opcodes carry pixels forward from
+the previous frame (temporal prediction). Only motion-compensated
+entropy-coded video (H.264/VP9, needs ffmpeg) remains gated behind
+``NotImplementedError`` — clearly marked so nobody mistakes the gate
+for a codec.
 
 Scale notes: binary payloads dominate row size — keep
 ``spark.sql.files.maxPartitionBytes`` small enough that a partition
@@ -2174,12 +2177,24 @@ def synth_gif_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _make_avi_parser():
-    """Build the AVI (RIFF) container walker for MJPEG video — the
-    real public compressed-video format whose frames are intra-coded
-    baseline JPEGs, so this parser composes with
-    :func:`_make_jpeg_decoder` to give an end-to-end compressed-video
-    decode, stdlib-only. Structure parsed (all public: the RIFF spec
+def _make_avi_parser(codec: str = "mjpeg"):
+    """Build the AVI (RIFF) container walker — the real public
+    video-container format — for one of TWO in-house codecs:
+
+    ``codec='mjpeg'`` (default): frames are intra-coded baseline
+    JPEGs, composing with :func:`_make_jpeg_decoder` for an
+    end-to-end compressed-video decode, stdlib-only.
+
+    ``codec='mrle'``: frames are Microsoft RLE8 (``biCompression =
+    BI_RLE8``) — the classic INTER-FRAME codec whose end-of-line /
+    delta / end-of-bitmap opcodes skip pixels that must be carried
+    forward from the PREVIOUS frame's canvas (temporal prediction,
+    the dataflow property H.264-class codecs build on). For this
+    codec the walker additionally requires ``biBitCount == 8`` and
+    parses the RGBQUAD palette that follows the BITMAPINFOHEADER in
+    ``strf``, returning it as a sixth element.
+
+    Structure parsed (all public: the RIFF spec
     plus Microsoft's AVI/BITMAPINFOHEADER layouts):
 
     ``RIFF <size> 'AVI '`` → ``LIST hdrl`` holding ``avih`` (the
@@ -2195,9 +2210,11 @@ def _make_avi_parser():
     enforces — AVI is the other RIFF form).
 
     Scope and coherence checks: exactly ONE stream, fccType ``vids``,
-    handler and biCompression ``MJPG`` (inter-frame codecs like H.264
-    carry different fourccs and raise — that family genuinely needs
-    ffmpeg); strf geometry must match avih; dwScale/dwRate must be
+    handler + biCompression matching the requested codec (``MJPG`` /
+    ``MJPG`` for mjpeg, ``MRLE`` / ``BI_RLE8 = 1`` for mrle —
+    motion-compensated entropy-coded codecs like H.264 carry other
+    fourccs and raise; that family genuinely needs ffmpeg); strf
+    geometry must match avih; dwScale/dwRate must be
     positive int32s (absurd rates land as corrupt rows, the y4m
     lesson); the number of frame chunks found in movi must equal BOTH
     avih.dwTotalFrames and strh.dwLength (a truncated movi list is a
@@ -2213,10 +2230,15 @@ def _make_avi_parser():
     (``INFO`` etc.) are skipped unread.
 
     Returns ``parse_avi(buf) -> (width, height, fps_num, fps_den,
-    frames)`` with ``frames`` a list of JPEG byte strings in stream
-    order; raises ``ValueError`` on anything malformed.
+    frames)`` with ``frames`` a list of frame byte strings in stream
+    order (JPEGs for mjpeg, RLE8 opcode streams for mrle; mrle
+    appends the ``(n_colors, 3)`` uint8 RGB palette as a sixth
+    element); raises ``ValueError`` on anything malformed.
     """
     import struct
+
+    if codec not in ("mjpeg", "mrle"):
+        raise ValueError(f"unknown AVI codec {codec!r}")
 
     MAX_FRAMES = 4096
     MAX_TOTAL_PX = 1 << 24  # 16.7M px across all frames (shared budget)
@@ -2261,7 +2283,7 @@ def _make_avi_parser():
             elif fourcc[2:4] in (b"dc", b"db", b"wb", b"tx"):
                 raise ValueError(
                     f"unexpected data chunk {fourcc!r}: this container "
-                    "declares a single MJPEG video stream ('00dc' "
+                    "declares a single compressed video stream ('00dc' "
                     "frames only)"
                 )
             # any other chunk id: ancillary, skip
@@ -2337,8 +2359,31 @@ def _make_avi_parser():
                                         "strf shorter than BITMAPINFOHEADER"
                                     )
                                 bw, bh = struct.unpack("<ii", buf[sb + 4 : sb + 12])
+                                (bits,) = struct.unpack(
+                                    "<H", buf[sb + 14 : sb + 16]
+                                )
                                 comp = buf[sb + 16 : sb + 20]
-                                strf = (bw, abs(bh), comp)
+                                (clr_used,) = struct.unpack(
+                                    "<I", buf[sb + 32 : sb + 36]
+                                )
+                                palette = None
+                                if codec == "mrle":
+                                    n_colors = clr_used or 256
+                                    if not 1 <= n_colors <= 256:
+                                        raise ValueError(
+                                            f"bad palette size {n_colors}"
+                                        )
+                                    if ss < 40 + 4 * n_colors:
+                                        raise ValueError(
+                                            "strf too short for its palette"
+                                        )
+                                    quads = np.frombuffer(
+                                        buf[sb + 40 : sb + 40 + 4 * n_colors],
+                                        dtype=np.uint8,
+                                    ).reshape(-1, 4)
+                                    # RGBQUAD stores B,G,R,reserved
+                                    palette = quads[:, 2::-1].copy()
+                                strf = (bw, abs(bh), comp, bits, palette)
             elif form == b"movi":
                 saw_movi = True
                 collect_frames(buf, lpos, lend, frames)
@@ -2349,11 +2394,22 @@ def _make_avi_parser():
         handler, scale, rate, length = strh
         if n_streams != 1:
             raise ValueError(f"single-stream MJPEG only, header says {n_streams}")
-        if handler.lower() != b"mjpg" or strf[2].lower() != b"mjpg":
-            raise ValueError(
-                f"not MJPEG (handler {handler!r} / biCompression {strf[2]!r}):"
-                " inter-frame codecs need ffmpeg, see decode_features"
-            )
+        if codec == "mjpeg":
+            if handler.lower() != b"mjpg" or strf[2].lower() != b"mjpg":
+                raise ValueError(
+                    f"not MJPEG (handler {handler!r} / biCompression"
+                    f" {strf[2]!r}): other codec families need ffmpeg,"
+                    " see decode_features"
+                )
+        else:  # mrle: fccHandler MRLE, biCompression BI_RLE8 (= 1)
+            if handler.lower() != b"mrle" or strf[2] != b"\x01\x00\x00\x00":
+                raise ValueError(
+                    f"not MS-RLE8 (handler {handler!r} / biCompression"
+                    f" {strf[2]!r}): other codec families need ffmpeg,"
+                    " see decode_features"
+                )
+            if strf[3] != 8:
+                raise ValueError(f"BI_RLE8 requires 8-bit pixels, got {strf[3]}")
         if strf[0] != width or strf[1] != height:
             raise ValueError("strf geometry disagrees with avih")
         if width <= 0 or height <= 0:
@@ -2367,9 +2423,259 @@ def _make_avi_parser():
             )
         if len(frames) * width * height > MAX_TOTAL_PX:
             raise ValueError("declared video exceeds total pixel budget")
+        if codec == "mrle":
+            return width, height, rate, scale, frames, strf[4]
         return width, height, rate, scale, frames
 
     return parse_avi
+
+
+def _make_rle8_frame_decoder():
+    """Build the Microsoft RLE8 (``BI_RLE8``) frame decoder — the
+    INTER-FRAME half of the mrle codec: a frame's opcode stream is
+    played onto the PREVIOUS frame's canvas, and every pixel the
+    stream skips (end-of-line, the (0,2) delta opcode, early
+    end-of-bitmap) is carried forward — temporal prediction, the
+    dataflow property motion-compensated codecs build on. Opcodes
+    (public: Windows BMP/AVI spec): ``(n>0, c)`` encoded run;
+    ``(0,0)`` end of line; ``(0,1)`` end of bitmap; ``(0,2,dx,dy)``
+    delta skip; ``(0,n>=3)`` absolute mode with ``n`` literal pixels
+    padded to a word boundary. BI_RLE8 lines run bottom-up, so line
+    ``l`` writes canvas row ``h-1-l`` (the canvas is top-down).
+
+    Returns ``play_rle8(data, w, h, canvas, n_colors) -> canvas``
+    (mutated in place and returned); raises ``ValueError`` on
+    overruns, palette-range violations, truncation, a stream without
+    end-of-bitmap, or trailing bytes after it."""
+
+    def play_rle8(data: bytes, w: int, h: int, canvas, n_colors: int):
+        x = line = pos = 0
+        n = len(data)
+        done = False
+        while pos + 2 <= n:
+            b1, b2 = data[pos], data[pos + 1]
+            pos += 2
+            if b1 > 0:  # encoded run
+                if line >= h or x + b1 > w:
+                    raise ValueError("RLE run overruns the frame")
+                if b2 >= n_colors:
+                    raise ValueError("RLE pixel index outside palette")
+                canvas[h - 1 - line, x : x + b1] = b2
+                x += b1
+            elif b2 == 0:  # end of line: rest carries forward
+                x = 0
+                line += 1
+                if line > h:
+                    raise ValueError("RLE line count past frame top")
+            elif b2 == 1:  # end of bitmap: remaining lines carry forward
+                done = True
+                break
+            elif b2 == 2:  # delta: skipped pixels carry forward
+                if pos + 2 > n:
+                    raise ValueError("truncated RLE delta opcode")
+                dx, dy = data[pos], data[pos + 1]
+                pos += 2
+                x += dx
+                line += dy
+                if x > w or line >= h:
+                    raise ValueError("RLE delta lands outside the frame")
+            else:  # absolute mode: b2 literal pixels, word-aligned
+                cnt = b2
+                if pos + cnt > n:
+                    raise ValueError("truncated RLE absolute run")
+                if line >= h or x + cnt > w:
+                    raise ValueError("RLE absolute run overruns the frame")
+                lits = np.frombuffer(data[pos : pos + cnt], dtype=np.uint8)
+                if (lits >= n_colors).any():
+                    raise ValueError("RLE pixel index outside palette")
+                canvas[h - 1 - line, x : x + cnt] = lits
+                x += cnt
+                pos += cnt + (cnt & 1)
+        if not done:
+            raise ValueError("RLE stream ended without end-of-bitmap")
+        if pos != n:
+            raise ValueError("trailing bytes after RLE end-of-bitmap")
+        return canvas
+
+    return play_rle8
+
+
+def synth_rle_payload(docs: DataFrame) -> DataFrame:
+    """Test-data adapter: deterministically synthesize a REAL MS-RLE8
+    AVI per doc_id — ``w = 4 + d%5``, ``h = 3 + d%4``, ``nf = 2 +
+    d%3`` frames over an ``nc = 8 + d%5``-color palette (entry ``j``
+    = ``((d*11+7j)%256, (d*13+5j)%256, (d*17+3j)%256)``), canvas
+    pixel ``p`` (top-down, ``p = y*w + x``) of frame ``f`` indexing
+    color ``(d*7 + 3p + 5f·[p%3==0]) % nc`` — so every third pixel
+    changes each frame and the REST must be carried forward from the
+    previous frame by genuine skip opcodes (the encoder diffs
+    against the prior canvas; frame 0 diffs against the all-zero
+    canvas both sides pin). Frame rate ``(12+d%4)/(1+d%2)``; the
+    container variants (JUNK, LIST rec every 6th doc, idx1 every
+    4th) mirror the MJPEG fixture. The SQL oracle recomputes means
+    and the frame-weighted checksum from the pinned arithmetic and
+    never sees a byte of AVI or RLE — a container, opcode-playback,
+    carry-forward, or palette bug lands as a value mismatch."""
+    encode = _make_rle_avi_fixture_encoder()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [encode(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    return parallelize_narrow(docs.select("doc_id")).mapInPandas(
+        gen, "doc_id bigint, payload binary"
+    )
+
+
+def _make_rle_avi_fixture_encoder():
+    """Build ``encode(doc_id) -> bytes`` implementing the pinned
+    MS-RLE8 fixture arithmetic documented on
+    :func:`synth_rle_payload`. A genuine RLE8 encoder: each frame is
+    diffed against the previous canvas; unchanged pixel runs become
+    ``(0,2,dx,0)`` delta skips, unchanged line groups become
+    ``(0,2,0,dy)`` skips, unchanged line tails fall to end-of-line,
+    and changed stretches alternate (by ``(d+f)`` parity) between
+    encoded runs and absolute mode — so every opcode family the
+    decoder implements is exercised by the fixtures themselves.
+    Factory-nested so the closure pickles by value."""
+    import struct
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(form: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", form + body)
+
+    def encode_frame(prev, tgt, use_abs: bool) -> bytes:
+        h, w = tgt.shape
+        out = bytearray()
+        pending = 0  # fully-unchanged lines awaiting a dy skip
+        for line in range(h):
+            row_t, row_p = tgt[h - 1 - line], prev[h - 1 - line]
+            diff = row_t != row_p
+            if not diff.any():
+                pending += 1
+                continue
+            while pending:
+                dy = min(pending, 255)
+                out += bytes([0, 2, 0, dy])
+                pending -= dy
+            x = 0
+            while x < w:
+                if not diff[x]:
+                    run = 1
+                    while x + run < w and not diff[x + run]:
+                        run += 1
+                    if x + run == w:
+                        break  # end-of-line carries the tail forward
+                    r = run
+                    while r:
+                        dx = min(r, 255)
+                        out += bytes([0, 2, dx, 0])
+                        r -= dx
+                    x += run
+                else:
+                    seg = 1
+                    while x + seg < w and diff[x + seg]:
+                        seg += 1
+                    if use_abs and seg >= 3:
+                        s = 0
+                        while s < seg:
+                            cnt = min(seg - s, 255)
+                            if cnt < 3:  # absolute needs >=3: tail as runs
+                                for i in range(cnt):
+                                    out += bytes([1, int(row_t[x + s + i])])
+                            else:
+                                out += bytes([0, cnt])
+                                out += bytes(int(v) for v in row_t[x + s : x + s + cnt])
+                                if cnt & 1:
+                                    out += b"\x00"
+                            s += cnt
+                    else:
+                        s = 0
+                        while s < seg:
+                            v = int(row_t[x + s])
+                            r = 1
+                            while s + r < seg and row_t[x + s + r] == v:
+                                r += 1
+                            rr = r
+                            while rr:
+                                c = min(rr, 255)
+                                out += bytes([c, v])
+                                rr -= c
+                            s += r
+                    x += seg
+            out += bytes([0, 0])  # end of line
+        out += bytes([0, 1])  # end of bitmap: trailing lines carry forward
+        return bytes(out)
+
+    def encode(d: int) -> bytes:
+        w, h = 4 + d % 5, 3 + d % 4
+        nf = 2 + d % 3
+        nc = 8 + d % 5
+        rate, scale = 12 + d % 4, 1 + d % 2
+        p = np.arange(w * h, dtype=np.int64)
+        prev = np.zeros((h, w), dtype=np.int64)
+        frames = []
+        for f in range(nf):
+            tgt = (
+                (d * 7 + 3 * p + 5 * f * (p % 3 == 0)) % nc
+            ).reshape(h, w)
+            frames.append(encode_frame(prev, tgt, use_abs=bool((d + f) & 1)))
+            prev = tgt
+        j = np.arange(nc, dtype=np.int64)
+        quads = np.stack(  # RGBQUAD order: B, G, R, reserved
+            [(d * 17 + 3 * j) % 256, (d * 13 + 5 * j) % 256,
+             (d * 11 + 7 * j) % 256, np.zeros(nc, dtype=np.int64)], axis=1
+        ).astype(np.uint8)
+        avih = struct.pack(
+            "<10I4I",
+            1_000_000 * scale // rate,
+            0, 0, 0x10,
+            nf, 0, 1,
+            max(len(fr) for fr in frames), w, h,
+            0, 0, 0, 0,
+        )
+        strh = (
+            b"vids" + b"MRLE" + struct.pack(
+                "<IHHIIIIIIII4H",
+                0, 0, 0, 0,
+                scale, rate, 0, nf,
+                max(len(fr) for fr in frames), 0xFFFFFFFF, 0,
+                0, 0, w, h,
+            )
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII", 40, w, h, 1, 8, b"\x01\x00\x00\x00",
+            w * h, 0, 0, nc, nc
+        ) + quads.tobytes()
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        frame_chunks = [chunk(b"00dc", fr) for fr in frames]
+        if d % 6 == 0:
+            movi_body = b"".join(lst(b"rec ", fc) for fc in frame_chunks)
+        else:
+            movi_body = b"".join(frame_chunks)
+        body = hdrl + chunk(b"JUNK", b"\x00" * (4 + d % 8)) + lst(b"movi", movi_body)
+        if d % 4 == 0:
+            idx = b"".join(
+                b"00dc" + struct.pack("<III", 0x10, 4 + i * 8, len(fr))
+                for i, fr in enumerate(frames)
+            )
+            body += chunk(b"idx1", idx)
+        return chunk(b"RIFF", b"AVI " + body)
+
+    return encode
 
 
 def synth_avi_payload(docs: DataFrame) -> DataFrame:
@@ -2524,9 +2830,83 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
     container header (a lying frame makes the payload corrupt, and
     the JPEG decoder's own pixel cap bounds it first).
 
-    Any other codec raises — INTER-FRAME predictive video (H.264,
-    VP9, ...) needs ffmpeg, absent in this environment.
+    ``codec='mrle'``: a REAL INTER-FRAME video codec — Microsoft
+    RLE8-in-AVI: the RIFF container walk (palette-parsing variant)
+    composed with the BI_RLE8 opcode playback
+    (:func:`_make_rle8_frame_decoder`), where skip opcodes carry
+    pixels forward from the PREVIOUS frame — temporal prediction.
+    Output schema ``MJPEG_STATS_SCHEMA`` (the stats are
+    codec-independent), same corrupt-payload contract. Frame 0 plays
+    against an all-zero canvas (the deterministic baseline the
+    fixture encoder also diffs against).
+
+    Any other codec raises — motion-compensated entropy-coded video
+    (H.264, VP9, ...) needs ffmpeg, absent in this environment.
     """
+    if codec == "mrle":
+        parse_avi = _make_avi_parser("mrle")
+        play_rle8 = _make_rle8_frame_decoder()
+
+        def decode_mrle_batches(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                keys = ("valid", "w", "h", "nf", "fn", "fd", "r", "g", "b", "ws")
+                rows = {k: [] for k in keys}
+                for payload in pdf["payload"]:
+                    try:
+                        if payload is None:
+                            raise ValueError("null payload")
+                        w, h, fn, fd, frames, pal = parse_avi(bytes(payload))
+                        canvas = np.zeros((h, w), dtype=np.int64)
+                        sums = np.zeros(3, dtype=np.float64)
+                        wsum = 0
+                        for f, data in enumerate(frames):
+                            canvas = play_rle8(data, w, h, canvas, len(pal))
+                            rgb = pal[canvas.reshape(-1)].astype(np.int64)
+                            sums += rgb.sum(axis=0)
+                            wsum += (f + 1) * int(rgb[:, 0].sum())
+                        nf = len(frames)
+                        means = sums / (nf * w * h) if nf else None
+                        rows["valid"].append(True)
+                        rows["w"].append(w)
+                        rows["h"].append(h)
+                        rows["nf"].append(nf)
+                        rows["fn"].append(fn)
+                        rows["fd"].append(fd)
+                        for c, k in zip((0, 1, 2), ("r", "g", "b")):
+                            rows[k].append(
+                                round(float(means[c]), 6)
+                                if means is not None
+                                else None
+                            )
+                        rows["ws"].append(wsum if nf else None)
+                    except ValueError:
+                        rows["valid"].append(False)
+                        for k in keys[1:]:
+                            rows[k].append(None)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "valid": pd.Series(rows["valid"], dtype="bool"),
+                        "width": pd.Series(rows["w"], dtype="Int32"),
+                        "height": pd.Series(rows["h"], dtype="Int32"),
+                        "n_frames": pd.Series(rows["nf"], dtype="Int64"),
+                        "fps_num": pd.Series(rows["fn"], dtype="Int32"),
+                        "fps_den": pd.Series(rows["fd"], dtype="Int32"),
+                        "r_mean": pd.Series(rows["r"], dtype="float64"),
+                        "g_mean": pd.Series(rows["g"], dtype="float64"),
+                        "b_mean": pd.Series(rows["b"], dtype="float64"),
+                        "r_fwsum": pd.Series(rows["ws"], dtype="Int64"),
+                    }
+                )
+
+        return parallelize_narrow(media.select("doc_id", "payload")).mapInPandas(
+            decode_mrle_batches, MJPEG_STATS_SCHEMA
+        )
     if codec == "mjpeg":
         parse_avi = _make_avi_parser()
         decode_jpeg_frame = _make_jpeg_decoder()
@@ -2971,12 +3351,14 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
         raise NotImplementedError(
             f"codec {codec!r}: only 'fake' (byte stats), 'ppm' (real P6 "
             "parse), 'png' (real zlib inflate + filter reconstruction), "
-            "'wav' (real RIFF/PCM parse), 'jpeg' (real baseline "
-            "Huffman+IDCT decode), 'y4m' (real uncompressed video "
-            "container), 'gif' (real palette+LZW decode), and 'mjpeg' "
-            "(real AVI walk + per-frame JPEG decode) run in this "
-            "environment; plug ffmpeg into decode_features here for "
-            "inter-frame predictive video (H.264/VP9/...)"
+            "'wav' (real RIFF/PCM parse), 'flac' (real Rice/FIXED/LPC "
+            "lossless decode), 'jpeg' (real baseline Huffman+IDCT "
+            "decode), 'y4m' (real uncompressed video container), 'gif' "
+            "(real palette+LZW decode), 'mjpeg' (real AVI walk + "
+            "per-frame JPEG decode), and 'mrle' (real inter-frame RLE8 "
+            "playback with carry-forward) run in this environment; "
+            "plug ffmpeg into decode_features here for "
+            "motion-compensated entropy-coded video (H.264/VP9/...)"
         )
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

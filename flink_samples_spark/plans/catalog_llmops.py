@@ -516,6 +516,63 @@ def q_multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(synth_flac_payload(docs), codec="flac")
 
 
+# INTER-FRAME video decode (round 10): synth_rle_payload builds
+# genuine MS-RLE8 AVIs — every third pixel changes per frame and the
+# rest are SKIPPED by genuine delta/end-of-line opcodes, so the
+# decoder must carry them forward from the previous frame's canvas
+# (temporal prediction; frame 0 plays against the all-zero canvas
+# both sides pin). decode_features(codec="mrle") walks the RIFF
+# container (palette variant) and plays the opcodes with ONLY the
+# stdlib + numpy. Oracle: pinned canvas+palette arithmetic (pixel p
+# of frame f indexes color (d*7 + 3p + 5f·[p%3=0]) % nc) plus the
+# frame-weighted red checksum that pins frame ORDER (means alone are
+# frame-permutation-invariant and would miss a carry-forward bug
+# that swaps frames); never sees a byte of AVI or RLE.
+@query(
+    "q_multimodal_decode_rle",
+    oracle="""
+    SELECT doc_id,
+           true AS valid,
+           CAST(4 + d % 5 AS INT) AS width,
+           CAST(3 + d % 4 AS INT) AS height,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(12 + d % 4 AS INT) AS fps_num,
+           CAST(1 + d % 2 AS INT) AS fps_den,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, npx), p ->
+               CAST((d*11 + 7*((d*7 + 3*p
+                     + CASE WHEN p % 3 = 0 THEN 5*f ELSE 0 END) % nc))
+                    % 256 AS DOUBLE))))) / (nf * npx), 6) AS r_mean,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, npx), p ->
+               CAST((d*13 + 5*((d*7 + 3*p
+                     + CASE WHEN p % 3 = 0 THEN 5*f ELSE 0 END) % nc))
+                    % 256 AS DOUBLE))))) / (nf * npx), 6) AS g_mean,
+           round(list_sum(list_transform(range(0, nf), f ->
+             list_sum(list_transform(range(0, npx), p ->
+               CAST((d*17 + 3*((d*7 + 3*p
+                     + CASE WHEN p % 3 = 0 THEN 5*f ELSE 0 END) % nc))
+                    % 256 AS DOUBLE))))) / (nf * npx), 6) AS b_mean,
+           CAST(list_sum(list_transform(range(0, nf), f ->
+             (f + 1) * list_sum(list_transform(range(0, npx), p ->
+               (d*11 + 7*((d*7 + 3*p
+                     + CASE WHEN p % 3 = 0 THEN 5*f ELSE 0 END) % nc))
+                    % 256)))) AS BIGINT) AS r_fwsum
+    FROM (
+      SELECT doc_id, doc_id AS d,
+             (4 + doc_id % 5) * (3 + doc_id % 4) AS npx,
+             2 + doc_id % 3 AS nf, 8 + doc_id % 5 AS nc
+      FROM documents
+    )
+    """,
+)
+def q_multimodal_decode_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_samples_spark.llmops.multimodal import synth_rle_payload
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(synth_rle_payload(docs), codec="mrle")
+
+
 # LOSSY codec decode (round-9 verdict optional item 8, closing the
 # last codec gate): synth_jpeg_payload builds genuine baseline JPEGs
 # — Annex-K DC Huffman tables, DPCM across blocks, restart markers on

@@ -94,15 +94,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (q_session_window, §2.9) as the spine's regression canary.
     # Registration grew 202 → 206 this round on the r9 verdict's
     # optional item 8 (JPEG — plus its natural siblings y4m/gif/mjpeg
-    # completing the video+animation modalities), then 206 → 207 late
+    # completing the video+animation modalities), then 206 → 208 late
     # in the round with q_multimodal_decode_flac (compressed LOSSLESS
-    # audio — the remaining audio-modality family between WAV-PCM and
-    # the gated inter-frame video); FROZEN at 207 unless a verdict
-    # demands a new operator.  The FLAC seat displaces one r5-cohort
-    # slot (q_snapshot_diff → r11 lead) by the round's own rule that
-    # never-driver-checked registrations outrank staleness; the
-    # displaced query has the freshest independent evidence of the r5
-    # cohort (judge out-of-window spot-check, r9 VERDICT).
+    # audio — the remaining audio-modality family) and
+    # q_multimodal_decode_rle (MS-RLE8 — a real INTER-FRAME video
+    # codec whose skip opcodes carry pixels forward across frames,
+    # narrowing the ffmpeg gate to motion-compensated entropy-coded
+    # video only); FROZEN at 208 unless a verdict demands a new
+    # operator.  The two new seats displace two r5-cohort slots
+    # (q_snapshot_diff, q_pattern_seq → r11 lead) by the round's own
+    # rule that never-driver-checked registrations outrank staleness;
+    # both displaced queries have the freshest independent evidence
+    # of the r5 cohort (judge out-of-window spot-checks, r9 VERDICT),
+    # and q_pattern_seq's oracle is additionally pytest-pinned
+    # identical to the in-window streaming twin's.
     "q_multimodal_decode_wav",  # NEVER driver-checked — lead the window
     "q_multimodal_decode_png",  # Sub-filter vectorized this round
     "q_multimodal_decode_jpeg", # NEW this round: baseline JPEG codec
@@ -110,6 +115,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_multimodal_decode_gif",  # NEW this round: palette+LZW codec
     "q_multimodal_decode_mjpeg",# NEW this round: MJPEG-in-AVI video
     "q_multimodal_decode_flac", # NEW this round: FLAC lossless audio
+    "q_multimodal_decode_rle",  # NEW this round: MS-RLE8 inter-frame video
     "q_training_pipeline",      # r9 bench flag — fresh row + A/B
     # ---- longest-stale rotation: last green r4 (full cohort, 23) ----
     "q_agg_approx_quantile",
@@ -146,7 +152,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_fn_regex",               # §2.8 rep
     "q_intersect_all",          # §2.7 rep
     "q_lm_score",               # tier X rep
-    "q_pattern_seq",
     "q_pii_redact",
     "q_pivot",                  # §2.4 rep
     "q_unpivot",
@@ -161,18 +166,18 @@ DRIVER_PRIORITY: tuple[str, ...] = (
 )
 
 # Round-11 allocation (write when the r10 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): lead with the ten r5
+# scripts/update_green_manifest.py first): lead with the eleven r5
 # deferrals (q_agg_listagg, q_agg_percentiles, q_fn_zorder,
 # q_pattern_absence, q_quality_ensemble, q_sample_reservoir,
 # q_sample_weighted, q_ts_ewma — its oracle is pytest-pinned
-# identical to the streaming twin's — q_ts_outliers, and
-# q_snapshot_diff, displaced from the r10 window by the late FLAC
-# registration), then any query whose code changed after its last
-# green row, then the r6-stale cohort (~24 after this window
-# re-certifies q_scan_json/q_stream_dedup) and as much of r7 as
-# fits; keep the flagship and one sentinel per family the cohorts
-# miss, and leave registration FROZEN unless a verdict demands a
-# new operator.
+# identical to the streaming twin's — q_ts_outliers, plus
+# q_snapshot_diff and q_pattern_seq, displaced from the r10 window
+# by the late FLAC/MS-RLE registrations), then any query whose code
+# changed after its last green row, then the r6-stale cohort (~24
+# after this window re-certifies q_scan_json/q_stream_dedup) and as
+# much of r7 as fits; keep the flagship and one sentinel per family
+# the cohorts miss, and leave registration FROZEN unless a verdict
+# demands a new operator.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

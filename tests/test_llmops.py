@@ -97,8 +97,9 @@ def test_decode_features_deterministic_and_stub_gated(spark, sf_dir):
     a = sorted(decode_features(media).collect())
     b = sorted(decode_features(media.repartition(3)).collect())
     assert a == b
-    # only compressed/inter-frame video remains gated (jpeg/y4m went
-    # real in round 10)
+    # only motion-compensated entropy-coded video remains gated
+    # (jpeg/y4m went real in round 10; FLAC and inter-frame MS-RLE8
+    # followed later the same round)
     with pytest.raises(NotImplementedError):
         decode_features(media, codec="h264")
 
@@ -285,6 +286,48 @@ def test_flac_decode_known_audio_and_corrupt_payloads(spark):
     for k in corrupt:
         assert got[k].valid is False, f"doc {k} should be rejected"
         assert got[k].n_channels is None and got[k].ch0_mean is None
+
+
+def test_mrle_decode_known_video_and_corrupt_payloads(spark):
+    """The inter-frame-video branch through the REAL Spark plan: a
+    fixture MS-RLE8 AVI must decode to the pinned canvas/palette
+    stats (including the frame-weighted checksum that pins frame
+    order and carry-forward), and every coarse corrupt-payload class
+    must yield a valid=false row. (Opcode-level structural classes +
+    exhaustive mutation/truncation fuzz are pinned decoder-side in
+    tests/test_properties.py.)"""
+    from flink_samples_spark.llmops.multimodal import _make_rle_avi_fixture_encoder
+
+    d = 7
+    good = _make_rle_avi_fixture_encoder()(d)
+    corrupt = {
+        3: b"JUNK" + good[4:],                # bad RIFF magic
+        4: good.replace(b"MRLE", b"H264"),    # wrong handler fourcc
+        5: good[:-6],                         # cut into the final frame
+        6: None,                              # NULL payload
+    }
+    rows = [(1, good)] + [(k, v) for k, v in corrupt.items()]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in decode_features(media, codec="mrle").collect()}
+    assert len(got) == 5
+    g = got[1]
+    w, h, nf, nc = 4 + d % 5, 3 + d % 4, 2 + d % 3, 8 + d % 5
+    p = np.arange(w * h, dtype=np.int64)
+    vals = np.stack(
+        [(d * 7 + 3 * p + 5 * f * (p % 3 == 0)) % nc for f in range(nf)]
+    )
+    pal_r = (d * 11 + 7 * vals) % 256
+    assert (g.valid, g.width, g.height, g.n_frames) == (True, w, h, nf)
+    assert (g.fps_num, g.fps_den) == (12 + d % 4, 1 + d % 2)
+    assert g.r_mean == round(float(pal_r.mean()), 6)
+    assert g.g_mean == round(float(((d * 13 + 5 * vals) % 256).mean()), 6)
+    assert g.b_mean == round(float(((d * 17 + 3 * vals) % 256).mean()), 6)
+    assert g.r_fwsum == int(
+        sum((f + 1) * pal_r[f].sum() for f in range(nf))
+    )
+    for k in corrupt:
+        assert got[k].valid is False, f"doc {k} should be rejected"
+        assert got[k].width is None and got[k].r_fwsum is None
 
 
 def test_jpeg_decode_known_images_and_corrupt_payloads(spark):

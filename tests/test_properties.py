@@ -479,6 +479,83 @@ def test_flac_decoder_structural_corruption_classes():
             dec(buf)
 
 
+def test_rle_codec_full_residue_sweep():
+    """Exhaustive pin of the MS-RLE8 codec pair: for EVERY fixture
+    residue class (doc_id mod 240 ⊇ lcm of the geometry/palette/
+    frame-count/opcode-rotation periods 5,4,3,5,2), encode → parse →
+    play each frame onto the previous canvas and the result must
+    equal the pinned arithmetic — i.e. the skip opcodes carried the
+    unchanged two-thirds of each frame forward correctly. Same
+    arithmetic the DuckDB oracle recomputes; a pass here plus the
+    catalog differential pins the container walk, every opcode
+    family, the carry-forward semantics, and the palette map."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_avi_parser,
+        _make_rle8_frame_decoder,
+        _make_rle_avi_fixture_encoder,
+    )
+
+    enc = _make_rle_avi_fixture_encoder()
+    parse, play = _make_avi_parser("mrle"), _make_rle8_frame_decoder()
+    for d in range(240):
+        w, h, fn, fd, frames, pal = parse(enc(d))
+        nc = 8 + d % 5
+        assert (w, h, fn, fd) == (4 + d % 5, 3 + d % 4, 12 + d % 4, 1 + d % 2), d
+        assert len(frames) == 2 + d % 3 and pal.shape == (nc, 3), d
+        p = np.arange(w * h, dtype=np.int64)
+        canvas = np.zeros((h, w), dtype=np.int64)
+        for f, data in enumerate(frames):
+            canvas = play(data, w, h, canvas, nc)
+            want = ((d * 7 + 3 * p + 5 * f * (p % 3 == 0)) % nc).reshape(h, w)
+            assert (canvas == want).all(), (d, f)
+        j = np.arange(nc)
+        assert (pal[:, 0] == (d * 11 + 7 * j) % 256).all(), d
+        assert (pal[:, 1] == (d * 13 + 5 * j) % 256).all(), d
+        assert (pal[:, 2] == (d * 17 + 3 * j) % 256).all(), d
+
+
+def test_rle8_playback_structural_corruption_classes():
+    """Known-bad BI_RLE8 opcode streams land as ValueError, and the
+    inter-frame contract is pinned directly: an empty frame (just
+    end-of-bitmap) carries the WHOLE previous canvas forward, and a
+    delta skip preserves exactly the pixels it jumps over."""
+    import numpy as np
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import _make_rle8_frame_decoder
+
+    play = _make_rle8_frame_decoder()
+    prev = np.arange(12, dtype=np.int64).reshape(3, 4) % 7
+
+    # empty frame: everything carries forward
+    got = play(b"\x00\x01", 4, 3, prev.copy(), 7)
+    assert (got == prev).all()
+
+    # delta (dx=2, dy=1) jumps from (0, line 0) to (2, line 1) —
+    # every pixel skipped on the way carries forward — then a run of
+    # 2 writes value 5 at x 2..3 of line 1 (canvas row h-1-1 = 1)
+    got = play(b"\x00\x02\x02\x01\x02\x05\x00\x00\x00\x01", 4, 3, prev.copy(), 7)
+    want = prev.copy()
+    want[1, 2:4] = 5
+    assert (got == want).all()
+
+    bad = {
+        "run overruns width": b"\x05\x01\x00\x01",
+        "pixel outside palette": b"\x02\x09\x00\x00\x00\x01",
+        "missing end-of-bitmap": b"\x02\x01\x00\x00",
+        "trailing bytes after EOB": b"\x00\x01\x00\x00",
+        "delta outside frame": b"\x00\x02\xff\xff\x00\x01",
+        "truncated delta": b"\x00\x02",
+        "truncated absolute": b"\x00\x04\x01\x02",
+        "too many lines": b"\x00\x00" * 4 + b"\x00\x00\x00\x01",
+    }
+    for name, data in bad.items():
+        with pytest.raises(ValueError):
+            play(data, 4, 3, prev.copy(), 7)
+
+
 def test_jpeg_codec_full_residue_sweep():
     """Exhaustive pin of the baseline-JPEG codec pair: for EVERY
     fixture residue class (doc_id mod 4200 = lcm of the geometry and
@@ -1208,9 +1285,27 @@ def _codec_fuzz_fixtures():
         _make_jpeg_fixture_encoder,
         _make_png_decoder,
         _make_ppm_parser,
+        _make_rle8_frame_decoder,
+        _make_rle_avi_fixture_encoder,
         _make_wav_parser,
         _make_y4m_parser,
     )
+
+    def _make_mrle_stack():
+        # the composed inter-frame decode: container walk + opcode
+        # playback frame-over-frame (the full path the Spark branch runs)
+        import numpy as np
+
+        parse, play = _make_avi_parser("mrle"), _make_rle8_frame_decoder()
+
+        def decode(buf: bytes):
+            w, h, fn, fd, frames, pal = parse(buf)
+            canvas = np.zeros((h, w), dtype=np.int64)
+            for data in frames:
+                canvas = play(data, w, h, canvas, len(pal))
+            return w, h, canvas
+
+        return decode
 
     ppm = b"P6\n# c\n3 2\n255\n" + bytes(range(18))
 
@@ -1251,13 +1346,14 @@ def _codec_fuzz_fixtures():
         ("gif", _make_gif_fixture_encoder()(7), _make_gif_decoder()),
         ("mjpeg", _make_avi_fixture_encoder()(7), _make_avi_parser()),
         ("flac", _make_flac_fixture_encoder()(7), _make_flac_decoder()),
+        ("mrle", _make_rle_avi_fixture_encoder()(7), _make_mrle_stack()),
     ]
 
 
 @given(pos_frac=st.floats(0, 1), delta=st.integers(1, 255))
 @settings(max_examples=80, deadline=None)
 def test_every_codec_single_byte_mutation_never_escapes(pos_frac, delta):
-    """The UNIFORM corrupt-row contract across all eight real codecs:
+    """The UNIFORM corrupt-row contract across all nine real codecs:
     flipping one byte anywhere in a valid payload must either still
     parse/decode or raise ValueError — never any other exception
     class. This is the property the mapInPandas decode branches rely
