@@ -60,6 +60,9 @@ TOP = [
     "q_multimodal_decode_jpeg",  # r10: the lossy real codec
     "q_multimodal_decode_y4m",   # r10: the video container
     "q_multimodal_decode_gif",   # r10: the palette+LZW codec
+    "q_multimodal_decode_mjpeg", # r10: the compressed-video codec
+    "q_multimodal_decode_flac",  # r10: the lossless-audio codec
+    "q_multimodal_decode_rle",   # r10: the inter-frame video codec
 ]
 
 MARK_START = "<!-- sf1-probe:start -->"
@@ -217,8 +220,11 @@ def main() -> None:
     ]
     if full:
         update_scale_probe_md(lines, MARK_FULL_START, MARK_FULL_END)
-    else:
+    elif not args:
         update_scale_probe_md(lines)
+    # explicit-name runs (the flag-adjudication A/B mode) print only:
+    # overwriting the canonical TOP table with a 3-row subset destroys
+    # the committed record the A/B exists to defend
     print("\n".join(lines))
     if flagged:
         print(f"\nFLAGGED (exp > 1.1, audit these plans): {flagged}")
