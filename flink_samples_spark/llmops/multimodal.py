@@ -2532,17 +2532,24 @@ def synth_rle_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def _make_rle_avi_fixture_encoder():
-    """Build ``encode(doc_id) -> bytes`` implementing the pinned
-    MS-RLE8 fixture arithmetic documented on
-    :func:`synth_rle_payload`. A genuine RLE8 encoder: each frame is
-    diffed against the previous canvas; unchanged pixel runs become
-    ``(0,2,dx,0)`` delta skips, unchanged line groups become
-    ``(0,2,0,dy)`` skips, unchanged line tails fall to end-of-line,
-    and changed stretches alternate (by ``(d+f)`` parity) between
-    encoded runs and absolute mode — so every opcode family the
-    decoder implements is exercised by the fixtures themselves.
-    Factory-nested so the closure pickles by value."""
+def _make_rle_stream_encoder():
+    """Build the MS-RLE8 fixture encoder core — a genuine RLE8+AVI
+    encoder: each frame is diffed against the previous canvas
+    (frame 0 against the all-zero canvas the decoder also pins);
+    unchanged pixel runs become ``(0,2,dx,0)`` delta skips,
+    unchanged line groups become ``(0,2,0,dy)`` skips, unchanged
+    line tails fall to end-of-line, and changed stretches alternate
+    (by ``seed+f`` parity) between encoded runs and absolute mode —
+    so every opcode family the decoder implements is exercised by
+    whatever content is encoded. Lossless on the index canvas, so
+    roundtrip equality holds for ARBITRARY frame sequences, not just
+    the fixture arithmetic (the hypothesis property pins this).
+
+    Returns ``encode_stream(frames, palette, fps=(12, 1), seed=0,
+    junk_len=4, rec_groups=False, with_idx1=False) -> bytes`` with
+    ``frames`` an ``(nf, h, w)`` int array of palette indices and
+    ``palette`` an ``(nc, 3)`` RGB array. Factory-nested so closures
+    pickle by value."""
     import struct
 
     def chunk(fourcc: bytes, body: bytes) -> bytes:
@@ -2616,31 +2623,30 @@ def _make_rle_avi_fixture_encoder():
         out += bytes([0, 1])  # end of bitmap: trailing lines carry forward
         return bytes(out)
 
-    def encode(d: int) -> bytes:
-        w, h = 4 + d % 5, 3 + d % 4
-        nf = 2 + d % 3
-        nc = 8 + d % 5
-        rate, scale = 12 + d % 4, 1 + d % 2
-        p = np.arange(w * h, dtype=np.int64)
+    def encode_stream(frames, palette, fps=(12, 1), seed: int = 0,
+                      junk_len: int = 4, rec_groups: bool = False,
+                      with_idx1: bool = False) -> bytes:
+        frames = np.asarray(frames, dtype=np.int64)
+        palette = np.asarray(palette, dtype=np.int64)
+        nf, h, w = frames.shape
+        nc = len(palette)
+        rate, scale = fps
         prev = np.zeros((h, w), dtype=np.int64)
-        frames = []
+        encoded = []
         for f in range(nf):
-            tgt = (
-                (d * 7 + 3 * p + 5 * f * (p % 3 == 0)) % nc
-            ).reshape(h, w)
-            frames.append(encode_frame(prev, tgt, use_abs=bool((d + f) & 1)))
-            prev = tgt
-        j = np.arange(nc, dtype=np.int64)
+            encoded.append(encode_frame(prev, frames[f], use_abs=bool((seed + f) & 1)))
+            prev = frames[f]
         quads = np.stack(  # RGBQUAD order: B, G, R, reserved
-            [(d * 17 + 3 * j) % 256, (d * 13 + 5 * j) % 256,
-             (d * 11 + 7 * j) % 256, np.zeros(nc, dtype=np.int64)], axis=1
+            [palette[:, 2], palette[:, 1], palette[:, 0],
+             np.zeros(nc, dtype=np.int64)], axis=1
         ).astype(np.uint8)
+        max_fr = max((len(fr) for fr in encoded), default=0)
         avih = struct.pack(
             "<10I4I",
             1_000_000 * scale // rate,
             0, 0, 0x10,
             nf, 0, 1,
-            max(len(fr) for fr in frames), w, h,
+            max_fr, w, h,
             0, 0, 0, 0,
         )
         strh = (
@@ -2648,7 +2654,7 @@ def _make_rle_avi_fixture_encoder():
                 "<IHHIIIIIIII4H",
                 0, 0, 0, 0,
                 scale, rate, 0, nf,
-                max(len(fr) for fr in frames), 0xFFFFFFFF, 0,
+                max_fr, 0xFFFFFFFF, 0,
                 0, 0, w, h,
             )
         )
@@ -2661,19 +2667,49 @@ def _make_rle_avi_fixture_encoder():
             chunk(b"avih", avih)
             + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
         )
-        frame_chunks = [chunk(b"00dc", fr) for fr in frames]
-        if d % 6 == 0:
+        frame_chunks = [chunk(b"00dc", fr) for fr in encoded]
+        if rec_groups:
             movi_body = b"".join(lst(b"rec ", fc) for fc in frame_chunks)
         else:
             movi_body = b"".join(frame_chunks)
-        body = hdrl + chunk(b"JUNK", b"\x00" * (4 + d % 8)) + lst(b"movi", movi_body)
-        if d % 4 == 0:
+        body = hdrl + chunk(b"JUNK", b"\x00" * junk_len) + lst(b"movi", movi_body)
+        if with_idx1:
             idx = b"".join(
                 b"00dc" + struct.pack("<III", 0x10, 4 + i * 8, len(fr))
-                for i, fr in enumerate(frames)
+                for i, fr in enumerate(encoded)
             )
             body += chunk(b"idx1", idx)
         return chunk(b"RIFF", b"AVI " + body)
+
+    return encode_stream
+
+
+def _make_rle_avi_fixture_encoder():
+    """Driver/test-side convenience: ``encode(doc_id) -> bytes``
+    building the pinned MS-RLE8 fixture for doc ``d`` on top of
+    :func:`_make_rle_stream_encoder` (arithmetic documented on
+    :func:`synth_rle_payload`; container variants — rec groups every
+    6th doc, idx1 every 4th, JUNK length rotation — from ``d``)."""
+    encode_stream = _make_rle_stream_encoder()
+
+    def encode(d: int) -> bytes:
+        w, h = 4 + d % 5, 3 + d % 4
+        nf = 2 + d % 3
+        nc = 8 + d % 5
+        p = np.arange(w * h, dtype=np.int64)
+        frames = np.stack(
+            [((d * 7 + 3 * p + 5 * f * (p % 3 == 0)) % nc).reshape(h, w)
+             for f in range(nf)]
+        )
+        j = np.arange(nc, dtype=np.int64)
+        palette = np.stack(
+            [(d * 11 + 7 * j) % 256, (d * 13 + 5 * j) % 256,
+             (d * 17 + 3 * j) % 256], axis=1
+        )
+        return encode_stream(
+            frames, palette, fps=(12 + d % 4, 1 + d % 2), seed=d,
+            junk_len=4 + d % 8, rec_groups=d % 6 == 0, with_idx1=d % 4 == 0,
+        )
 
     return encode
 

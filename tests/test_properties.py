@@ -479,6 +479,64 @@ def test_flac_decoder_structural_corruption_classes():
             dec(buf)
 
 
+@given(
+    nf=st.integers(0, 4),
+    h=st.integers(1, 8),
+    w=st.integers(1, 10),
+    nc=st.integers(2, 256),
+    seed=st.integers(0, 2**31 - 1),
+    rec_groups=st.booleans(),
+    with_idx1=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_rle_codec_roundtrip_property(nf, h, w, nc, seed, rec_groups, with_idx1):
+    """Property pin of the MS-RLE8 codec pair beyond the fixture
+    arithmetic: ANY frame sequence over ANY palette (zero frames,
+    all-identical frames — pure carry-forward — fully-random frames
+    where nothing carries, and everything between, under both
+    container layouts) must encode to an AVI whose frame-over-frame
+    playback reproduces every canvas exactly. The index canvas is
+    lossless by the codec's contract, which is what lets the DuckDB
+    oracle stay encode-path-independent."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_avi_parser,
+        _make_rle8_frame_decoder,
+        _make_rle_stream_encoder,
+    )
+
+    rng = np.random.RandomState(seed)
+    kind = seed % 3
+    if kind == 0:  # random: nothing carries forward
+        frames = rng.randint(0, nc, size=(nf, h, w))
+    elif kind == 1:  # constant: everything carries after frame 0
+        frames = np.broadcast_to(
+            rng.randint(0, nc, size=(1, h, w)), (nf, h, w)
+        ).copy()
+    else:  # sparse mutation: the genuine inter-frame regime
+        frames = np.zeros((nf, h, w), dtype=np.int64)
+        cur = rng.randint(0, nc, size=(h, w))
+        for f in range(nf):
+            mask = rng.rand(h, w) < 0.3
+            cur = np.where(mask, rng.randint(0, nc, size=(h, w)), cur)
+            frames[f] = cur
+    palette = rng.randint(0, 256, size=(nc, 3))
+
+    buf = _make_rle_stream_encoder()(
+        frames, palette, fps=(24, 1), seed=seed,
+        rec_groups=rec_groups, with_idx1=with_idx1,
+    )
+    got_w, got_h, fn, fd, encoded, pal = _make_avi_parser("mrle")(buf)
+    assert (got_w, got_h, len(encoded)) == (w, h, nf)
+    assert np.array_equal(pal, palette)
+    play = _make_rle8_frame_decoder()
+    canvas = np.zeros((h, w), dtype=np.int64)
+    for f, data in enumerate(encoded):
+        canvas = play(data, w, h, canvas, nc)
+        assert np.array_equal(canvas, frames[f]), f
+
+
 def test_rle_codec_full_residue_sweep():
     """Exhaustive pin of the MS-RLE8 codec pair: for EVERY fixture
     residue class (doc_id mod 240 ⊇ lcm of the geometry/palette/
