@@ -532,6 +532,42 @@ def synth_wav_payload(docs: DataFrame) -> DataFrame:
     )
 
 
+def _flac_crc_functions():
+    """Build the two FLAC CRCs — CRC-8 poly 0x07 (frame header) and
+    CRC-16 poly 0x8005 (whole frame) — shared by the decoder and the
+    fixture encoder factories. The returned functions are created
+    here (not module-level names), so a closure that captures them
+    still pickles BY VALUE like everything else the factories nest —
+    and a polynomial/table bug can no longer be fixed in one copy
+    while silently surviving in the other."""
+    crc8_tab = []
+    for b in range(256):
+        r = b
+        for _ in range(8):
+            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
+        crc8_tab.append(r)
+    crc16_tab = []
+    for b in range(256):
+        r = b << 8
+        for _ in range(8):
+            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 else (r << 1) & 0xFFFF
+        crc16_tab.append(r)
+
+    def crc8(data: bytes) -> int:
+        r = 0
+        for byte in data:
+            r = crc8_tab[r ^ byte]
+        return r
+
+    def crc16(data: bytes) -> int:
+        r = 0
+        for byte in data:
+            r = crc16_tab[((r >> 8) ^ byte) & 0xFF] ^ ((r << 8) & 0xFFFF)
+        return r
+
+    return crc8, crc16
+
+
 def _make_flac_decoder():
     """Build the FLAC decoder — the real COMPRESSED LOSSLESS audio
     format (RFC 9639 / xiph.org spec), done honestly with ONLY the
@@ -560,42 +596,23 @@ def _make_flac_decoder():
 
     Bomb surfaces, bounded BEFORE materialization: a CONSTANT
     subframe expands ~6 bytes to a whole block, so declared/decoded
-    samples×channels are capped at 16.7M (the PNG pixel-cap policy,
-    ``llmops/multimodal.py`` PNG notes) — beyond it the decode fails
-    without allocating; hostile LPC coefficient feedback is cut off
-    by a 2^35 divergence bound (Python-int math, so no silent wrap);
+    samples×channels are capped at 4.2M (the JPEG decoder's cap
+    figure — tighter than PNG's because subframe decode transits
+    Python-int lists; decoded channels convert to int64 arrays per
+    frame, so the worst admissible payload stays in the image
+    codecs' tens-of-MB class and only one block of Python ints is
+    live at once); hostile LPC coefficient feedback is cut off by a
+    2^35 divergence bound (Python-int math, so no silent wrap);
     FIXED reconstruction integrates with object-dtype cumsum (exact,
-    no int64 overflow) and bounds-checks the result. Like the PNG
-    decoder, the bit-level inner loops are interpreted Python — fine
-    at fixture scale, and the mapInPandas seam means a C codec swap
-    changes no plan at 100 TB.
+    no int64 overflow); every subframe's samples are bounds-checked
+    AFTER the wasted-bits shift so nothing can wrap in the int64
+    conversion. Like the PNG decoder, the bit-level inner loops are
+    interpreted Python — fine at fixture scale, and the mapInPandas
+    seam means a C codec swap changes no plan at 100 TB.
     """
     import hashlib
 
-    crc8_tab = []
-    for b in range(256):
-        r = b
-        for _ in range(8):
-            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
-        crc8_tab.append(r)
-    crc16_tab = []
-    for b in range(256):
-        r = b << 8
-        for _ in range(8):
-            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 else (r << 1) & 0xFFFF
-        crc16_tab.append(r)
-
-    def crc8(data: bytes) -> int:
-        r = 0
-        for byte in data:
-            r = crc8_tab[r ^ byte]
-        return r
-
-    def crc16(data: bytes) -> int:
-        r = 0
-        for byte in data:
-            r = crc16_tab[((r >> 8) ^ byte) & 0xFF] ^ ((r << 8) & 0xFFFF)
-        return r
+    crc8, crc16 = _flac_crc_functions()
 
     BLOCKSIZE_TAB = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
                      8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
@@ -604,7 +621,15 @@ def _make_flac_decoder():
                 6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
                 11: 96000}
     SIZE_TAB = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
-    SAMPLE_CAP = 1 << 24  # decoded samples × channels — PNG-cap policy
+    # decoded samples × channels cap, enforced BEFORE each frame's
+    # subframes are read. 4.2M (the JPEG decoder's pixel-cap figure,
+    # not PNG's 16.7M): subframe decode transits Python-int lists, so
+    # the per-unit footprint is ~an order above the numpy decoders' —
+    # the tighter cap keeps the worst admissible payload's RSS in the
+    # same tens-of-MB class as the image codecs. Decoded channels are
+    # converted to int64 arrays per frame, so only one block's worth
+    # of Python ints (≤65536) is ever live at once.
+    SAMPLE_CAP = 1 << 22
     VALUE_BOUND = 1 << 35  # any reconstructed sample beyond this is corrupt
 
     class Bits:
@@ -756,11 +781,15 @@ def _make_flac_decoder():
                 s.append(v)
         else:
             raise ValueError(f"reserved subframe type {t}")
+        if wasted:
+            s = [v << wasted for v in s]
+        # bound AFTER the wasted shift: a crafted stream with valid
+        # CRCs could otherwise push shifted samples past int64 and
+        # silently wrap in the array conversion (a valid=true garbage
+        # row, the one thing worse than a corrupt row)
         for v in s:
             if not -VALUE_BOUND < v < VALUE_BOUND:
                 raise ValueError("reconstructed sample out of range")
-        if wasted:
-            s = [v << wasted for v in s]
         return s
 
     def decode_flac(buf: bytes):
@@ -910,13 +939,15 @@ def _make_flac_decoder():
                     out[0].append((m2 + sd) >> 1)
                     out[1].append((m2 - sd) >> 1)
             for ch in range(n_ch):
-                chans[ch].extend(out[ch])
+                # int64 per frame: the accumulated stream costs 8
+                # bytes/sample, not a Python-int object per sample
+                chans[ch].append(np.array(out[ch], dtype=np.int64))
             got += blocksize
             frame_idx += 1
         if total and got != total:
             raise ValueError("stream sample count differs from STREAMINFO")
         frames = (
-            np.array(chans, dtype=np.int64).T.copy()
+            np.stack([np.concatenate(c) for c in chans], axis=1)
             if got
             else np.zeros((0, n_ch), dtype=np.int64)
         )
@@ -955,30 +986,7 @@ def _make_flac_stream_encoder():
     it is factory-nested to pickle by value like the decoders."""
     import hashlib
 
-    crc8_tab = []
-    for b in range(256):
-        r = b
-        for _ in range(8):
-            r = ((r << 1) ^ 0x07) & 0xFF if r & 0x80 else (r << 1) & 0xFF
-        crc8_tab.append(r)
-    crc16_tab = []
-    for b in range(256):
-        r = b << 8
-        for _ in range(8):
-            r = ((r << 1) ^ 0x8005) & 0xFFFF if r & 0x8000 else (r << 1) & 0xFFFF
-        crc16_tab.append(r)
-
-    def crc8(data: bytes) -> int:
-        r = 0
-        for byte in data:
-            r = crc8_tab[r ^ byte]
-        return r
-
-    def crc16(data: bytes) -> int:
-        r = 0
-        for byte in data:
-            r = crc16_tab[((r >> 8) ^ byte) & 0xFF] ^ ((r << 8) & 0xFFFF)
-        return r
+    crc8, crc16 = _flac_crc_functions()
 
     BLOCKSIZE_CODES = {192: 1, 576: 2, 1152: 3, 2304: 4, 4608: 5,
                        256: 8, 512: 9, 1024: 10, 2048: 11, 4096: 12,
@@ -2421,6 +2429,14 @@ def _make_avi_parser(codec: str = "mjpeg"):
                 f"movi holds {len(frames)} frames, header declares "
                 f"{total_frames} (avih) / {length} (strh)"
             )
+        # geometry is bounded on its own, NOT just frames*pixels: a
+        # zero-frame container would make the total-pixel product
+        # vacuous while the mrle decode branch still allocates an
+        # h×w canvas from this header — a hostile 50000×50000
+        # zero-frame AVI must land as a corrupt row, not a huge
+        # allocation (the PNG hostile-header lesson)
+        if width * height > MAX_TOTAL_PX:
+            raise ValueError("declared frame geometry exceeds pixel budget")
         if len(frames) * width * height > MAX_TOTAL_PX:
             raise ValueError("declared video exceeds total pixel budget")
         if codec == "mrle":
@@ -2897,7 +2913,11 @@ def decode_features(media: DataFrame, codec: str = "fake") -> DataFrame:
                         if payload is None:
                             raise ValueError("null payload")
                         w, h, fn, fd, frames, pal = parse_avi(bytes(payload))
-                        canvas = np.zeros((h, w), dtype=np.int64)
+                        # uint8 canvas (indices are < 256 by the
+                        # palette check): the worst header the parser
+                        # admits costs 16.7MB, the PNG-cap parity the
+                        # geometry bound above promises
+                        canvas = np.zeros((h, w), dtype=np.uint8)
                         sums = np.zeros(3, dtype=np.float64)
                         wsum = 0
                         for f, data in enumerate(frames):

@@ -537,6 +537,62 @@ def test_rle_codec_roundtrip_property(nf, h, w, nc, seed, rec_groups, with_idx1)
         assert np.array_equal(canvas, frames[f]), f
 
 
+def test_mrle_hostile_geometry_and_flac_sample_cap():
+    """The two bomb surfaces a review pass found, pinned as
+    ValueError (corrupt row), never an allocation:
+
+    (a) a structurally-valid ZERO-FRAME MS-RLE8 AVI declaring
+    enormous geometry — the frames×pixels budget is vacuous at zero
+    frames, but the decode branch allocates an h×w canvas from the
+    header, so geometry must be bounded on its own;
+
+    (b) a valid FLAC whose STREAMINFO declares more samples than the
+    decoder's cap — CONSTANT subframes expand ~6 bytes per 65536
+    samples, so the cap must fire on the DECLARED size before any
+    frame decodes."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_avi_parser,
+        _make_flac_decoder,
+        _make_flac_stream_encoder,
+        _make_rle_stream_encoder,
+    )
+
+    # (a): build a valid 0-frame 2x2 container, then rewrite every
+    # geometry field (avih w/h, strh rcFrame, strf biWidth/biHeight)
+    # to 50000 — the cross-checks still agree, only the size is hostile
+    good = _make_rle_stream_encoder()(
+        np.zeros((0, 2, 2), dtype=np.int64),
+        np.zeros((4, 3), dtype=np.int64),
+    )
+    parse = _make_avi_parser("mrle")
+    assert parse(good)[4] == []  # the benign zero-frame stream is fine
+    big = 50_000
+    hostile = bytearray(good)
+    avih_at = good.index(b"avih") + 8
+    hostile[avih_at + 32 : avih_at + 40] = struct.pack("<II", big, big)
+    strh_at = good.index(b"strh") + 8
+    hostile[strh_at + 52 : strh_at + 56] = struct.pack("<HH", big & 0xFFFF, big & 0xFFFF)
+    strf_at = good.index(b"strf") + 8
+    hostile[strf_at + 4 : strf_at + 12] = struct.pack("<ii", big, big)
+    with pytest.raises(ValueError, match="geometry exceeds pixel budget"):
+        # rcFrame is informational; avih/strf agreeing is what the
+        # coherence check reads — the hostile file passes it
+        parse(bytes(hostile))
+
+    # (b): 4.3M declared stereo samples of silence — a few-KB payload
+    n = (1 << 21) + (1 << 16)  # samples/channel; ×2 channels > cap
+    frames = np.zeros((n, 2), dtype=np.int64)
+    buf = _make_flac_stream_encoder()(frames, 8000, block_size=65536)
+    assert len(buf) < 8_000  # the bomb really is tiny
+    with pytest.raises(ValueError, match="sample cap"):
+        _make_flac_decoder()(buf)
+
+
 def test_rle_codec_full_residue_sweep():
     """Exhaustive pin of the MS-RLE8 codec pair: for EVERY fixture
     residue class (doc_id mod 240 ⊇ lcm of the geometry/palette/
