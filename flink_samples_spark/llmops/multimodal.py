@@ -967,17 +967,22 @@ def _make_flac_stream_encoder():
     signature, a PADDING block (exercises the decoder's skip path),
     and per-block frames whose stereo decorrelation mode rotates
     through independent/left-side/right-side/mid-side and whose
-    subframe types rotate through FIXED orders 0-4, VERBATIM, and a
-    genuine LPC subframe (order 1, coefficient [1], shift 0 — the
-    same prediction as FIXED-1, but exercising the LPC bitstream
+    subframe types rotate through FIXED orders 0-4, VERBATIM, and
+    genuine LPC subframes (order 1 coeff [1], and order 2 coeffs
+    [2,-1] — fixed predictions routed through the LPC bitstream
     grammar end to end). Channels whose samples share trailing zero
-    bits are written with the wasted-bits shift, constant blocks as
-    CONSTANT subframes, and all-zero residual partitions with the
-    raw-bits escape (n=0) — the encode decisions a real encoder
-    makes, so the decoder's uncommon paths are exercised by the
-    fixtures themselves. Lossless: none of these choices change the
-    decoded samples, so the pinned-arithmetic oracle never needs to
-    know which path a payload took.
+    bits are written with the wasted-bits shift and constant blocks
+    as CONSTANT subframes. Residual coding is COST-BASED like a real
+    encoder: an exact per-partition Rice parameter search, the
+    5-bit-parameter method whenever a partition wants k > 14 (the
+    side channel's high-order residuals genuinely do), and the
+    raw-bits escape whenever fixed-width literals beat Rice
+    (including n=0 for all-zero partitions) — so the decoder's
+    uncommon grammar paths are exercised by the fixtures themselves.
+    Sample rates code through the table AND all three end-of-header
+    forms (kHz / Hz / tens-of-Hz). Lossless: none of these choices
+    change the decoded samples, so the pinned-arithmetic oracle
+    never needs to know which path a payload took.
 
     Returns ``encode_stream(frames, rate, block_size=64, seed=0)``
     with ``frames`` an ``(n, ch)`` int array (ch 1 or 2, 16-bit
@@ -1038,26 +1043,60 @@ def _make_flac_stream_encoder():
                 return bytes(b)
         raise ValueError("coded number exceeds 36 bits")
 
+    def best_rice_k(uvals: list) -> tuple:
+        """Exact per-partition parameter search: the k minimizing
+        sum(q) + count*(k+1) bits. Returns (k, rice_cost_bits)."""
+        best = (0, sum(uvals) + len(uvals))
+        for k in range(1, 31):
+            cost = sum(u >> k for u in uvals) + len(uvals) * (k + 1)
+            if cost < best[1]:
+                best = (k, cost)
+            if (1 << k) > max(uvals, default=0):
+                break  # larger k only adds low bits
+        return best
+
     def put_residuals(w: BitWriter, res: list, order: int, bs: int,
                       use_part: bool) -> None:
+        # cost-based coding, the decisions a real encoder makes (and
+        # the decoder grammar paths the fixtures therefore exercise):
+        # exact per-partition Rice parameter search; the 5-bit-param
+        # method when any partition wants k > 14; the raw-bits escape
+        # whenever fixed-width literals beat Rice (incl. n=0 for the
+        # all-zero partition)
         nparts = 2 if use_part and bs % 2 == 0 and bs // 2 > order else 1
-        w.put(0, 2)  # method 0: 4-bit Rice parameters
-        w.put(nparts.bit_length() - 1, 4)  # partition order 0 or 1
-        start = 0
+        plan = []
+        method = 0
         for p in range(nparts):
             count = bs // nparts - (order if p == 0 else 0)
-            part = res[start : start + count]
-            start += count
+            lo = sum(bs // nparts - (order if q == 0 else 0) for q in range(p))
+            part = res[lo : lo + count]
             uvals = [(v << 1) if v >= 0 else ((-v) << 1) - 1 for v in part]
+            k, rice_cost = best_rice_k(uvals)
             if part and not any(uvals):
-                w.put(15, 4)  # escape, n=0: the all-zero partition
-                w.put(0, 5)
-                continue
-            mean = (sum(uvals) // max(1, len(uvals))) or 1
-            k = min(14, max(0, mean.bit_length() - 1))
-            w.put(k, 4)
-            for v in part:
-                rice_put(w, v, k)
+                nbits = 0
+            else:
+                nbits = max(
+                    (v.bit_length() + 1 for v in part), default=1
+                )
+            esc_cost = 5 + len(part) * nbits
+            use_esc = nbits <= 31 and (not any(uvals) or esc_cost < rice_cost)
+            plan.append((part, uvals, k, use_esc, nbits))
+            if not use_esc and k > 14:
+                method = 1
+        plen = 4 + method
+        esc = (1 << plen) - 1
+        w.put(method, 2)
+        w.put(nparts.bit_length() - 1, 4)  # partition order 0 or 1
+        for part, uvals, k, use_esc, nbits in plan:
+            if use_esc:
+                w.put(esc, plen)
+                w.put(nbits, 5)
+                for v in part:
+                    w.put(v, nbits)
+            else:
+                w.put(k, plen)
+                for v in part:
+                    rice_put(w, v, k)
 
     def put_subframe(w: BitWriter, samples: list, bps: int, t_seed: int) -> None:
         if all(v == samples[0] for v in samples):
@@ -1081,15 +1120,30 @@ def _make_flac_stream_encoder():
                 w.put(v, eff)
             res = np.diff(np.array(vals, dtype=np.int64), n=order).tolist()
             put_residuals(w, res, order, n, use_part=bool(t_seed & 1))
-        elif t == 6 and n >= 2:  # LPC order 1, coeff [1], shift 0
-            w.put(32, 6)
-            _put_wasted(w, wasted)
-            w.put(vals[0], eff)
-            w.put(1, 4)  # precision-1 → 2-bit coefficients
-            w.put(0, 5)  # shift 0
-            w.put(1, 2)  # coefficient +1: predict s[i-1]
-            res = [vals[i] - vals[i - 1] for i in range(1, n)]
-            put_residuals(w, res, 1, n, use_part=bool(t_seed & 1))
+        elif t == 6 and n >= 2:  # genuine LPC subframes: order 1 or 2
+            if n >= 3 and (t_seed >> 3) & 1:
+                # order 2, coeffs [2, -1], shift 0 — the fixed-2
+                # prediction through the LPC dot-product path
+                w.put(33, 6)
+                _put_wasted(w, wasted)
+                w.put(vals[0], eff), w.put(vals[1], eff)
+                w.put(2, 4)  # precision-1 → 3-bit coefficients
+                w.put(0, 5)  # shift 0
+                w.put(2, 3), w.put(-1, 3)
+                res = [
+                    vals[i] - 2 * vals[i - 1] + vals[i - 2]
+                    for i in range(2, n)
+                ]
+                put_residuals(w, res, 2, n, use_part=bool(t_seed & 1))
+            else:  # order 1, coeff [1], shift 0
+                w.put(32, 6)
+                _put_wasted(w, wasted)
+                w.put(vals[0], eff)
+                w.put(1, 4)  # precision-1 → 2-bit coefficients
+                w.put(0, 5)  # shift 0
+                w.put(1, 2)  # coefficient +1: predict s[i-1]
+                res = [vals[i] - vals[i - 1] for i in range(1, n)]
+                put_residuals(w, res, 1, n, use_part=bool(t_seed & 1))
         else:  # VERBATIM
             w.put(1, 6)
             _put_wasted(w, wasted)
@@ -1103,14 +1157,29 @@ def _make_flac_stream_encoder():
         else:
             w.put(0, 1)
 
+    def rate_coding(rate: int) -> tuple:
+        """(header code, end-field value, end-field bits) — table
+        codes first, then the kHz (12) / Hz (13) / tens-of-Hz (14)
+        end-of-header fields, preferring the shortest field."""
+        if rate in RATE_CODES:
+            return RATE_CODES[rate], None, 0
+        if rate % 1000 == 0 and 0 < rate // 1000 < 256:
+            return 12, rate // 1000, 8
+        if 0 < rate < 65536:
+            return 13, rate, 16
+        if rate % 10 == 0 and 0 < rate // 10 < 65536:
+            return 14, rate // 10, 16
+        raise ValueError("rate not expressible in a FLAC frame header")
+
     def encode_stream(frames, rate: int, block_size: int = 64,
                       seed: int = 0) -> bytes:
         frames = np.asarray(frames, dtype=np.int64)
         n, n_ch = frames.shape
         if n_ch not in (1, 2) or n == 0:
             raise ValueError("fixture encoder: 1-2 channels, >=1 sample")
-        if rate not in RATE_CODES and not 0 < rate < 65536:
-            raise ValueError("fixture encoder: rate needs a 16-bit end field")
+        if not 0 < rate < (1 << 20):
+            raise ValueError("rate exceeds the 20-bit STREAMINFO field")
+        rcode, rfield, rbits = rate_coding(rate)
         md5 = hashlib.md5(frames.astype("<i2").tobytes()).digest()
         si = BitWriter()
         si.put(block_size, 16), si.put(block_size, 16)
@@ -1139,7 +1208,7 @@ def _make_flac_stream_encoder():
             w.put(0x3FFE, 14), w.put(0, 1), w.put(0, 1)  # sync, fixed strategy
             bs_code = BLOCKSIZE_CODES.get(bs, 6 if bs <= 256 else 7)
             w.put(bs_code, 4)
-            w.put(RATE_CODES.get(rate, 13), 4)
+            w.put(rcode, 4)
             w.put(chan_code, 4)
             w.put(4, 3), w.put(0, 1)  # 16-bit sample size code, reserved
             for byte in coded_number(f):
@@ -1148,8 +1217,8 @@ def _make_flac_stream_encoder():
                 w.put(bs - 1, 8)
             elif bs_code == 7:
                 w.put(bs - 1, 16)
-            if rate not in RATE_CODES:
-                w.put(rate, 16)
+            if rbits:
+                w.put(rfield, rbits)
             w.put(crc8(bytes(w.out)), 8)
             for ch, vals in enumerate(chans):
                 extra = (mode == "ls" and ch == 1) or (

@@ -370,7 +370,9 @@ def test_wav_parser_roundtrip_and_truncation(n_ch, nf, seed, rate, extra_chunk, 
     n_ch=st.integers(1, 2),
     seed=st.integers(0, 2**31 - 1),
     rate=st.one_of(
-        st.sampled_from([8000, 22050, 44100, 96000, 176400]),
+        # table codes, the kHz (12000) and tens-of-Hz (655350)
+        # end-of-header forms, plus arbitrary Hz-field rates
+        st.sampled_from([8000, 22050, 44100, 96000, 176400, 12000, 655350]),
         st.integers(1, 65535),  # non-table rates: the 16-bit end field
     ),
     block_size=st.sampled_from([32, 64, 192, 256]),
