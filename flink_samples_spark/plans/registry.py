@@ -64,120 +64,103 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-10 allocation (manifest after r9: 201 of 202 ever-green;
-    # latest-green histogram r4:23 r5:23 r6:26 r7:33 r8:46 r9:50).
-    # Priority 1 is q_multimodal_decode_wav — the only query entering
-    # the round with no driver row ever (registered after the r9
-    # window was set; locally oracle-green, vanilla-swept, judge spot
-    # checked OK); the round's four NEW codec queries (jpeg/y4m/gif/
-    # mjpeg, also never driver-checked) follow it.  Then the two
-    # queries whose evidence this round touches: the PNG decode
-    # (Sub-filter rows vectorized via np.cumsum this round — code
-    # changed after its r9 green row) and q_training_pipeline (the one
-    # bench_compare flag from r9; a fresh green row plus the
-    # interleaved A/B closes it).  Every remaining slot burns the
-    # stale backlog: the FULL r4 cohort (23) + 14 of the r5 cohort.
-    # Nine r5 queries whose §2 families are already multiply covered
-    # in-window (q_agg_listagg, q_agg_percentiles — four other §2.4
-    # members hold seats — q_fn_zorder, q_pattern_absence,
-    # q_quality_ensemble, q_sample_reservoir, q_sample_weighted,
-    # q_ts_ewma — its oracle is pytest-pinned identical to the
-    # in-window streaming twin's — q_ts_outliers; four of those
-    # seats went to the round's NEW q_multimodal_decode_jpeg/_y4m/
-    # _gif/_mjpeg, which outrank staleness) are deferred to lead r11 so
-    # the family-coverage spine (tests/test_registry_order.py) keeps
-    # one sentinel per family: q_scan_json (§2.1, r6-stale),
-    # q_project (§2.2, r8), q_win_laglead (§2.5, r8), q_topk (§2.6,
-    # r8), q_stream_dedup (§2.9 streaming, r6-stale) — each sentinel
-    # picked from the OLDEST green cohort in its family so the seat
-    # does staleness dual duty.  The last seat keeps the flagship
-    # (q_session_window, §2.9) as the spine's regression canary.
-    # Registration grew 202 → 206 this round on the r9 verdict's
-    # optional item 8 (JPEG — plus its natural siblings y4m/gif/mjpeg
-    # completing the video+animation modalities), then 206 → 208 late
-    # in the round with q_multimodal_decode_flac (compressed LOSSLESS
-    # audio — the remaining audio-modality family) and
-    # q_multimodal_decode_rle (MS-RLE8 — a real INTER-FRAME video
-    # codec whose skip opcodes carry pixels forward across frames,
-    # narrowing the ffmpeg gate to motion-compensated entropy-coded
-    # video only); FROZEN at 208 unless a verdict demands a new
-    # operator.  The two new seats displace two r5-cohort slots
-    # (q_snapshot_diff, q_pattern_seq → r11 lead) by the round's own
-    # rule that never-driver-checked registrations outrank staleness;
-    # both displaced queries have the freshest independent evidence
-    # of the r5 cohort (judge out-of-window spot-checks, r9 VERDICT),
-    # and q_pattern_seq's oracle is additionally pytest-pinned
-    # identical to the in-window streaming twin's.
-    "q_multimodal_decode_wav",  # NEVER driver-checked — lead the window
-    "q_multimodal_decode_png",  # Sub-filter vectorized this round
-    "q_multimodal_decode_jpeg", # NEW this round: baseline JPEG codec
-    "q_multimodal_decode_y4m",  # NEW this round: y4m video container
-    "q_multimodal_decode_gif",  # NEW this round: palette+LZW codec
-    "q_multimodal_decode_mjpeg",# NEW this round: MJPEG-in-AVI video
-    "q_multimodal_decode_flac", # NEW this round: FLAC lossless audio
-    "q_multimodal_decode_rle",  # NEW this round: MS-RLE8 inter-frame video
-    "q_training_pipeline",      # r9 bench flag — fresh row + A/B
-    # ---- longest-stale rotation: last green r4 (full cohort, 23) ----
-    "q_agg_approx_quantile",
-    "q_agg_histogram",
-    "q_embed_kmeans",
-    "q_fn_array2",
-    "q_fn_bitwise",
-    "q_fn_date2",
-    "q_fn_try",
-    "q_fn_variant",
-    "q_join_asof_tol",
-    "q_join_temporal",
-    "q_lang_id",
-    "q_mix_temperature",
-    "q_multimodal_features",
-    "q_multimodal_framesample",
-    "q_quality_repetition",
-    "q_quality_score",
-    "q_sample_domain_cap",
-    "q_scd2",
-    "q_sim_topk_int8",
-    "q_sql_grouping_sets",
-    "q_sql_scalar_subquery",
-    "q_tokenize_vocab",
-    "q_udf_arrow",              # §2.10 rep
-    # ---- next-stale rotation: last green r5 (14 of 23; 9 deferred
-    # ---- to r11 per the spine note above) ----
-    "q_agg_bitmap_distinct",
-    "q_budget_select",
-    "q_curation_v2",
-    "q_data_quality",
-    "q_dedup_span",             # tier X rep
-    "q_dedup_within",           # tier X rep
-    "q_fn_regex",               # §2.8 rep
-    "q_intersect_all",          # §2.7 rep
-    "q_lm_score",               # tier X rep
-    "q_pii_redact",
-    "q_pivot",                  # §2.4 rep
-    "q_unpivot",
-    # ---- ever-green sentinel spine (families the cohorts miss;
-    # ---- oldest green member per family, staleness dual duty) ----
-    "q_scan_json",              # §2.1 sources (r6-stale)
-    "q_project",                # §2.2 projections (r8)
-    "q_win_laglead",            # §2.5 analytic windows (r8)
-    "q_topk",                   # §2.6 top-k (r8)
-    "q_stream_dedup",           # §2.9 real streaming (r6-stale)
+    # Round-11 allocation (manifest after r10: 208 of 208 ever-green —
+    # every registered query has a fully-green driver row; latest-green
+    # histogram r5:11 r6:24 r7:32 r8:43 r9:48 r10:50).  With zero
+    # never-checked queries left, the window is pure staleness
+    # burn-down per the r10 verdict item 2: lead with the FULL r5
+    # cohort (the eleven deferrals/displacements from the r10 window —
+    # q_snapshot_diff and q_pattern_seq first, displaced from r10 by
+    # the late FLAC/MS-RLE registrations), then the FULL 24-query r6
+    # cohort (the streaming STRICT spine plus q_agg_multi/q_join_smj/
+    # q_tumbling_window and the salted/colocated strategy variants).
+    # Next, the repo's changed-code rule (a query whose implementation
+    # changed after its last green row outranks mere staleness):
+    # q_multimodal_decode_png (per-row-filter CPU budget added this
+    # round — r10 verdict item 3) and q_multimodal_decode_flac
+    # (overlong coded-number rejection + encoder range validation —
+    # both r10 ADVICE items) get re-certification seats.  The
+    # remaining 13 seats: 7 family sentinels for the families the
+    # cohorts miss (tests/test_registry_order.py's coverage contract),
+    # each picked from the OLDEST green cohort in its family so the
+    # seat does staleness dual duty — q_source_range (§2.1, r7),
+    # q_except_all (§2.7, r7), q_sql_window (SQL entry, r7) are
+    # r7-stale themselves; q_filter (§2.2, r9), q_win_rank (§2.5, r9),
+    # q_topk_per_group (§2.6, r9) are the oldest in their two-member
+    # families; the flagship q_session_window keeps its canary seat —
+    # and 6 r7-stale fills chosen for family breadth (q_agg_cube §2.4,
+    # q_join_asof §2.3, q_win_range_frame §2.5, q_dedup_exact +
+    # q_embed_pca tier X, q_pack_sequences tier X).  Registration
+    # stays FROZEN at 208 unless a verdict demands a new operator.
+    # Rotated-out ever-green queries keep local regression safety via
+    # tests/test_catalog.py (identical row+schema+hash DuckDB
+    # comparison, catalog-wide).
+    # ---- longest-stale rotation: last green r5 (full cohort, 11) ----
+    "q_snapshot_diff",          # displaced from r10 — lead the window
+    "q_pattern_seq",            # displaced from r10
+    "q_agg_listagg",            # §2.4 rep
+    "q_agg_percentiles",        # §2.4 rep
+    "q_fn_zorder",              # §2.8 rep
+    "q_pattern_absence",
+    "q_quality_ensemble",
+    "q_sample_reservoir",
+    "q_sample_weighted",
+    "q_ts_ewma",                # oracle pytest-pinned == streaming twin's
+    "q_ts_outliers",
+    # ---- next-stale rotation: last green r6 (full cohort, 24) ----
+    "q_agg_multi",              # TPC-H Q1 shape; §2.4 rep
+    "q_agg_salted",             # skew strategy variant
+    "q_fn_json",                # §2.8 rep
+    "q_join_colocated",         # bucketed co-located join
+    "q_join_salted",            # skew strategy variant
+    "q_join_smj",               # §2.3 rep (big×big shuffle)
+    "q_late_data",              # watermark drop semantics
+    "q_merge_upsert",           # §2.3 rep (MERGE change-set)
+    "q_stream_complete_counts", # §2.9 STRICT streaming spine (16) --
+    "q_stream_curate",
+    "q_stream_custom_sessionizer",
+    "q_stream_enrich",
+    "q_stream_ewma",
+    "q_stream_join",
+    "q_stream_join_outer",
+    "q_stream_pattern_absence",
+    "q_stream_pattern_seq",
+    "q_stream_session_dynamic",
+    "q_stream_sliding",
+    "q_stream_temporal",
+    "q_stream_tumbling",
+    "q_stream_update_counts",   # -- end streaming spine
+    "q_tumbling_window",        # §2.9 time-windows rep
+    "q_udtf_lateral",           # §2.10 rep
+    # ---- changed-code re-certification (code edited this round,
+    # ---- after their r10 green rows) ----
+    "q_multimodal_decode_png",  # per-row-filter CPU budget (item 3)
+    "q_multimodal_decode_flac", # overlong-coding reject + encoder checks
+    # ---- family sentinels (families the cohorts miss; oldest green
+    # ---- member per family, staleness dual duty) ----
+    "q_source_range",           # §2.1 sources (r7-stale)
+    "q_filter",                 # §2.2 projections/filters (r9)
+    "q_win_rank",               # §2.5 analytic windows (r9)
+    "q_topk_per_group",         # §2.6 top-k (r9)
+    "q_except_all",             # §2.7 set ops (r7-stale)
+    "q_sql_window",             # SQL entry (r7-stale)
     "q_session_window",         # flagship; §2.9 batch windows
+    # ---- r7-stale fills (6 of 32; family breadth first) ----
+    "q_agg_cube",               # §2.4
+    "q_join_asof",              # §2.3
+    "q_win_range_frame",        # §2.5
+    "q_dedup_exact",            # tier X
+    "q_embed_pca",              # tier X (driver-state scale claim)
+    "q_pack_sequences",         # tier X
 )
 
-# Round-11 allocation (write when the r10 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): lead with the eleven r5
-# deferrals (q_agg_listagg, q_agg_percentiles, q_fn_zorder,
-# q_pattern_absence, q_quality_ensemble, q_sample_reservoir,
-# q_sample_weighted, q_ts_ewma — its oracle is pytest-pinned
-# identical to the streaming twin's — q_ts_outliers, plus
-# q_snapshot_diff and q_pattern_seq, displaced from the r10 window
-# by the late FLAC/MS-RLE registrations), then any query whose code
-# changed after its last green row, then the r6-stale cohort (~24
-# after this window re-certifies q_scan_json/q_stream_dedup) and as
-# much of r7 as fits; keep the flagship and one sentinel per family
-# the cohorts miss, and leave registration FROZEN unless a verdict
-# demands a new operator.
+# Round-12 allocation (write when the r11 CORRECTNESS lands; run
+# scripts/update_green_manifest.py first): burn the remaining r7
+# cohort (~26 after this window re-certifies q_source_range,
+# q_except_all, q_sql_window and the six fills), then any query whose
+# code changed after its last green row, then as much of r8 as fits;
+# keep the flagship and one sentinel per family the cohorts miss, and
+# leave registration FROZEN unless a verdict demands a new operator.
 
 
 def ordered_queries() -> dict[str, QueryFn]:
