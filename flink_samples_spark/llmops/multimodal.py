@@ -211,13 +211,19 @@ def _make_png_decoder():
     per-channel running sum — uint8 cumsum wraps mod 256); only
     Average/Paeth rows need a sequential left-to-right per-byte
     Python pass (each byte depends on the reconstructed byte 3 to its
-    left through a non-linear predictor). The 16.7M-px header cap
-    below bounds inflate MEMORY; it does NOT bound the CPU of that
-    sequential pass — a hostile max-dimension all-Paeth payload costs
-    ~50M interpreter-loop iterations (minutes) in one task. Accepted
-    for this stdlib-only decoder: the task stalls, it does not OOM,
-    and at production scale this mapInPandas stage swaps in a C-level
-    codec (PIL/libpng) with zero plan changes, which resolves both.
+    left through a non-linear predictor). TWO bounds, one per
+    resource: the 16.7M-px header cap bounds inflate MEMORY (~67 MB
+    worst case); the 4.2M-byte cumulative sequential-filter budget
+    bounds the CPU of that per-byte pass (r10 verdict item 3 — the
+    pixel cap alone admitted ~50M interpreter-loop iterations, i.e.
+    minutes of one-task stall, from a hostile max-dimension all-Paeth
+    payload; the budget caps it at a few seconds and lands the
+    payload as a ValueError → valid=false row instead). Images whose
+    Average/Paeth rows total under the budget — every fixture here,
+    and any normal photo-sized image with mixed filters — decode
+    unchanged; at production scale this mapInPandas stage swaps in a
+    C-level codec (PIL/libpng) with zero plan changes, which lifts
+    the budget entirely.
 
     Parse leniency (deliberate, harmless for the stats use): IDAT
     chunks need not be consecutive, and trailing bytes after IEND are
@@ -310,6 +316,10 @@ def _make_png_decoder():
         if len(raw) != expected:
             raise ValueError("inflated size mismatch")
         out = np.empty((height, stride), dtype=np.uint8)
+        # CPU budget for the sequential (Average/Paeth) filter rows —
+        # see the Scale note in the factory docstring. Cumulative
+        # across rows so many hostile rows can't sum past the bound.
+        seq_budget = 1 << 22
         for r in range(height):
             row = np.frombuffer(
                 raw, dtype=np.uint8, count=stride, offset=r * (1 + stride) + 1
@@ -332,6 +342,12 @@ def _make_png_decoder():
                     .astype(np.int64)
                 )
             elif f in (3, 4):  # Average/Paeth — inherently sequential in x
+                seq_budget -= stride
+                if seq_budget < 0:
+                    raise ValueError(
+                        "sequential-filter CPU budget exceeded "
+                        f"(Average/Paeth bytes > {1 << 22})"
+                    )
                 recon = np.empty(stride, dtype=np.int64)
                 for x in range(stride):
                     left = recon[x - 3] if x >= 3 else 0
@@ -692,6 +708,13 @@ def _make_flac_decoder():
             if c & 0xC0 != 0x80:
                 raise ValueError("malformed coded-number continuation")
             v = (v << 6) | (c & 0x3F)
+        # reject overlong (non-canonical) encodings, matching reference
+        # decoders: a value below the minimum representable in this
+        # byte length has a shorter canonical form (for `extra`
+        # continuations the previous form's capacity is 1 << 7 for the
+        # single byte, else 1 << ((7-extra) + 6*(extra-1)) = 5*extra+1)
+        if v < (0x80 if extra == 1 else 1 << (5 * extra + 1)):
+            raise ValueError("overlong coded number")
         return v
 
     def read_residuals(bits: Bits, blocksize: int, order: int) -> list:
@@ -1179,6 +1202,11 @@ def _make_flac_stream_encoder():
             raise ValueError("fixture encoder: 1-2 channels, >=1 sample")
         if not 0 < rate < (1 << 20):
             raise ValueError("rate exceeds the 20-bit STREAMINFO field")
+        # STREAMINFO pins bps=16: out-of-range samples would be
+        # silently masked by BitWriter.put and surface later as an MD5
+        # mismatch — fail loudly at encode time instead
+        if frames.min() < -32768 or frames.max() > 32767:
+            raise ValueError("fixture encoder: samples exceed 16-bit range")
         rcode, rfield, rbits = rate_coding(rate)
         md5 = hashlib.md5(frames.astype("<i2").tobytes()).digest()
         si = BitWriter()

@@ -321,6 +321,55 @@ def test_png_decoder_roundtrip_and_corruption(w, h, pix_seed, filters, flip):
         decode(bytes(mut))
 
 
+def test_png_sequential_filter_cpu_budget():
+    """r10 verdict item 3: a hostile all-Paeth payload within the
+    16.7M-px MEMORY cap used to buy ~50M Python-loop iterations
+    (minutes of one-task stall). The decoder now carries a 4.2M-byte
+    cumulative sequential-filter (Average/Paeth) CPU budget: both
+    hostile shapes below land as ValueError — one instantly (a single
+    row wider than the whole budget), one after the budgeted work
+    (many moderate rows summing past it) — inside a pinned wall-clock
+    bound instead of stalling."""
+    import struct
+    import time
+    import zlib
+
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import _make_png_decoder
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def all_paeth_png(w: int, h: int) -> bytes:
+        row = b"\x04" + b"\x00" * (w * 3)
+        return (
+            sig
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(row * h, 1))
+            + chunk(b"IEND", b"")
+        )
+
+    decode = _make_png_decoder()
+    t0 = time.monotonic()
+    # one row's stride (4.2M bytes) alone exceeds the budget — trips
+    # before any per-byte work
+    with pytest.raises(ValueError, match="sequential-filter CPU budget"):
+        decode(all_paeth_png(1_400_000, 11))
+    # cumulative: 300k-byte rows, trips at row ~14 after the budgeted
+    # ~4.2M iterations — this IS the maximum work the budget admits
+    with pytest.raises(ValueError, match="sequential-filter CPU budget"):
+        decode(all_paeth_png(100_000, 80))
+    assert time.monotonic() - t0 < 60, "budget failed to bound CPU"
+
+
 @given(
     n_ch=st.integers(1, 4),
     nf=st.integers(0, 40),
@@ -441,6 +490,81 @@ def test_flac_codec_full_residue_sweep():
         assert frames.shape == (n, 2), d
         assert np.array_equal(frames[:, 0], (d * 41 + 2 * i) * 157 % 65536 - 32768), d
         assert np.array_equal(frames[:, 1], (d * 41 + 2 * i + 1) * 157 % 65536 - 32768), d
+
+
+def test_flac_overlong_coded_number_rejected():
+    """r10 ADVICE: a crafted stream carrying a NON-CANONICAL (overlong)
+    UTF-8-style coding of the CORRECT frame number — header CRC-8 and
+    frame CRC-16 recomputed, so every other check passes — must be
+    rejected like reference decoders do, not accepted because the
+    decoded value still matches the sequence position."""
+    import numpy as np
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_flac_decoder,
+        _make_flac_stream_encoder,
+    )
+
+    def crc8(data: bytes) -> int:
+        c = 0
+        for b in data:
+            c ^= b
+            for _ in range(8):
+                c = ((c << 1) ^ 0x07) & 0xFF if c & 0x80 else (c << 1) & 0xFF
+        return c
+
+    def crc16(data: bytes) -> int:
+        c = 0
+        for b in data:
+            c ^= b << 8
+            for _ in range(8):
+                c = (
+                    ((c << 1) ^ 0x8005) & 0xFFFF
+                    if c & 0x8000
+                    else (c << 1) & 0xFFFF
+                )
+        return c
+
+    enc, dec = _make_flac_stream_encoder(), _make_flac_decoder()
+    frames = (np.arange(8, dtype=np.int64) * 100 - 300).reshape(-1, 1)
+    buf = enc(frames, 44100, block_size=64)
+    # single frame at the fixed offset 50 (fLaC + STREAMINFO 4+34 +
+    # PADDING 4+4); header = sync/flags(2) bs|rate(1) chan|size(1)
+    # coded_number(1, canonical 0x00 for frame 0) bs-1(1), CRC-8 at +6
+    frame = bytes(buf[50:])
+    assert frame[4] == 0x00 and frame[6] == crc8(frame[:6])
+    assert crc16(frame[:-2]) == int.from_bytes(frame[-2:], "big")
+
+    def rebuild(coded: bytes) -> bytes:
+        header = frame[:4] + coded + frame[5:6]
+        body = header + bytes([crc8(header)]) + frame[7:-2]
+        return bytes(buf[:50]) + body + crc16(body).to_bytes(2, "big")
+
+    # control: the same surgery with the canonical byte reproduces the
+    # original stream exactly — the CRC math above is the decoder's
+    assert rebuild(b"\x00") == bytes(buf)
+    # 0xC0 0x80 decodes to 0 (the correct position) but is overlong
+    with pytest.raises(ValueError, match="overlong coded number"):
+        dec(rebuild(b"\xc0\x80"))
+
+
+def test_flac_encoder_rejects_out_of_range_samples():
+    """r10 ADVICE: STREAMINFO pins bps=16, so samples outside
+    [-32768, 32767] must fail at encode time, not surface later as a
+    decoder MD5 mismatch after BitWriter silently masks them."""
+    import numpy as np
+    import pytest
+
+    from flink_samples_spark.llmops.multimodal import _make_flac_stream_encoder
+
+    enc = _make_flac_stream_encoder()
+    for bad in (32768, -32769, 1 << 40):
+        frames = np.array([[0], [bad]], dtype=np.int64)
+        with pytest.raises(ValueError, match="16-bit range"):
+            enc(frames, 8000)
+    # the boundary values themselves round-trip-encode fine
+    enc(np.array([[32767], [-32768]], dtype=np.int64), 8000)
 
 
 def test_flac_decoder_structural_corruption_classes():
