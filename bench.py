@@ -8,7 +8,29 @@ Prints ONE JSON line:
 
 Each query is materialized with a noop sink (full execution, zero
 driver-transfer cost), timed after one warm-up of the session (JVM +
-parquet footer caches), single run per query.
+parquet footer caches), best-of-2 INTERLEAVED across two full suite
+passes (see below).
+
+Contention-proofing (round-10 verdict item 1) — this host is shared,
+and the official round record must be classifiable from its own
+fields when a co-tenant inflates a timing:
+
+* **load gate**: the suite start is gated on the 15-minute loadavg
+  (threshold $SPARK_GRAFT_BENCH_LOAD_GATE, default 8.0) with ONE
+  bounded retry window (up to $SPARK_GRAFT_BENCH_LOAD_WAIT_S seconds,
+  default 900, polling every 30 s). A host that is demonstrably quiet
+  RIGHT NOW (1- and 5-min both under half the threshold) passes early
+  even while a stale 15-min figure decays. The gate never aborts — on
+  timeout it proceeds and says so in the JSON (``load_gate``).
+* **interleaved best-of-2**: the two timed runs of each query come
+  from two FULL suite passes (A then B), not back-to-back. Sustained
+  co-tenant load defeats adjacent samples; interleaving spaces the
+  two samples ~half a suite apart so one of them can land in a quiet
+  window if one exists.
+* **per-query load samples**: the 1-minute loadavg at the start of
+  each timed run is recorded per query (``query_load``: {q: [passA,
+  passB]}), so a 10× outlier is mechanically classifiable as load
+  (scripts/bench_compare.py reads these) rather than narratively.
 """
 
 from __future__ import annotations
@@ -104,11 +126,53 @@ HEADLINE = [
 ]
 
 
-def main() -> None:
+def _loadavg() -> list[float] | None:
     try:
-        loadavg_start = [round(x, 2) for x in os.getloadavg()]
+        return [round(x, 2) for x in os.getloadavg()]
     except OSError:
-        loadavg_start = None
+        return None
+
+
+def _load1() -> float | None:
+    la = _loadavg()
+    return la[0] if la else None
+
+
+def wait_for_quiet_host() -> dict:
+    """Gate the suite start on the 15-minute loadavg (r10 verdict
+    item 1a). One bounded retry window; never aborts — a timed-out
+    gate proceeds and records itself so the JSON is self-describing."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "8.0"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+    gate: dict = {"threshold": threshold, "max_wait_s": max_wait}
+    start = _loadavg()
+    gate["loadavg_initial"] = start
+    if start is None:  # platform without getloadavg — nothing to gate on
+        gate["result"] = "unavailable"
+        return gate
+    t0 = time.monotonic()
+    first = True
+    while True:
+        la = _loadavg()
+        quiet_now = la[0] <= threshold / 2 and la[1] <= threshold / 2
+        if la[2] <= threshold or quiet_now:
+            gate["result"] = "passed" if first else "passed_after_wait"
+            break
+        if time.monotonic() - t0 >= max_wait:
+            gate["result"] = "timed_out"
+            break
+        first = False
+        time.sleep(30)
+    gate["waited_s"] = round(time.monotonic() - t0, 1)
+    gate["loadavg_at_start"] = _loadavg()
+    return gate
+
+
+def main() -> None:
+    load_gate = wait_for_quiet_host()
+    loadavg_start = load_gate.get("loadavg_at_start") or load_gate.get(
+        "loadavg_initial"
+    )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="fss-bench")
@@ -130,29 +194,42 @@ def main() -> None:
     # JVM/codegen/worker-pool warmth is what we want to keep
     spark.catalog.clearCache()
 
-    # min of two timed runs per query: the machine hosts periodic
-    # background work (driver ticks), and a single sample that lands on
-    # a burst misreports the engine by 3×. The min measures the query,
-    # not the neighbor. Caches are cleared between runs, so each run
-    # still executes in full.
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name in errors:
-            continue
-        best = float("inf")
-        try:
-            for _ in range(2):
+    # Best-of-2 INTERLEAVED across two full suite passes: the machine
+    # hosts periodic background work, and a single sample that lands
+    # on a burst misreports the engine by 3×; two back-to-back samples
+    # both land inside a SUSTAINED burst (the r10 lesson). Interleaving
+    # spaces each query's two samples ~half a suite apart, capturing a
+    # quiet window if one exists anywhere in the run. The min measures
+    # the query, not the neighbor. Caches are cleared between runs, so
+    # each run still executes in full. The 1-min loadavg at each run's
+    # start is kept per query so adjudication of an outlier is
+    # mechanical (query_load in the JSON; bench_compare reads it).
+    samples: dict[str, list[float]] = {}
+    query_load: dict[str, list[float | None]] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            try:
                 # construction INSIDE the timing: iterative operators
                 # (connected components) execute jobs while the DataFrame
                 # is being built, and plan analysis is part of latency
+                load = _load1()
                 t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
                 spark.catalog.clearCache()
-        except Exception as e:  # noqa: BLE001 — record and keep benching
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            continue
-        timings[name] = round(best, 3)
+            except Exception as e:  # noqa: BLE001 — record and keep benching
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                samples.pop(name, None)
+                query_load.pop(name, None)
+                continue
+            samples.setdefault(name, []).append(dt)
+            query_load.setdefault(name, []).append(load)
+
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
 
     total = round(sum(timings.values()), 3)
     payload = {
@@ -161,6 +238,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_gate": load_gate,
+        "query_load": query_load,
     }
 
     # Streaming throughput vs BASELINE.md's ≥1,000 records/s floor
@@ -169,12 +248,13 @@ def main() -> None:
     # stream and report events/sec of end-to-end wall time (includes
     # micro-batch planning, state store, sink commit).
     #
-    # Best-of-2 rate, same rationale as the batch min-of-2: the r7
-    # driver host recorded 1,931 ev/s on a single loaded-run sample
-    # while quiet runs read ~8,300 — a 4× noise band on a contract
-    # number with a hard 1,000 floor. Two full replays bound the
-    # damage one background burst can do; caches are cleared between
-    # runs so each replay executes end-to-end.
+    # Best-of-2 rate, interleaved across the two streaming queries
+    # (session pass A, EWMA pass A, session pass B, EWMA pass B) for
+    # the same reason as the batch suite: the r7 driver host recorded
+    # 1,931 ev/s on a single loaded-run sample while quiet runs read
+    # ~8,300 — a 4× noise band on a contract number with a hard 1,000
+    # floor. Caches are cleared between runs so each replay executes
+    # end-to-end.
     # inside try/except like every other probe: a missing/corrupt
     # events.parquet must cost the two streaming rows, not the whole
     # already-measured bench record (see the round-2 lesson above)
@@ -184,43 +264,55 @@ def main() -> None:
         n_events = None
         errors["stream_event_count"] = f"{type(e).__name__}: {e}"[:300]
 
-    def stream_rate(qname: str) -> int:
-        if n_events is None:
-            raise RuntimeError("events table unavailable (see stream_event_count)")
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            QUERIES[qname](spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-            spark.catalog.clearCache()
-        return round(n_events / best)
-
-    try:
-        payload["stream_events_per_s"] = stream_rate("q_stream_session")
-    except Exception as e:  # noqa: BLE001
-        errors["stream_events_per_s"] = f"{type(e).__name__}: {e}"[:300]
-
-    # STATEFUL streaming throughput (round-4 verdict item 5): the same
-    # events replay through the per-key EWMA applyInPandasWithState
-    # operator — one output row per event, user-managed state — so
-    # BENCH tracks a stateless (session window) AND a stateful custom
-    # operator number against the same ≥1,000 records/s floor.
-    try:
-        payload["stream_stateful_events_per_s"] = stream_rate("q_stream_ewma")
-    except Exception as e:  # noqa: BLE001
-        errors["stream_stateful_events_per_s"] = f"{type(e).__name__}: {e}"[:300]
+    stream_best: dict[str, float] = {}
+    stream_load: dict[str, list[float | None]] = {}
+    for _pass in range(2):
+        for qname in ("q_stream_session", "q_stream_ewma"):
+            if n_events is None or qname in errors:
+                continue
+            try:
+                load = _load1()
+                t0 = time.perf_counter()
+                QUERIES[qname](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                dt = time.perf_counter() - t0
+                spark.catalog.clearCache()
+            except Exception as e:  # noqa: BLE001
+                errors[qname] = f"{type(e).__name__}: {e}"[:300]
+                stream_best.pop(qname, None)
+                stream_load.pop(qname, None)
+                continue
+            stream_best[qname] = min(stream_best.get(qname, float("inf")), dt)
+            stream_load.setdefault(qname, []).append(load)
+    if n_events is None:
+        for key in ("stream_events_per_s", "stream_stateful_events_per_s"):
+            errors[key] = "events table unavailable (see stream_event_count)"
+    else:
+        if "q_stream_session" in stream_best:
+            payload["stream_events_per_s"] = round(
+                n_events / stream_best["q_stream_session"]
+            )
+        if "q_stream_ewma" in stream_best:
+            # STATEFUL streaming throughput (round-4 verdict item 5):
+            # the same events replay through the per-key EWMA
+            # applyInPandasWithState operator — one output row per
+            # event, user-managed state — so BENCH tracks a stateless
+            # AND a stateful custom operator number against the same
+            # ≥1,000 records/s floor.
+            payload["stream_stateful_events_per_s"] = round(
+                n_events / stream_best["q_stream_ewma"]
+            )
+        payload["stream_load"] = stream_load
 
     # Host-drift reference points: three constant probes whose cost is
     # pure engine fixed overhead (no table input, no Python stage), so
     # round-over-round comparisons can normalize host noise from the
-    # JSON itself instead of post-hoc analysis. min-of-2 like the
-    # headliners. loadavg (1/5/15-min) records what the host was doing
-    # DURING the bench — a loaded driver host shows up here, not as a
-    # mystery regression in the query numbers.
-    drift: dict[str, float] = {}
-    for probe_name, probe_fn in (
+    # JSON itself instead of post-hoc analysis. Interleaved best-of-2
+    # like the headliners. loadavg (1/5/15-min) records what the host
+    # was doing DURING the bench — a loaded driver host shows up here,
+    # not as a mystery regression in the query numbers.
+    probes = (
         # pure codegen pipeline: range → filter → sum (no shuffle)
         ("range_sum", lambda: spark.range(50_000_000)
             .filter("id % 7 != 0").agg({"id": "sum"})),
@@ -229,27 +321,40 @@ def main() -> None:
             .groupBy((F.col("id") % 1024).alias("k")).count()),
         # scheduler fixed cost: 32-partition no-op scan
         ("range_scan", lambda: spark.range(0, 1_000_000, 1, 32)),
-    ):
-        try:
-            best = float("inf")
-            for _ in range(2):
+    )
+    drift: dict[str, float] = {}
+    drift_load: dict[str, list[float | None]] = {}
+    drift_best: dict[str, float] = {}
+    for _pass in range(2):
+        for probe_name, probe_fn in probes:
+            if f"drift_{probe_name}" in errors:
+                continue
+            try:
+                load = _load1()
                 t0 = time.perf_counter()
                 probe_fn().write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            drift[probe_name] = round(best, 3)
-        except Exception as e:  # noqa: BLE001
-            errors[f"drift_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
+                dt = time.perf_counter() - t0
+            except Exception as e:  # noqa: BLE001
+                errors[f"drift_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
+                drift_best.pop(probe_name, None)
+                drift_load.pop(probe_name, None)
+                continue
+            drift_best[probe_name] = min(
+                drift_best.get(probe_name, float("inf")), dt
+            )
+            drift_load.setdefault(probe_name, []).append(load)
+    drift = {k: round(v, 3) for k, v in drift_best.items()}
     payload["drift_probes"] = drift
+    payload["drift_load"] = drift_load
     # loadavg at BOTH ends: the end-of-run 1-minute figure mostly
     # reflects the bench's own local[32] execution; the start-of-run
     # figure is what exposes a host that was already busy before the
     # suite began (the signal that actually predicts inflated timings)
-    try:
-        if loadavg_start is not None:
-            payload["loadavg_start"] = loadavg_start
-        payload["loadavg"] = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        pass
+    if loadavg_start is not None:
+        payload["loadavg_start"] = loadavg_start
+    la_end = _loadavg()
+    if la_end is not None:
+        payload["loadavg"] = la_end
 
     if errors:
         payload["errors"] = errors

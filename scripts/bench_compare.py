@@ -17,6 +17,13 @@ driver's wrapper shape (bench line under ``"parsed"``) or bench.py's
 raw JSON line; rounds before r8 have no drift probes, in which case
 the factor falls back to 1.0 and is labeled as such.
 
+Round-11: bench.py records per-query 1-min loadavg samples
+(``query_load``, one per interleaved pass) and a suite-start
+``load_gate``. When either side of a flagged query ran under load
+above the gate threshold, the flag is annotated LOAD-SUSPECT with the
+offending samples — classification of a 10× outlier as co-tenant load
+is mechanical from the two JSONs, no narrative needed.
+
 Exit code: 0 always (a comparison is a record, not a gate) unless
 ``--strict`` is passed, then 1 when any normalized regression exceeds
 the threshold.
@@ -50,14 +57,55 @@ def geomean(xs: list[float]) -> float:
 def drift_factor(old: dict, new: dict) -> tuple[float, str]:
     po, pn = old.get("drift_probes") or {}, new.get("drift_probes") or {}
     common = sorted(set(po) & set(pn))
-    if not common:
-        return 1.0, "no shared drift probes — raw ratios only"
+    # Both empty-probe shapes (no probes at all on either side, or
+    # shared probe names whose values are zero/negative) take the same
+    # explicit fallback: factor 1.0, labeled so the caller knows the
+    # normalized column IS the raw column (r10 verdict item 4; pinned
+    # by tests/test_bench_compare.py::test_probe_less_pair_falls_back).
     ratios = {k: pn[k] / po[k] for k in common if po[k] > 0 and pn[k] > 0}
     if not ratios:
         return 1.0, "no usable drift probes — raw ratios only"
     f = geomean(list(ratios.values()))
     detail = ", ".join(f"{k} {r:.2f}x" for k, r in sorted(ratios.items()))
     return f, f"geomean of {len(ratios)} probe ratios ({detail})"
+
+
+def load_annotation(old: dict, new: dict, q: str) -> str:
+    """LOAD-SUSPECT annotation for a flagged query: did either side's
+    timed runs start under 1-min loadavg well above that RUN'S OWN
+    typical level? The bench's local[32] execution keeps load1 high
+    throughout (~#cores), so the hot threshold is self-calibrating —
+    max(gate threshold, 1.5 × the run's median sample) — and targets
+    co-tenant BURSTS hitting this query specifically; SUSTAINED
+    co-tenant load raises the whole run's median and is the drift
+    factor's job instead. Reads bench.py's per-query ``query_load``
+    samples; older JSONs without the field yield no annotation."""
+    gate = (new.get("load_gate") or {}).get("threshold") or (
+        old.get("load_gate") or {}
+    ).get("threshold") or 8.0
+    notes = []
+    for side, data in (("old", old), ("new", new)):
+        all_samples = sorted(
+            s
+            for loads in (data.get("query_load") or {}).values()
+            for s in loads
+            if s is not None
+        )
+        if not all_samples:
+            continue
+        median = all_samples[len(all_samples) // 2]
+        hot_above = max(gate, 1.5 * median)
+        samples = [
+            s for s in (data.get("query_load") or {}).get(q) or [] if s is not None
+        ]
+        if any(s > hot_above for s in samples):
+            notes.append(
+                f"{side} load1 {','.join(f'{s:.1f}' for s in samples)} "
+                f"vs run median {median:.1f}"
+            )
+    if not notes:
+        return ""
+    return f" LOAD-SUSPECT ({'; '.join(notes)})"
 
 
 def main() -> None:
@@ -91,6 +139,11 @@ def main() -> None:
         la = key.get("loadavg_start") or key.get("loadavg")
         if la:
             print(f"{side} loadavg: {la}")
+        gate = key.get("load_gate")
+        if gate:
+            print(f"{side} load gate: {gate.get('result')} "
+                  f"(threshold {gate.get('threshold')}, "
+                  f"waited {gate.get('waited_s', 0)}s)")
     print()
     print("| query | old s | new s | raw ratio | normalized | flag |")
     print("|---|---|---|---|---|---|")
@@ -98,7 +151,7 @@ def main() -> None:
     for q, to, tn, raw, norm in rows:
         flag = ""
         if norm > args.threshold:
-            flag = f"REGRESSION >{args.threshold}x"
+            flag = f"REGRESSION >{args.threshold}x" + load_annotation(old, new, q)
             flagged.append(q)
         print(f"| {q} | {to:.3f} | {tn:.3f} | {raw:.2f}x | {norm:.2f}x | {flag} |")
     print()
@@ -112,6 +165,9 @@ def main() -> None:
     for k in ("stream_events_per_s", "stream_stateful_events_per_s"):
         if k in old and k in new:
             print(f"{k}: {old[k]} -> {new[k]}")
+    sl = new.get("stream_load")
+    if sl:
+        print(f"new stream run load1 samples: {sl}")
     if flagged:
         print(f"\nFLAGGED ({len(flagged)}): {', '.join(flagged)}")
         if args.strict:

@@ -1,0 +1,139 @@
+"""bench_compare.py + bench.py contention-proofing contracts
+(round-10 verdict items 1 and 4).
+
+The official round record is read through these two files; their
+fields must suffice to classify a timing outlier as co-tenant load
+without narrative. These tests pin: the probe-less fallback, the
+LOAD-SUSPECT annotation on flagged queries, and bench.py's
+suite-start load gate.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPT = os.path.join(ROOT, "scripts", "bench_compare.py")
+
+
+def run_compare(tmp_path, old: dict, new: dict, *extra: str):
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    return subprocess.run(
+        [sys.executable, SCRIPT, str(po), str(pn), *extra],
+        capture_output=True,
+        text=True,
+    )
+
+
+def test_probe_less_pair_falls_back(tmp_path):
+    """r10 verdict item 4: a pair with NO drift probes on either side
+    must take the explicit 'no usable drift probes — raw ratios only'
+    path — factor 1.0, normalized column == raw column, exit 0."""
+    old = {"queries": {"q_a": 1.0, "q_b": 2.0}}
+    new = {"queries": {"q_a": 1.2, "q_b": 2.0}}
+    r = run_compare(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "drift factor: 1.000" in r.stdout
+    assert "no usable drift probes — raw ratios only" in r.stdout
+    assert "| q_a | 1.000 | 1.200 | 1.20x | 1.20x |  |" in r.stdout
+
+
+def test_zero_valued_probes_fall_back(tmp_path):
+    """Shared probe names whose values are zero must hit the same
+    fallback, not divide by zero or skew the geomean."""
+    old = {"queries": {"q_a": 1.0}, "drift_probes": {"p1": 0.0, "p2": 0.0}}
+    new = {"queries": {"q_a": 1.0}, "drift_probes": {"p1": 0.1, "p2": 0.0}}
+    r = run_compare(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "drift factor: 1.000" in r.stdout
+    assert "no usable drift probes — raw ratios only" in r.stdout
+
+
+def test_flagged_query_under_load_is_annotated(tmp_path):
+    """A flagged regression whose timed runs started above the gate
+    threshold gets a LOAD-SUSPECT annotation carrying the samples —
+    the mechanical classification the r10 verdict asked for."""
+    old = {
+        "queries": {"q_hot": 1.0, "q_quiet": 1.0},
+        "drift_probes": {"p1": 0.1},
+        "query_load": {"q_hot": [1.0, 1.1], "q_quiet": [1.0, 1.0]},
+        "load_gate": {"threshold": 8.0, "result": "passed"},
+    }
+    new = {
+        "queries": {"q_hot": 3.0, "q_quiet": 3.0},
+        "drift_probes": {"p1": 0.1},
+        "query_load": {"q_hot": [22.5, 1.2], "q_quiet": [1.0, 1.0]},
+        "load_gate": {"threshold": 8.0, "result": "timed_out"},
+    }
+    r = run_compare(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    hot_line = next(line for line in r.stdout.splitlines() if "| q_hot |" in line)
+    quiet_line = next(line for line in r.stdout.splitlines() if "| q_quiet |" in line)
+    assert "LOAD-SUSPECT" in hot_line and "22.5" in hot_line
+    assert "REGRESSION" in quiet_line and "LOAD-SUSPECT" not in quiet_line
+    # both sides' gate summaries are printed for the adjudication log
+    assert "new load gate: timed_out" in r.stdout
+
+
+def test_old_jsons_without_load_fields_still_compare(tmp_path):
+    """Pre-r11 BENCH JSONs carry no query_load/load_gate — the
+    comparison (including flags) must work unannotated."""
+    old = {"queries": {"q_a": 1.0}, "drift_probes": {"p1": 0.1}}
+    new = {"queries": {"q_a": 5.0}, "drift_probes": {"p1": 0.1}}
+    r = run_compare(tmp_path, old, new, "--strict")
+    assert r.returncode == 1  # flagged under strict
+    assert "REGRESSION" in r.stdout
+    assert "LOAD-SUSPECT" not in r.stdout
+
+
+def _load_bench_module():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(ROOT, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_load_gate_passes_on_quiet_host(monkeypatch):
+    bench = _load_bench_module()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (0.5, 0.8, 1.2))
+    gate = bench.wait_for_quiet_host()
+    assert gate["result"] == "passed"
+    assert gate["waited_s"] < 1
+    assert gate["loadavg_initial"] == [0.5, 0.8, 1.2]
+
+
+def test_load_gate_quiet_now_overrides_stale_15min(monkeypatch):
+    """A decaying 15-min figure must not stall a demonstrably quiet
+    host: 1- and 5-min under half the threshold pass immediately."""
+    bench = _load_bench_module()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (1.0, 2.0, 20.0))
+    gate = bench.wait_for_quiet_host()
+    assert gate["result"] == "passed"
+
+
+def test_load_gate_times_out_bounded_and_proceeds(monkeypatch):
+    bench = _load_bench_module()
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: (20.0, 20.0, 20.0))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "0")
+    gate = bench.wait_for_quiet_host()
+    assert gate["result"] == "timed_out"
+    assert gate["waited_s"] < 1  # bounded: zero budget -> no sleep
+
+
+def test_load_gate_unavailable_platform(monkeypatch):
+    bench = _load_bench_module()
+
+    def boom():
+        raise OSError("no loadavg here")
+
+    monkeypatch.setattr(bench.os, "getloadavg", boom)
+    gate = bench.wait_for_quiet_host()
+    assert gate["result"] == "unavailable"
