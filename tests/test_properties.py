@@ -549,7 +549,27 @@ def test_flac_overlong_coded_number_rejected():
         dec(rebuild(b"\xc0\x80"))
 
 
-def test_flac_encoder_rejects_out_of_range_samples():
+def test_flac_coded_number_canonical_boundary_end_to_end():
+    """The overlong check must not reject CANONICAL codings at the
+    byte-length transition: a 200-frame encode (tiny block size)
+    carries frame numbers 0..199, crossing the 1-byte/2-byte boundary
+    at 0x80 — every frame's number must round-trip through the
+    encoder's coded_number and the decoder's read_coded_number (which
+    also pins them against each other: one overlong or short coding
+    desyncs the sequence-position equality and fails the stream)."""
+    import numpy as np
+
+    from flink_samples_spark.llmops.multimodal import (
+        _make_flac_decoder,
+        _make_flac_stream_encoder,
+    )
+
+    enc, dec = _make_flac_stream_encoder(), _make_flac_decoder()
+    n = 200 * 16
+    frames = ((np.arange(n, dtype=np.int64) * 37) % 4096 - 2048).reshape(-1, 1)
+    buf = enc(frames, 32000, block_size=16)
+    _, _, got = dec(buf)
+    assert np.array_equal(got.reshape(-1), frames.reshape(-1))
     """r10 ADVICE: STREAMINFO pins bps=16, so samples outside
     [-32768, 32767] must fail at encode time, not surface later as a
     decoder MD5 mismatch after BitWriter silently masks them."""
