@@ -1,0 +1,273 @@
+"""Token-ring partition planning for the bounded Cassandra scan.
+
+Reference parity: the reference's only bounded source is a Cassandra
+POJO scan — ``select * from test.pojo`` split into 15 MiB input
+splits (``CassandraPojoSource.java:57-60``). What makes that scan
+parallel at cluster scale is not the CQL session but the PARTITION
+PLAN: the Murmur3Partitioner token ring [-2^63, 2^63) is cut into
+contiguous ranges sized from the estimated table bytes, and each
+split reads ``WHERE token(pk) > start AND token(pk) <= end``. This
+module implements that plan for real, against PUBLIC knowledge only:
+
+* :func:`murmur3_token` — Cassandra's Murmur3Partitioner token
+  (the first 64-bit half of MurmurHash3 x64_128 at seed 0, with the
+  partitioner's LONG.MIN_VALUE → LONG.MAX_VALUE normalization), from
+  Austin Appleby's public-domain algorithm.
+* :func:`plan_token_splits` / :func:`plan_token_splits_by_size` —
+  contiguous half-open (start, end] ranges exactly covering the ring;
+  by-size uses the connector's ``input.split.size_in_mb`` arithmetic
+  (reference default 15 MiB).
+* :class:`CassandraRingDataSource` — a Spark Python Data Source
+  (``pyspark.sql.datasource``, public API since Spark 4.0) whose
+  ``partitions()`` IS that plan: one ``InputPartition`` per token
+  range, each ``read()`` fetching only rows whose partition-key token
+  falls inside its range. In this sandbox the wire layer is a stub —
+  rows come from a parquet file standing in for ``test.pojo`` — but
+  the planner, the ring arithmetic, the per-split predicate, and the
+  Spark-side contract (splits = tasks, ring coverage = no row read
+  twice or missed) are the real thing and are pinned by tests.
+
+Scale path: against a live cluster the same plan drives the JVM
+connector (``SourceSpec("cassandra", ...)`` in ``readers.py`` — the
+jar is absent here), which additionally co-locates splits with
+replica nodes. A per-row Python reader is the SLOW path and is
+documented as such; this class exists to make the planning semantics
+executable and testable, not to win the scan benchmark.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+MIN_TOKEN = -(1 << 63)
+MAX_TOKEN = (1 << 63) - 1
+RING_SIZE = 1 << 64
+
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(
+    data: bytes, seed: int = 0, signed_tail: bool = False
+) -> tuple[int, int]:
+    """MurmurHash3 x64_128 (Austin Appleby's public-domain reference).
+    Returns the two unsigned 64-bit halves ``(h1, h2)``.
+
+    ``signed_tail=True`` reproduces Cassandra's Java port, which
+    SIGN-EXTENDS the tail bytes (Java ``byte`` is signed) — a
+    well-documented deliberate incompatibility with the canonical
+    algorithm (kept for on-disk ring stability; the DataStax drivers
+    all ship the same variant for token computation). Tails whose
+    bytes are all < 0x80 hash identically under both."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed & _M64
+    n = len(data)
+    nblocks = n // 16
+    for b in range(nblocks):
+        k1, k2 = struct.unpack_from("<QQ", data, b * 16)
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _M64
+        h1 = (h1 * 5 + 0x52DCE729) & _M64
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _M64
+        h2 = (h2 * 5 + 0x38495AB5) & _M64
+    tail = data[nblocks * 16 :]
+    t = len(tail)
+
+    def tail_word(lo: int, hi: int) -> int:
+        # canonical: XOR of unsigned bytes shifted into place;
+        # Cassandra variant: each byte sign-extended to 64 bits first
+        w = 0
+        for i in range(lo, min(hi, t)):
+            b = tail[i]
+            if signed_tail and b >= 0x80:
+                b -= 256
+            w ^= (b << (8 * (i - lo))) & _M64
+        return w
+
+    if t > 8:
+        k2 = tail_word(8, 16)
+        k2 = (k2 * c2) & _M64
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * c1) & _M64
+        h2 ^= k2
+    if t > 0:
+        k1 = tail_word(0, 8)
+        k1 = (k1 * c1) & _M64
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * c2) & _M64
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    return h1, h2
+
+
+def murmur3_token(key_bytes: bytes) -> int:
+    """Cassandra Murmur3Partitioner token: the first (h1) 64-bit half
+    of the SIGNED-TAIL variant as a signed long, with the
+    partitioner's documented normalization of LONG.MIN_VALUE to
+    LONG.MAX_VALUE (MIN is reserved as the ring origin so every token
+    is > MIN_TOKEN and ranges stay half-open)."""
+    h1, _ = murmur3_x64_128(key_bytes, 0, signed_tail=True)
+    tok = h1 - RING_SIZE if h1 > MAX_TOKEN else h1
+    return MAX_TOKEN if tok == MIN_TOKEN else tok
+
+
+def bigint_key_bytes(v: int) -> bytes:
+    """Partition-key serialization for a CQL ``bigint``: 8-byte
+    big-endian two's complement (the CQL binary protocol encoding)."""
+    return struct.pack(">q", v)
+
+
+def plan_token_splits(n_splits: int) -> list[tuple[int, int]]:
+    """Cut the ring into ``n_splits`` contiguous half-open (start,
+    end] ranges that exactly cover (MIN_TOKEN, MAX_TOKEN]. A row
+    belongs to the range with ``start < token <= end``; MIN_TOKEN
+    itself is unreachable (see :func:`murmur3_token`), so coverage of
+    the half-open union is total and disjoint by construction."""
+    if n_splits < 1:
+        raise ValueError("n_splits must be >= 1")
+    step, rem = divmod(RING_SIZE - 1, n_splits)  # tokens in (MIN, MAX]
+    splits: list[tuple[int, int]] = []
+    start = MIN_TOKEN
+    for i in range(n_splits):
+        end = start + step + (1 if i < rem else 0)
+        splits.append((start, end))
+        start = end
+    assert start == MAX_TOKEN
+    return splits
+
+
+def plan_token_splits_by_size(
+    estimated_table_bytes: int, split_size_mb: int = 15
+) -> list[tuple[int, int]]:
+    """The connector's ``input.split.size_in_mb`` arithmetic with the
+    reference's 15 MiB default (``CassandraPojoSource.java:57-60``):
+    number of splits = ceil(estimated bytes / split size), at least 1."""
+    if estimated_table_bytes < 0:
+        raise ValueError("estimated_table_bytes must be >= 0")
+    if split_size_mb < 1:
+        raise ValueError("split_size_mb must be >= 1")
+    per = split_size_mb * (1 << 20)
+    return plan_token_splits(max(1, -(-estimated_table_bytes // per)))
+
+
+def _register_lazy():
+    """Import the Python Data Source pieces lazily: the classes close
+    over nothing heavyweight, but pyspark.sql.datasource only exists
+    on Spark 4+, and this module's planner functions must stay
+    importable anywhere."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class TokenRangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start = start
+            self.end = end
+
+    class CassandraRingReader(DataSourceReader):
+        """One task per token range. The stub wire layer reads the
+        backing parquet with pyarrow ON THE EXECUTOR (each split
+        re-reads the file — exactly what a CQL session per split does
+        to its replica — and keeps only its token range). ``pk`` is
+        the partition-key column (CQL bigint)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("cassandra_ring requires a 'path' option (stub backend)")
+            self.pk = options.get("partition_key", "pk")
+            est = int(options.get("estimated_table_bytes", "0") or "0")
+            split_mb = int(options.get("split_size_mb", "15"))
+            if est:
+                self.splits = plan_token_splits_by_size(est, split_mb)
+            else:
+                self.splits = plan_token_splits(int(options.get("n_splits", "8")))
+
+        def partitions(self):
+            return [TokenRangePartition(s, e) for s, e in self.splits]
+
+        def read(self, partition):
+            import pyarrow.parquet as pq
+
+            table = pq.read_table(self.path)
+            cols = table.column_names
+            if self.pk not in cols:
+                raise ValueError(f"partition key {self.pk!r} not in {cols}")
+            for row in table.to_pylist():
+                tok = murmur3_token(bigint_key_bytes(int(row[self.pk])))
+                if partition.start < tok <= partition.end:
+                    yield tuple(row[c] for c in cols)
+
+    class CassandraRingDataSource(DataSource):
+        """``spark.read.format("cassandra_ring")`` after
+        ``spark.dataSource.register(...)``. Options: ``path`` (stub
+        parquet standing in for the CQL table), ``partition_key``
+        (bigint column, default ``pk``), and the split sizing —
+        either ``n_splits`` or ``estimated_table_bytes`` +
+        ``split_size_mb`` (connector arithmetic, default 15 MiB)."""
+
+        @classmethod
+        def name(cls):
+            return "cassandra_ring"
+
+        def schema(self):
+            import pyarrow.parquet as pq
+
+            path = self.options.get("path")
+            if not path or not os.path.exists(path):
+                raise ValueError(f"cassandra_ring: missing backend parquet: {path}")
+            fields = []
+            for f in pq.read_schema(path):
+                t = str(f.type)
+                spark_t = {
+                    "int64": "bigint",
+                    "int32": "int",
+                    "double": "double",
+                    "string": "string",
+                    "large_string": "string",
+                }.get(t)
+                if spark_t is None:
+                    raise ValueError(f"cassandra_ring stub: unmapped type {t}")
+                fields.append(f"{f.name} {spark_t}")
+            return ", ".join(fields)
+
+        def reader(self, schema):
+            return CassandraRingReader(self.options)
+
+    return CassandraRingDataSource
+
+
+def register_cassandra_ring(spark) -> None:
+    """Register the ``cassandra_ring`` format on this session."""
+    spark.dataSource.register(_register_lazy())

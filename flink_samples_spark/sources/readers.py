@@ -117,7 +117,11 @@ def scan_parquet(spark: SparkSession, path: str) -> DataFrame:
 # spark-cassandra-connector project). The jar is NOT present in this
 # sandbox; the seam exists so a user coming from the reference's
 # Cassandra source (CassandraPojoSource.java:57-63) can point the same
-# constructor at a live cluster by flipping ``fmt``.
+# constructor at a live cluster by flipping ``fmt``. The scan's
+# PARTITION PLAN (Murmur3 token ring cut into 15 MiB splits) is
+# implemented for real in ``sources/cassandra_ring.py`` as a Spark 4
+# Python Data Source — one task per token range over a stub wire
+# layer, pinned by tests/test_cassandra_ring.py.
 CASSANDRA_FORMAT = "org.apache.spark.sql.cassandra"
 
 

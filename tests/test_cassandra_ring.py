@@ -1,0 +1,139 @@
+"""Token-ring partition planning + the cassandra_ring Python Data
+Source (sources/cassandra_ring.py).
+
+The reference's bounded Cassandra scan is parallelized by cutting the
+Murmur3Partitioner ring into byte-sized splits
+(``CassandraPojoSource.java:57-60``, 15 MiB). These tests pin the
+three layers: the hash (against published MurmurHash3 x64_128
+vectors), the ring arithmetic (exact disjoint coverage, connector
+split sizing), and the Spark-side contract (one task per token range;
+the union over splits is exactly the table — no row read twice or
+missed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_samples_spark.sources.cassandra_ring import (
+    MAX_TOKEN,
+    MIN_TOKEN,
+    bigint_key_bytes,
+    murmur3_token,
+    murmur3_x64_128,
+    plan_token_splits,
+    plan_token_splits_by_size,
+)
+
+
+def test_murmur3_x64_128_published_vectors():
+    """Canonical MurmurHash3 x64_128 at seed 0 — the halves are the
+    little-endian uint64 words of the widely published digests."""
+    assert murmur3_x64_128(b"") == (0, 0)
+    # digest cbd8a7b341bd9b02 5b1e906a48ae1d19
+    assert murmur3_x64_128(b"hello") == (0xCBD8A7B341BD9B02, 0x5B1E906A48AE1D19)
+    # digest 6c1b07bc7bbc4be3 47939ac4a93c437a (word-order: LE)
+    assert murmur3_x64_128(b"The quick brown fox jumps over the lazy dog") == (
+        0xE34BBC7BBC071B6C,
+        0x7A433CA9C49A9347,
+    )
+
+
+def test_signed_tail_variant_diverges_only_on_high_bytes():
+    """Cassandra's Java port sign-extends tail bytes — the documented
+    deliberate incompatibility. Tails of low bytes agree with
+    canonical; a tail byte >= 0x80 diverges."""
+    low = bytes(range(1, 8))  # 7-byte tail, all < 0x80
+    assert murmur3_x64_128(low) == murmur3_x64_128(low, signed_tail=True)
+    high = bytes([0xFF] * 7)
+    assert murmur3_x64_128(high) != murmur3_x64_128(high, signed_tail=True)
+    # 16-byte-aligned input has no tail: variants always agree
+    aligned = bytes(range(256))[:32]
+    assert murmur3_x64_128(aligned) == murmur3_x64_128(aligned, signed_tail=True)
+
+
+def test_token_range_and_determinism():
+    toks = [murmur3_token(bigint_key_bytes(k)) for k in range(-500, 500)]
+    assert all(MIN_TOKEN < t <= MAX_TOKEN for t in toks)
+    assert toks == [murmur3_token(bigint_key_bytes(k)) for k in range(-500, 500)]
+    # sign-bit-free key encodings agree across the variants (so the
+    # canonical vectors above also anchor the token function for them)
+    for k in (0, 1, 2**20):
+        h1, _ = murmur3_x64_128(bigint_key_bytes(k))
+        signed = h1 - (1 << 64) if h1 > MAX_TOKEN else h1
+        assert murmur3_token(bigint_key_bytes(k)) == signed
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 32, 1000])
+def test_splits_cover_the_ring_exactly(n):
+    splits = plan_token_splits(n)
+    assert len(splits) == n
+    assert splits[0][0] == MIN_TOKEN and splits[-1][1] == MAX_TOKEN
+    for (s0, e0), (s1, _e1) in zip(splits, splits[1:]):
+        assert e0 == s1 and s0 < e0  # contiguous, non-empty
+    # near-uniform: sizes differ by at most 1 token
+    sizes = {e - s for s, e in splits}
+    assert len(sizes) <= 2 and max(sizes) - min(sizes) <= 1
+
+
+def test_every_key_lands_in_exactly_one_split():
+    splits = plan_token_splits(13)
+    for k in range(300):
+        tok = murmur3_token(bigint_key_bytes(k * 7919 - 1000))
+        owners = [1 for s, e in splits if s < tok <= e]
+        assert sum(owners) == 1
+
+
+def test_split_sizing_uses_connector_arithmetic():
+    """ceil(estimated bytes / split size), 15 MiB reference default."""
+    mib = 1 << 20
+    assert len(plan_token_splits_by_size(100 * mib)) == 7  # ceil(100/15)
+    assert len(plan_token_splits_by_size(15 * mib)) == 1
+    assert len(plan_token_splits_by_size(15 * mib + 1)) == 2
+    assert len(plan_token_splits_by_size(0)) == 1
+    assert len(plan_token_splits_by_size(64 * mib, split_size_mb=16)) == 4
+    with pytest.raises(ValueError):
+        plan_token_splits_by_size(-1)
+    with pytest.raises(ValueError):
+        plan_token_splits(0)
+
+
+def test_ring_datasource_reads_exactly_the_table(spark, tmp_path):
+    """End-to-end through Spark: register the Python Data Source,
+    read a pojo-shaped parquet through token-range splits, and check
+    the union over splits is exactly the table and the task count is
+    the split count."""
+    import pandas as pd
+
+    from flink_samples_spark.sources.cassandra_ring import register_cassandra_ring
+
+    path = str(tmp_path / "pojo.parquet")
+    pdf = pd.DataFrame(
+        {
+            "pk": pd.array(range(0, 400, 3), dtype="int64"),
+            "value": [f"v{i}" for i in range(0, 400, 3)],
+        }
+    )
+    pdf.to_parquet(path, index=False)
+
+    register_cassandra_ring(spark)
+    df = (
+        spark.read.format("cassandra_ring")
+        .option("path", path)
+        .option("partition_key", "pk")
+        .option("n_splits", "6")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 6
+    got = sorted((r.pk, r.value) for r in df.collect())
+    assert got == sorted(zip(pdf["pk"].tolist(), pdf["value"].tolist()))
+    # connector sizing path: 40 MiB table at the reference's 15 MiB
+    # split default -> 3 splits
+    df_sized = (
+        spark.read.format("cassandra_ring")
+        .option("path", path)
+        .option("partition_key", "pk")
+        .option("estimated_table_bytes", str(40 * (1 << 20)))
+        .load()
+    )
+    assert df_sized.rdd.getNumPartitions() == 3
+    assert df_sized.count() == len(pdf)
