@@ -179,7 +179,7 @@ def plan_token_splits_by_size(
     return plan_token_splits(max(1, -(-estimated_table_bytes // per)))
 
 
-def _register_lazy():
+def _build_datasource():
     """Import the Python Data Source pieces lazily: the classes close
     over nothing heavyweight, but pyspark.sql.datasource only exists
     on Spark 4+, and this module's planner functions must stay
@@ -187,13 +187,24 @@ def _register_lazy():
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
+        EqualTo,
+        In,
         InputPartition,
+        WriterCommitMessage,
     )
 
     class TokenRangePartition(InputPartition):
         def __init__(self, start: int, end: int):
             self.start = start
             self.end = end
+
+    def _plan(options) -> list[tuple[int, int]]:
+        est = int(options.get("estimated_table_bytes", "0") or "0")
+        split_mb = int(options.get("split_size_mb", "15"))
+        if est:
+            return plan_token_splits_by_size(est, split_mb)
+        return plan_token_splits(int(options.get("n_splits", "8")))
 
     class CassandraRingReader(DataSourceReader):
         """One task per token range. The stub wire layer reads the
@@ -207,14 +218,42 @@ def _register_lazy():
             if not self.path:
                 raise ValueError("cassandra_ring requires a 'path' option (stub backend)")
             self.pk = options.get("partition_key", "pk")
-            est = int(options.get("estimated_table_bytes", "0") or "0")
-            split_mb = int(options.get("split_size_mb", "15"))
-            if est:
-                self.splits = plan_token_splits_by_size(est, split_mb)
-            else:
-                self.splits = plan_token_splits(int(options.get("n_splits", "8")))
+            self.splits = _plan(options)
+            self.pk_values: set[int] | None = None
+
+        def pushFilters(self, filters):
+            """Token-aware single-partition lookup — THE Cassandra
+            access pattern: a pk equality/IN predicate prunes the
+            scan to only the token ranges owning the key(s), and the
+            predicate is fully absorbed (applied exactly in read(), so
+            Spark need not re-evaluate it)."""
+            for f in filters:
+                is_eq = isinstance(f, EqualTo)
+                if (is_eq or isinstance(f, In)) and tuple(f.attribute) == (self.pk,):
+                    vals = [f.value] if is_eq else list(f.value)
+                    try:
+                        keys = {int(v) for v in vals}
+                    except (TypeError, ValueError):
+                        yield f  # non-integer pk literal: not ours
+                        continue
+                    # AND semantics: intersect with any prior pk filter
+                    self.pk_values = (
+                        keys if self.pk_values is None else self.pk_values & keys
+                    )
+                else:
+                    yield f
 
         def partitions(self):
+            if self.pk_values is not None:
+                owned = {
+                    murmur3_token(bigint_key_bytes(v)) for v in self.pk_values
+                }
+                keep = [
+                    (s, e) for s, e in self.splits if any(s < t <= e for t in owned)
+                ]
+                return [TokenRangePartition(s, e) for s, e in keep] or [
+                    TokenRangePartition(MIN_TOKEN, MIN_TOKEN)  # empty scan
+                ]
             return [TokenRangePartition(s, e) for s, e in self.splits]
 
         def read(self, partition):
@@ -225,9 +264,104 @@ def _register_lazy():
             if self.pk not in cols:
                 raise ValueError(f"partition key {self.pk!r} not in {cols}")
             for row in table.to_pylist():
-                tok = murmur3_token(bigint_key_bytes(int(row[self.pk])))
+                key = int(row[self.pk])
+                if self.pk_values is not None and key not in self.pk_values:
+                    continue
+                tok = murmur3_token(bigint_key_bytes(key))
                 if partition.start < tok <= partition.end:
                     yield tuple(row[c] for c in cols)
+
+    class _RingCommit(WriterCommitMessage):
+        def __init__(self, staged: list[str]):
+            self.staged = staged
+
+    class CassandraRingWriter(DataSourceWriter):
+        """Token-routed sink (the write-side of the same plan): each
+        task groups its rows by owning token range and flushes one
+        batch file per (task, range) — the per-range statement
+        batching a token-aware CQL driver does per replica. Rows are
+        UPSERTS by partition key (last write in task order wins within
+        a batch, the CQL semantic); ``save_null_fields`` is validated
+        and recorded like the connector's mapper option
+        (``CassandraPojoSinkStreaming.java:70-79``). Exactly-once via
+        the API's commit protocol: tasks stage files, the driver-side
+        commit() publishes them, abort() discards."""
+
+        def __init__(self, options, schema, overwrite: bool):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("cassandra_ring sink requires a 'path' option")
+            self.pk = options.get("partition_key", "pk")
+            snf = options.get("save_null_fields", "true").lower()
+            if snf not in ("true", "false"):
+                raise ValueError("save_null_fields must be true/false")
+            self.save_null_fields = snf == "true"
+            self.splits = _plan(options)
+            self.schema = schema
+            self.overwrite = overwrite
+            if self.pk not in schema.fieldNames():
+                raise ValueError(
+                    f"partition key {self.pk!r} not in sink schema "
+                    f"{schema.fieldNames()}"
+                )
+
+        def _owner(self, tok: int) -> int:
+            import bisect
+
+            return bisect.bisect_left([e for _s, e in self.splits], tok)
+
+        def write(self, iterator):
+            import os as _os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            names = self.schema.fieldNames()
+            per_range: dict[int, dict[int, tuple]] = {}
+            for row in iterator:
+                vals = tuple(row)
+                key = int(vals[names.index(self.pk)])
+                # upsert: later task-order write for the same key
+                # replaces the earlier one (CQL last-write-wins)
+                per_range.setdefault(
+                    self._owner(murmur3_token(bigint_key_bytes(key))), {}
+                )[key] = vals
+            staging = _os.path.join(self.path, "_staging")
+            _os.makedirs(staging, exist_ok=True)
+            staged = []
+            for ridx, rows in sorted(per_range.items()):
+                cols = list(zip(*rows.values()))
+                table = pa.table({n: list(c) for n, c in zip(names, cols)})
+                fname = f"range={ridx}-{uuid.uuid4().hex}.parquet"
+                pq.write_table(table, _os.path.join(staging, fname))
+                staged.append(fname)
+            return _RingCommit(staged)
+
+        def commit(self, messages):
+            import glob as _glob
+            import os as _os
+            import shutil
+
+            staging = _os.path.join(self.path, "_staging")
+            if self.overwrite:
+                for old in _glob.glob(_os.path.join(self.path, "range=*.parquet")):
+                    _os.remove(old)
+            for m in messages:
+                if m is None:
+                    continue
+                for fname in m.staged:
+                    _os.replace(
+                        _os.path.join(staging, fname),
+                        _os.path.join(self.path, fname),
+                    )
+            shutil.rmtree(staging, ignore_errors=True)
+
+        def abort(self, messages):
+            import os as _os
+            import shutil
+
+            shutil.rmtree(_os.path.join(self.path, "_staging"), ignore_errors=True)
 
     class CassandraRingDataSource(DataSource):
         """``spark.read.format("cassandra_ring")`` after
@@ -265,9 +399,16 @@ def _register_lazy():
         def reader(self, schema):
             return CassandraRingReader(self.options)
 
+        def writer(self, schema, overwrite):
+            return CassandraRingWriter(self.options, schema, overwrite)
+
     return CassandraRingDataSource
 
 
 def register_cassandra_ring(spark) -> None:
-    """Register the ``cassandra_ring`` format on this session."""
-    spark.dataSource.register(_register_lazy())
+    """Register the ``cassandra_ring`` format on this session. Python
+    data source filter pushdown is gated off by default
+    (``spark.sql.python.filterPushdown.enabled``, runtime-settable);
+    the token-aware pk lookup depends on it, so flip it here."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(_build_datasource())
