@@ -180,6 +180,17 @@ class SourceSpec:
                         f"{opts.get('keyspace')}.{opts.get('table')} live"
                     ) from ex
                 raise
+        if self.fmt == "cassandra_ring":
+            # the in-repo token-ring Python Data Source (see
+            # cassandra_ring.py) — session-scoped registration is
+            # idempotent, so register on every load
+            from flink_samples_spark.sources.cassandra_ring import (
+                register_cassandra_ring,
+            )
+
+            register_cassandra_ring(spark)
+            reader = spark.read.format(self.fmt).options(**opts)
+            return reader.option("path", self.path).load() if self.path else reader.load()
         reader = spark.read.format(self.fmt).options(**opts)
         return reader.load(self.path) if self.path else reader.load()
 

@@ -259,6 +259,63 @@ def test_ring_writer_token_routed_upsert(spark, tmp_path):
     assert all(len(v) == 1 for k, v in seen.items() if k != 7)
 
 
+def test_sourcespec_cassandra_ring_roundtrip(spark, tmp_path):
+    """SourceSpec('cassandra_ring', path=...) auto-registers the
+    Python Data Source and reads the stub table through it."""
+    import pandas as pd
+
+    from flink_samples_spark.sources.readers import SourceSpec
+
+    path = str(tmp_path / "pojo.parquet")
+    pd.DataFrame(
+        {"pk": pd.array(range(10), dtype="int64"),
+         "value": [f"v{i}" for i in range(10)]}
+    ).to_parquet(path, index=False)
+    df = SourceSpec("cassandra_ring", path=path, n_splits="4").load(spark)
+    assert df.rdd.getNumPartitions() == 4
+    assert sorted((r.pk, r.value) for r in df.collect()) == [
+        (i, f"v{i}") for i in range(10)
+    ]
+
+
+def test_pushdown_equals_full_scan_filter_property():
+    """Property: for ANY key set, the pushdown path (pruned splits +
+    absorbed predicate) returns exactly the rows the full scan +
+    post-filter would — no key lost to a ring-boundary off-by-one."""
+    import tempfile
+
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql.datasource import In
+
+    from flink_samples_spark.sources.cassandra_ring import _build_datasource
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/t.parquet"
+        keys = [k * 2654435761 % (1 << 40) - (1 << 39) for k in range(200)]
+        pd.DataFrame(
+            {"pk": pd.array(keys, dtype="int64"),
+             "value": [str(k) for k in keys]}
+        ).to_parquet(path, index=False)
+        ds_cls = _build_datasource()
+
+        @given(
+            pick=st.lists(st.sampled_from(keys), min_size=1, max_size=8),
+            n_splits=st.sampled_from([1, 3, 16, 64]),
+        )
+        @settings(max_examples=25, deadline=None)
+        def prop(pick, n_splits):
+            reader = ds_cls({"path": path, "n_splits": str(n_splits)}).reader(None)
+            assert list(reader.pushFilters([In(("pk",), tuple(pick))])) == []
+            got = sorted(
+                r for p in reader.partitions() for r in reader.read(p)
+            )
+            assert got == sorted((k, str(k)) for k in set(pick))
+
+        prop()
+
+
 def test_ring_writer_validates_options(spark, tmp_path):
     from flink_samples_spark.sources.cassandra_ring import register_cassandra_ring
 
