@@ -183,14 +183,14 @@ class SourceSpec:
         if self.fmt == "cassandra_ring":
             # the in-repo token-ring Python Data Source (see
             # cassandra_ring.py) — session-scoped registration is
-            # idempotent, so register on every load
+            # idempotent, so register on every load; the generic
+            # load below delivers self.path into the source's
+            # options exactly like .option("path", ...)
             from flink_samples_spark.sources.cassandra_ring import (
                 register_cassandra_ring,
             )
 
             register_cassandra_ring(spark)
-            reader = spark.read.format(self.fmt).options(**opts)
-            return reader.option("path", self.path).load() if self.path else reader.load()
         reader = spark.read.format(self.fmt).options(**opts)
         return reader.load(self.path) if self.path else reader.load()
 
