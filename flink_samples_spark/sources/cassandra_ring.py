@@ -402,6 +402,54 @@ def _build_datasource():
         def writer(self, schema, overwrite):
             return CassandraRingWriter(self.options, schema, overwrite)
 
+        def streamWriter(self, schema, overwrite):
+            return CassandraRingStreamWriter(self.options, schema, overwrite)
+
+    from pyspark.sql.datasource import DataSourceStreamWriter
+
+    class CassandraRingStreamWriter(DataSourceStreamWriter):
+        """The reference's Cassandra sink is a STREAMING sink
+        (``CassandraPojoSinkStreaming.java:70-79``): this is its
+        Spark twin at the Data Source level —
+        ``writeStream.format("cassandra_ring")`` routes each
+        micro-batch through the same token-range batching as the
+        batch writer, with the stream commit protocol's batchId
+        making the publish idempotent: a retried epoch REPLACES its
+        own files (``epoch=<batchId>`` prefix) instead of
+        double-appending, the same contract as
+        ``streaming.sinks.idempotent_parquet_sink``."""
+
+        def __init__(self, options, schema, overwrite: bool):
+            self._w = CassandraRingWriter(options, schema, overwrite)
+
+        def write(self, iterator):
+            return self._w.write(iterator)
+
+        def commit(self, messages, batchId):
+            import glob as _glob
+            import os as _os
+            import shutil
+
+            path = self._w.path
+            staging = _os.path.join(path, "_staging")
+            # idempotent replace: clear this epoch's previous attempt
+            for old in _glob.glob(
+                _os.path.join(path, f"epoch={batchId}-range=*.parquet")
+            ):
+                _os.remove(old)
+            for m in messages:
+                if m is None:
+                    continue
+                for fname in m.staged:
+                    _os.replace(
+                        _os.path.join(staging, fname),
+                        _os.path.join(path, f"epoch={batchId}-{fname}"),
+                    )
+            shutil.rmtree(staging, ignore_errors=True)
+
+        def abort(self, messages, batchId):
+            self._w.abort(messages)
+
     return CassandraRingDataSource
 
 

@@ -316,6 +316,50 @@ def test_pushdown_equals_full_scan_filter_property():
         prop()
 
 
+def test_ring_stream_writer_idempotent_epochs(spark, tmp_path):
+    """writeStream.format('cassandra_ring') — the reference's sink IS
+    a streaming sink (CassandraPojoSinkStreaming.java:70-79). Rows
+    flow through the same token-range batching; files carry the
+    epoch id so a retried epoch replaces itself (idempotent publish),
+    and the union over epochs is exactly the input."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flink_samples_spark.sources.cassandra_ring import register_cassandra_ring
+
+    register_cassandra_ring(spark)
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "sink")
+    cp = str(tmp_path / "cp")
+    os.makedirs(out)
+    spark.createDataFrame(
+        [(k, f"v{k}") for k in range(30)], "pk bigint, value string"
+    ).repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("pk bigint, value string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.format("cassandra_ring")
+        .option("path", out)
+        .option("n_splits", "4")
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    files = glob.glob(os.path.join(out, "epoch=*-range=*.parquet"))
+    assert files and not os.path.exists(os.path.join(out, "_staging"))
+    rows = sorted(
+        (r["pk"], r["value"]) for f in files for r in pq.read_table(f).to_pylist()
+    )
+    assert rows == [(k, f"v{k}") for k in range(30)]
+    assert len({os.path.basename(f).split("-")[0] for f in files}) >= 2
+
+
 def test_ring_writer_validates_options(spark, tmp_path):
     from flink_samples_spark.sources.cassandra_ring import register_cassandra_ring
 
