@@ -146,6 +146,55 @@ def bigint_key_bytes(v: int) -> bytes:
     return struct.pack(">q", v)
 
 
+def murmur3_token_bigint_vec(keys):
+    """Vectorized :func:`murmur3_token` over an int64 numpy array of
+    CQL bigint partition keys (tested equal to the scalar path).
+
+    An 8-byte key is tail-only for x64_128 (no 16-byte block), so the
+    whole hash collapses to: signed-tail word assembly → one k1
+    mix → finalization — all expressible as wrapping uint64 numpy
+    ops. This is what keeps the stub reader's split pruning O(rows)
+    vectorized instead of a per-row Python loop (the live path does
+    this server-side; the stub should still scan like an engine)."""
+    import numpy as np
+
+    u = keys.astype(np.int64).view(np.uint64)
+    M64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    with np.errstate(over="ignore"):
+        # signed-tail word: XOR of sign-extended big-endian bytes
+        # placed little-endian (tail index i = BE byte i of the key)
+        w = np.zeros_like(u)
+        for i in range(8):
+            b = (u >> np.uint64(56 - 8 * i)) & np.uint64(0xFF)
+            t = b << np.uint64(8 * i)
+            if i < 7:  # top byte's sign extension leaves the 64-bit lane
+                ext = np.uint64(((1 << 64) - (1 << (8 * i + 8))) & ((1 << 64) - 1))
+                t = np.where(b >= np.uint64(0x80), t | ext, t)
+            w ^= t
+        c1 = np.uint64(0x87C37B91114253D5)
+        c2 = np.uint64(0x4CF5AD432745937F)
+        k1 = w * c1
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))  # rotl 31
+        k1 = k1 * c2
+        h1 = k1 ^ np.uint64(8)  # h1 was seed 0; ^= len
+        h2 = np.uint64(8) + np.zeros_like(u)  # h2 = 0 ^ len
+        h1 = h1 + h2
+        h2 = h2 + h1
+
+        def fmix(k):
+            k = k ^ (k >> np.uint64(33))
+            k = k * np.uint64(0xFF51AFD7ED558CCD)
+            k = k ^ (k >> np.uint64(33))
+            k = k * np.uint64(0xC4CEB9FE1A85EC53)
+            return k ^ (k >> np.uint64(33))
+
+        h1, h2 = fmix(h1), fmix(h2)
+        h1 = h1 + h2
+    tok = h1.view(np.int64)
+    # the partitioner's MIN→MAX normalization
+    return np.where(tok == np.int64(MIN_TOKEN), np.int64(MAX_TOKEN), tok)
+
+
 def plan_token_splits(n_splits: int) -> list[tuple[int, int]]:
     """Cut the ring into ``n_splits`` contiguous half-open (start,
     end] ranges that exactly cover (MIN_TOKEN, MAX_TOKEN]. A row
@@ -257,19 +306,26 @@ def _build_datasource():
             return [TokenRangePartition(s, e) for s, e in self.splits]
 
         def read(self, partition):
+            import numpy as np
             import pyarrow.parquet as pq
 
             table = pq.read_table(self.path)
             cols = table.column_names
             if self.pk not in cols:
                 raise ValueError(f"partition key {self.pk!r} not in {cols}")
-            for row in table.to_pylist():
-                key = int(row[self.pk])
-                if self.pk_values is not None and key not in self.pk_values:
-                    continue
-                tok = murmur3_token(bigint_key_bytes(key))
-                if partition.start < tok <= partition.end:
-                    yield tuple(row[c] for c in cols)
+            # vectorized split pruning: tokens for the whole pk column
+            # in one numpy pass, then materialize ONLY the owned rows
+            # (the live path prunes server-side; the stub should still
+            # scan like an engine, not a per-row Python loop)
+            keys = table.column(self.pk).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            toks = murmur3_token_bigint_vec(keys)
+            mask = (toks > partition.start) & (toks <= partition.end)
+            if self.pk_values is not None:
+                mask &= np.isin(keys, np.fromiter(self.pk_values, dtype=np.int64))
+            for row in table.take(np.nonzero(mask)[0]).to_pylist():
+                yield tuple(row[c] for c in cols)
 
     class _RingCommit(WriterCommitMessage):
         def __init__(self, staged: list[str]):

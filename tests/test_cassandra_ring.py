@@ -83,6 +83,28 @@ def test_every_key_lands_in_exactly_one_split():
         assert sum(owners) == 1
 
 
+def test_vectorized_tokens_equal_scalar():
+    """The reader's numpy token path must agree with the scalar
+    partitioner byte-for-byte — random keys plus every sign/boundary
+    case (0, ±1, int64 extremes, the 0x7F/0x80 sign-extension edge)."""
+    import numpy as np
+
+    from flink_samples_spark.sources.cassandra_ring import murmur3_token_bigint_vec
+
+    rng = np.random.RandomState(7)
+    keys = np.concatenate(
+        [
+            rng.randint(-(2**62), 2**62, size=2000),
+            np.array(
+                [0, 1, -1, 2**63 - 1, -(2**63), 127, 128, -128, -129, 255, 256]
+            ),
+        ]
+    ).astype(np.int64)
+    vec = murmur3_token_bigint_vec(keys)
+    scalar = np.array([murmur3_token(bigint_key_bytes(int(k))) for k in keys])
+    assert np.array_equal(vec, scalar)
+
+
 def test_split_sizing_uses_connector_arithmetic():
     """ceil(estimated bytes / split size), 15 MiB reference default."""
     mib = 1 << 20
