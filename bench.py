@@ -22,11 +22,17 @@ fields when a co-tenant inflates a timing:
   RIGHT NOW (1- and 5-min both under half the threshold) passes early
   even while a stale 15-min figure decays. The gate never aborts — on
   timeout it proceeds and says so in the JSON (``load_gate``).
-* **interleaved best-of-2**: the two timed runs of each query come
-  from two FULL suite passes (A then B), not back-to-back. Sustained
-  co-tenant load defeats adjacent samples; interleaving spaces the
-  two samples ~half a suite apart so one of them can land in a quiet
-  window if one exists.
+* **interleaved best-of-2 for queries > 1 s** (the r10 verdict's
+  exact design): a slow query's two timed runs come from two passes
+  spaced ~a suite apart — sustained co-tenant load defeats adjacent
+  samples, and for seconds-long queries the separation costs little.
+  Sub-second queries KEEP back-to-back best-of-2: Spark's JVM codegen
+  cache is a small LRU, evicted across a 53-query pass, so a
+  pass-separated sample of a sub-second query re-pays per-stage
+  compilation and prices the compiler instead of the query (measured:
+  interleaving everything read a uniform ~1.3× on flat code while the
+  drift probes read FAST — the exact false-regression the probes
+  can't normalize away).
 * **per-query load samples**: the 1-minute loadavg at the start of
   each timed run is recorded per query (``query_load``: {q: [passA,
   passB]}), so a 10× outlier is mechanically classifiable as load
@@ -194,40 +200,56 @@ def main() -> None:
     # JVM/codegen/worker-pool warmth is what we want to keep
     spark.catalog.clearCache()
 
-    # Best-of-2 INTERLEAVED across two full suite passes: the machine
-    # hosts periodic background work, and a single sample that lands
-    # on a burst misreports the engine by 3×; two back-to-back samples
-    # both land inside a SUSTAINED burst (the r10 lesson). Interleaving
-    # spaces each query's two samples ~half a suite apart, capturing a
-    # quiet window if one exists anywhere in the run. The min measures
+    # Best-of-2 with the r10 verdict's split sampling policy:
+    # sub-second queries take their two samples BACK-TO-BACK (the JVM
+    # codegen cache is a small LRU — evicted across a 53-query pass —
+    # so a pass-separated sample re-pays per-stage compilation and
+    # prices the compiler, not the query); queries over 1 s take the
+    # second sample in a deferred INTERLEAVED pass ~a suite apart,
+    # because a sustained co-tenant burst defeats adjacent samples and
+    # seconds of real work amortize the compile cost. The min measures
     # the query, not the neighbor. Caches are cleared between runs, so
     # each run still executes in full. The 1-min loadavg at each run's
     # start is kept per query so adjudication of an outlier is
     # mechanical (query_load in the JSON; bench_compare reads it).
     samples: dict[str, list[float]] = {}
     query_load: dict[str, list[float | None]] = {}
-    for _pass in range(2):
-        for name in HEADLINE:
-            if name in errors:
-                continue
-            try:
-                # construction INSIDE the timing: iterative operators
-                # (connected components) execute jobs while the DataFrame
-                # is being built, and plan analysis is part of latency
-                load = _load1()
-                t0 = time.perf_counter()
-                QUERIES[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                dt = time.perf_counter() - t0
-                spark.catalog.clearCache()
-            except Exception as e:  # noqa: BLE001 — record and keep benching
-                errors[name] = f"{type(e).__name__}: {e}"[:300]
-                samples.pop(name, None)
-                query_load.pop(name, None)
-                continue
-            samples.setdefault(name, []).append(dt)
-            query_load.setdefault(name, []).append(load)
+
+    def timed_run(name: str) -> bool:
+        """One timed noop-materialized run; False on error.
+        Construction INSIDE the timing: iterative operators (connected
+        components) execute jobs while the DataFrame is being built,
+        and plan analysis is part of latency."""
+        try:
+            load = _load1()
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            samples.pop(name, None)
+            query_load.pop(name, None)
+            return False
+        samples.setdefault(name, []).append(dt)
+        query_load.setdefault(name, []).append(load)
+        return True
+
+    deferred: list[str] = []
+    for name in HEADLINE:
+        if name in errors:
+            continue
+        if not timed_run(name):
+            continue
+        if samples[name][0] <= 1.0:
+            timed_run(name)  # adjacent second sample
+        else:
+            deferred.append(name)  # interleaved second sample below
+    for name in deferred:
+        if name not in errors:
+            timed_run(name)
 
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
 
@@ -322,27 +344,25 @@ def main() -> None:
         # scheduler fixed cost: 32-partition no-op scan
         ("range_scan", lambda: spark.range(0, 1_000_000, 1, 32)),
     )
-    drift: dict[str, float] = {}
+    # probes stay back-to-back min-of-2 (sub-second, and the r8-r10
+    # probe series was sampled that way — comparability of the drift
+    # factor across rounds is the whole point of the probes)
     drift_load: dict[str, list[float | None]] = {}
     drift_best: dict[str, float] = {}
-    for _pass in range(2):
-        for probe_name, probe_fn in probes:
-            if f"drift_{probe_name}" in errors:
-                continue
-            try:
+    for probe_name, probe_fn in probes:
+        try:
+            best = float("inf")
+            for _ in range(2):
                 load = _load1()
                 t0 = time.perf_counter()
                 probe_fn().write.format("noop").mode("overwrite").save()
-                dt = time.perf_counter() - t0
-            except Exception as e:  # noqa: BLE001
-                errors[f"drift_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
-                drift_best.pop(probe_name, None)
-                drift_load.pop(probe_name, None)
-                continue
-            drift_best[probe_name] = min(
-                drift_best.get(probe_name, float("inf")), dt
-            )
-            drift_load.setdefault(probe_name, []).append(load)
+                best = min(best, time.perf_counter() - t0)
+                drift_load.setdefault(probe_name, []).append(load)
+            drift_best[probe_name] = best
+        except Exception as e:  # noqa: BLE001
+            errors[f"drift_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
+            drift_best.pop(probe_name, None)
+            drift_load.pop(probe_name, None)
     drift = {k: round(v, 3) for k, v in drift_best.items()}
     payload["drift_probes"] = drift
     payload["drift_load"] = drift_load
