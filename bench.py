@@ -22,17 +22,19 @@ fields when a co-tenant inflates a timing:
   RIGHT NOW (1- and 5-min both under half the threshold) passes early
   even while a stale 15-min figure decays. The gate never aborts — on
   timeout it proceeds and says so in the JSON (``load_gate``).
-* **interleaved best-of-2 for queries > 1 s** (the r10 verdict's
-  exact design): a slow query's two timed runs come from two passes
-  spaced ~a suite apart — sustained co-tenant load defeats adjacent
-  samples, and for seconds-long queries the separation costs little.
-  Sub-second queries KEEP back-to-back best-of-2: Spark's JVM codegen
+* **best-of-3, interleaved for queries > 1 s**: a slow query's
+  second and third runs come from two deferred passes spaced across
+  the suite — sustained co-tenant load defeats adjacent samples, and
+  for seconds-long queries the separation costs little. Sub-second
+  queries take all three samples BACK-TO-BACK: Spark's JVM codegen
   cache is a small LRU, evicted across a 53-query pass, so a
   pass-separated sample of a sub-second query re-pays per-stage
   compilation and prices the compiler instead of the query (measured:
   interleaving everything read a uniform ~1.3× on flat code while the
   drift probes read FAST — the exact false-regression the probes
-  can't normalize away).
+  can't normalize away). Three samples instead of two because this
+  host carries persistent background ticks: with two, whichever
+  queries both samples happened to hit showed a random 1.2-1.7× tail.
 * **per-query load samples**: the 1-minute loadavg at the start of
   each timed run is recorded per query (``query_load``: {q: [passA,
   passB]}), so a 10× outlier is mechanically classifiable as load
@@ -237,6 +239,11 @@ def main() -> None:
         query_load.setdefault(name, []).append(load)
         return True
 
+    # best-of-3 everywhere (a co-tenant burst must span all three
+    # samples to poison the min — two-sample runs on this host left a
+    # random ~1.2-1.7× tail on whichever queries both samples hit):
+    # sub-second queries take all three back-to-back, slow queries
+    # take samples two and three in two separate deferred passes.
     deferred: list[str] = []
     for name in HEADLINE:
         if name in errors:
@@ -244,12 +251,13 @@ def main() -> None:
         if not timed_run(name):
             continue
         if samples[name][0] <= 1.0:
-            timed_run(name)  # adjacent second sample
+            timed_run(name) and timed_run(name)  # adjacent samples 2+3
         else:
-            deferred.append(name)  # interleaved second sample below
-    for name in deferred:
-        if name not in errors:
-            timed_run(name)
+            deferred.append(name)  # interleaved samples 2+3 below
+    for _pass in range(2):
+        for name in deferred:
+            if name not in errors:
+                timed_run(name)
 
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
 
