@@ -35,6 +35,11 @@ fields when a co-tenant inflates a timing:
   can't normalize away). Three samples instead of two because this
   host carries persistent background ticks: with two, whichever
   queries both samples happened to hit showed a random 1.2-1.7× tail.
+* **suite-spaced streaming samples**: the two streaming contract
+  rates are best-of-3 with one replay BEFORE the batch loops and two
+  after (~10 min apart end to end) — this host's co-tenant bursts
+  last ~5 min, and adjacent replays let one burst poison every
+  sample of a contract number with a hard 1,000 ev/s floor.
 * **per-query load samples**: the 1-minute loadavg at the start of
   each timed run is recorded per query (``query_load``: {q: [passA,
   passB]}), so a 10× outlier is mechanically classifiable as load
@@ -244,50 +249,16 @@ def main() -> None:
     # random ~1.2-1.7× tail on whichever queries both samples hit):
     # sub-second queries take all three back-to-back, slow queries
     # take samples two and three in two separate deferred passes.
-    deferred: list[str] = []
-    for name in HEADLINE:
-        if name in errors:
-            continue
-        if not timed_run(name):
-            continue
-        if samples[name][0] <= 1.0:
-            timed_run(name) and timed_run(name)  # adjacent samples 2+3
-        else:
-            deferred.append(name)  # interleaved samples 2+3 below
-    for _pass in range(2):
-        for name in deferred:
-            if name not in errors:
-                timed_run(name)
-
-    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
-
-    total = round(sum(timings.values()), 3)
-    payload = {
-        "metric": "headline-suite wall time (noop-materialized, local)",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "load_gate": load_gate,
-        "query_load": query_load,
-    }
-
-    # Streaming throughput vs BASELINE.md's ≥1,000 records/s floor
-    # (the reference's sources cap at 100-1,000 rows/s): replay the
-    # full events table through the REAL watermarked session-window
-    # stream and report events/sec of end-to-end wall time (includes
-    # micro-batch planning, state store, sink commit).
-    #
-    # Best-of-2 rate, interleaved across the two streaming queries
-    # (session pass A, EWMA pass A, session pass B, EWMA pass B) for
-    # the same reason as the batch suite: the r7 driver host recorded
-    # 1,931 ev/s on a single loaded-run sample while quiet runs read
-    # ~8,300 — a 4× noise band on a contract number with a hard 1,000
-    # floor. Caches are cleared between runs so each replay executes
-    # end-to-end.
-    # inside try/except like every other probe: a missing/corrupt
+    # Streaming throughput machinery, hoisted so its samples can be
+    # SPACED across the whole suite (one pass before the batch loops,
+    # two after — ~10 min apart end to end): the streaming rates are
+    # contract numbers against a hard 1,000 ev/s floor, this host's
+    # co-tenant bursts last ~5 min, and adjacent replays let one burst
+    # poison every sample (observed thrice this round). Caches are
+    # cleared between replays so each executes end-to-end. Inside
+    # try/except like every other probe: a missing/corrupt
     # events.parquet must cost the two streaming rows, not the whole
-    # already-measured bench record (see the round-2 lesson above)
+    # bench record (the round-2 lesson).
     try:
         n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     except Exception as e:  # noqa: BLE001
@@ -296,7 +267,8 @@ def main() -> None:
 
     stream_best: dict[str, float] = {}
     stream_load: dict[str, list[float | None]] = {}
-    for _pass in range(2):
+
+    def stream_pass() -> None:
         for qname in ("q_stream_session", "q_stream_ewma"):
             if n_events is None or qname in errors:
                 continue
@@ -315,6 +287,45 @@ def main() -> None:
                 continue
             stream_best[qname] = min(stream_best.get(qname, float("inf")), dt)
             stream_load.setdefault(qname, []).append(load)
+
+    stream_pass()  # sample 1, before the batch loops
+
+    deferred: list[str] = []
+    for name in HEADLINE:
+        if name in errors:
+            continue
+        if not timed_run(name):
+            continue
+        if samples[name][0] <= 1.0:
+            timed_run(name) and timed_run(name)  # adjacent samples 2+3
+        else:
+            deferred.append(name)  # interleaved samples 2+3 below
+    for _pass in range(2):
+        for name in deferred:
+            if name not in errors:
+                timed_run(name)
+
+    stream_pass()  # samples 2+3, ~a suite apart from sample 1
+    stream_pass()
+
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+
+    total = round(sum(timings.values()), 3)
+    payload = {
+        "metric": "headline-suite wall time (noop-materialized, local)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "load_gate": load_gate,
+        "query_load": query_load,
+    }
+
+    # Streaming throughput vs BASELINE.md's ≥1,000 records/s floor
+    # (the reference's sources cap at 100-1,000 rows/s): the REAL
+    # watermarked session-window replay (stateless contract number)
+    # and the per-key EWMA applyInPandasWithState replay (stateful) —
+    # best-of-3, sampled above with suite-wide spacing.
     if n_events is None:
         for key in ("stream_events_per_s", "stream_stateful_events_per_s"):
             errors[key] = "events table unavailable (see stream_event_count)"
