@@ -328,7 +328,13 @@ def _build_datasource():
                 yield tuple(row[c] for c in cols)
 
     class _RingCommit(WriterCommitMessage):
-        def __init__(self, staged: list[str]):
+        def __init__(self, staging_id: str, staged: list[str]):
+            # staging_id rides in the commit message because the
+            # driver-side committer and the executor-side task writers
+            # can be DIFFERENT instances (the streaming path constructs
+            # them independently) — the message is the only channel
+            # that reliably connects a task's staged files to commit().
+            self.staging_id = staging_id
             self.staged = staged
 
     class CassandraRingWriter(DataSourceWriter):
@@ -341,12 +347,21 @@ def _build_datasource():
         and recorded like the connector's mapper option
         (``CassandraPojoSinkStreaming.java:70-79``). Exactly-once via
         the API's commit protocol: tasks stage files, the driver-side
-        commit() publishes them, abort() discards."""
+        commit() publishes them, abort() discards. Staging is
+        PER-QUERY: each writer instance picks a unique subdir under
+        ``_staging/`` at construction (driver side, serialized to
+        tasks), so two overlapping writes to the same path — batch +
+        batch, or a batch while a stream runs — never delete each
+        other's staged files; commit/abort touch only their own
+        staging area."""
 
         def __init__(self, options, schema, overwrite: bool):
+            import uuid
+
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("cassandra_ring sink requires a 'path' option")
+            self.staging_id = uuid.uuid4().hex
             self.pk = options.get("partition_key", "pk")
             snf = options.get("save_null_fields", "true").lower()
             if snf not in ("true", "false"):
@@ -383,7 +398,7 @@ def _build_datasource():
                 per_range.setdefault(
                     self._owner(murmur3_token(bigint_key_bytes(key))), {}
                 )[key] = vals
-            staging = _os.path.join(self.path, "_staging")
+            staging = _os.path.join(self.path, "_staging", self.staging_id)
             _os.makedirs(staging, exist_ok=True)
             staged = []
             for ridx, rows in sorted(per_range.items()):
@@ -392,32 +407,48 @@ def _build_datasource():
                 fname = f"range={ridx}-{uuid.uuid4().hex}.parquet"
                 pq.write_table(table, _os.path.join(staging, fname))
                 staged.append(fname)
-            return _RingCommit(staged)
+            return _RingCommit(self.staging_id, staged)
+
+        def _cleanup_staging(self, messages) -> None:
+            """Remove only THIS query's staging subdirs (the ids the
+            task messages carry, plus this instance's own), then the
+            shared ``_staging`` parent iff empty — another in-flight
+            query to the same path may still own a sibling subdir."""
+            import os as _os
+            import shutil
+
+            ids = {self.staging_id} | {
+                m.staging_id for m in messages or () if m is not None
+            }
+            for sid in ids:
+                shutil.rmtree(
+                    _os.path.join(self.path, "_staging", sid), ignore_errors=True
+                )
+            try:
+                _os.rmdir(_os.path.join(self.path, "_staging"))
+            except OSError:  # non-empty (a concurrent query) or absent
+                pass
 
         def commit(self, messages):
             import glob as _glob
             import os as _os
-            import shutil
 
-            staging = _os.path.join(self.path, "_staging")
             if self.overwrite:
                 for old in _glob.glob(_os.path.join(self.path, "range=*.parquet")):
                     _os.remove(old)
             for m in messages:
                 if m is None:
                     continue
+                staging = _os.path.join(self.path, "_staging", m.staging_id)
                 for fname in m.staged:
                     _os.replace(
                         _os.path.join(staging, fname),
                         _os.path.join(self.path, fname),
                     )
-            shutil.rmtree(staging, ignore_errors=True)
+            self._cleanup_staging(messages)
 
         def abort(self, messages):
-            import os as _os
-            import shutil
-
-            shutil.rmtree(_os.path.join(self.path, "_staging"), ignore_errors=True)
+            self._cleanup_staging(messages)
 
     class CassandraRingDataSource(DataSource):
         """``spark.read.format("cassandra_ring")`` after
@@ -484,10 +515,8 @@ def _build_datasource():
         def commit(self, messages, batchId):
             import glob as _glob
             import os as _os
-            import shutil
 
             path = self._w.path
-            staging = _os.path.join(path, "_staging")
             # idempotent replace: clear this epoch's previous attempt
             for old in _glob.glob(
                 _os.path.join(path, f"epoch={batchId}-range=*.parquet")
@@ -496,12 +525,13 @@ def _build_datasource():
             for m in messages:
                 if m is None:
                     continue
+                staging = _os.path.join(path, "_staging", m.staging_id)
                 for fname in m.staged:
                     _os.replace(
                         _os.path.join(staging, fname),
                         _os.path.join(path, f"epoch={batchId}-{fname}"),
                     )
-            shutil.rmtree(staging, ignore_errors=True)
+            self._w._cleanup_staging(messages)
 
         def abort(self, messages, batchId):
             self._w.abort(messages)
@@ -513,6 +543,16 @@ def register_cassandra_ring(spark) -> None:
     """Register the ``cassandra_ring`` format on this session. Python
     data source filter pushdown is gated off by default
     (``spark.sql.python.filterPushdown.enabled``, runtime-settable);
-    the token-aware pk lookup depends on it, so flip it here."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    the token-aware pk lookup depends on it, so enable it here when it
+    is not already on. NOTE: the conf is SESSION-WIDE — it turns
+    pushdown on for every Python data source in the session, not just
+    this one (there is no per-source knob in the API). Documented at
+    the ``SourceSpec("cassandra_ring")`` seam too; a caller who needs
+    other Python sources to stay pushdown-free must reset the conf
+    after loading."""
+    if (
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        != "true"
+    ):
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(_build_datasource())

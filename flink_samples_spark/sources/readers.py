@@ -185,7 +185,13 @@ class SourceSpec:
             # cassandra_ring.py) — session-scoped registration is
             # idempotent, so register on every load; the generic
             # load below delivers self.path into the source's
-            # options exactly like .option("path", ...)
+            # options exactly like .option("path", ...).
+            # SESSION-WIDE side effect: registration enables
+            # spark.sql.python.filterPushdown.enabled (needed for the
+            # token-aware pk lookup), which turns filter pushdown on
+            # for EVERY Python data source in this session — reset the
+            # conf after loading if another Python source must stay
+            # pushdown-free.
             from flink_samples_spark.sources.cassandra_ring import (
                 register_cassandra_ring,
             )

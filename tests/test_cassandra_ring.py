@@ -403,3 +403,52 @@ def test_ring_writer_validates_options(spark, tmp_path):
             .mode("append")
             .save()
         )
+
+
+def test_ring_writer_overlapping_queries_stage_in_isolation(tmp_path):
+    """r11 ADVICE: two overlapping writes to the same path must not
+    delete each other's staged files — each query stages under its own
+    ``_staging/<uuid>`` subdir (the uuid rides in the commit message),
+    and commit/abort only touch their own staging area. Driven at the
+    writer-protocol level so the interleaving is deterministic:
+    A.write, B.write, A.commit (B's staged files must survive),
+    B.commit."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from flink_samples_spark.sources.cassandra_ring import _build_datasource
+
+    ds_cls = _build_datasource()
+    schema = StructType(
+        [StructField("pk", LongType()), StructField("value", StringType())]
+    )
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+
+    def writer():
+        return ds_cls({"path": out, "n_splits": "4"}).writer(schema, False)
+
+    class _Row(tuple):
+        pass
+
+    wa, wb = writer(), writer()
+    assert wa.staging_id != wb.staging_id
+    ma = wa.write(iter([_Row((1, "a1")), _Row((2, "a2"))]))
+    mb = wb.write(iter([_Row((3, "b3")), _Row((4, "b4"))]))
+    # both queries have files staged under distinct subdirs
+    assert len(glob.glob(os.path.join(out, "_staging", "*", "*.parquet"))) >= 2
+    wa.commit([ma])
+    # A's commit must leave B's staged files untouched
+    b_staged = glob.glob(os.path.join(out, "_staging", mb.staging_id, "*.parquet"))
+    assert b_staged, "overlapping commit deleted the other query's staging"
+    wb.commit([mb])
+    assert not os.path.exists(os.path.join(out, "_staging"))
+    rows = sorted(
+        (r["pk"], r["value"])
+        for f in glob.glob(os.path.join(out, "range=*.parquet"))
+        for r in pq.read_table(f).to_pylist()
+    )
+    assert rows == [(1, "a1"), (2, "a2"), (3, "b3"), (4, "b4")]

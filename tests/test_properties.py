@@ -570,6 +570,9 @@ def test_flac_coded_number_canonical_boundary_end_to_end():
     buf = enc(frames, 32000, block_size=16)
     _, _, got = dec(buf)
     assert np.array_equal(got.reshape(-1), frames.reshape(-1))
+
+
+def test_flac_encoder_rejects_out_of_range_samples():
     """r10 ADVICE: STREAMINFO pins bps=16, so samples outside
     [-32768, 32767] must fail at encode time, not surface later as a
     decoder MD5 mismatch after BitWriter silently masks them."""
