@@ -160,6 +160,36 @@ def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "lineitem")
 
 
+# Reference: CassandraPojoSource.java:57-63 — the same bounded scan
+# THROUGH the token-ring partition plan (Murmur3 ring cut into
+# size-derived splits, default input.split.size_in_mb = 15), driven by
+# the in-repo Spark 4 Python Data Source (sources/cassandra_ring.py).
+# The table estimate is the UNCOMPRESSED byte size from the parquet
+# row-group metadata — the analog of Cassandra's system.size_estimates,
+# which the connector's split arithmetic reads (uncompressed
+# mean-partition bytes × partition count). Oracle: the ring splits are
+# disjoint and exactly cover the token ring, so the union of the
+# per-split reads IS the plain scan.
+@query("q_scan_ring", oracle="SELECT * FROM customer")
+def q_scan_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from flink_samples_spark.sources.readers import SourceSpec
+
+    path = os.path.join(sf_dir, "customer.parquet")
+    meta = pq.ParquetFile(path).metadata
+    uncompressed = sum(
+        meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+    )
+    return SourceSpec(
+        "cassandra_ring",
+        path,
+        partition_key="c_custkey",
+        estimated_table_bytes=str(uncompressed),
+        split_size_mb="15",
+    ).load(spark)
+
+
 # Reference: number-sequence source, DataStreamJob.java:45-49 (bounded
 # batch twin; the unbounded rate-source twin is streaming/sources.py).
 @query("q_source_range", oracle="SELECT range AS id FROM range(10000)")

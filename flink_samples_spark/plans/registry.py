@@ -64,103 +64,89 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-11 allocation (manifest after r10: 208 of 208 ever-green —
-    # every registered query has a fully-green driver row; latest-green
-    # histogram r5:11 r6:24 r7:32 r8:43 r9:48 r10:50).  With zero
-    # never-checked queries left, the window is pure staleness
-    # burn-down per the r10 verdict item 2: lead with the FULL r5
-    # cohort (the eleven deferrals/displacements from the r10 window —
-    # q_snapshot_diff and q_pattern_seq first, displaced from r10 by
-    # the late FLAC/MS-RLE registrations), then the FULL 24-query r6
-    # cohort (the streaming STRICT spine plus q_agg_multi/q_join_smj/
-    # q_tumbling_window and the salted/colocated strategy variants).
-    # Next, the repo's changed-code rule (a query whose implementation
-    # changed after its last green row outranks mere staleness):
-    # q_multimodal_decode_png (per-row-filter CPU budget added this
-    # round — r10 verdict item 3) and q_multimodal_decode_flac
-    # (overlong coded-number rejection + encoder range validation —
-    # both r10 ADVICE items) get re-certification seats.  The
-    # remaining 13 seats: 7 family sentinels for the families the
-    # cohorts miss (tests/test_registry_order.py's coverage contract),
-    # each picked from the OLDEST green cohort in its family so the
-    # seat does staleness dual duty — q_source_range (§2.1, r7),
-    # q_except_all (§2.7, r7), q_sql_window (SQL entry, r7) are
-    # r7-stale themselves; q_filter (§2.2, r9), q_win_rank (§2.5, r9),
-    # q_topk_per_group (§2.6, r9) are the oldest in their two-member
-    # families; the flagship q_session_window keeps its canary seat —
-    # and 6 r7-stale fills chosen for family breadth (q_agg_cube §2.4,
-    # q_join_asof §2.3, q_win_range_frame §2.5, q_dedup_exact +
-    # q_embed_pca tier X, q_pack_sequences tier X).  Registration
-    # stays FROZEN at 208 unless a verdict demands a new operator.
-    # Rotated-out ever-green queries keep local regression safety via
+    # Round-12 allocation (manifest after r11: 208 of 208 ever-green;
+    # latest-green histogram r7:23 r8:43 r9:45 r10:47 r11:50).  The r11
+    # verdict's two window orders: (a) the NEW q_scan_ring leads — the
+    # round-11 cassandra_ring DataSource becomes driver-checkable
+    # (verdict item 4); (b) staleness burn-down of the FULL r7 cohort
+    # (23 queries, verdict item 5).  Then the flagship canary and one
+    # sentinel per family the cohort misses, each picked from the
+    # OLDEST green cohort in its family so the seat does staleness
+    # dual duty (five of the eight are r8-stale themselves).  The 17
+    # remaining seats are r8-stale fills biased to the heavy tier-X
+    # dedup set (q_dedup_incremental was bench-flagged in r11 — its
+    # re-certification doubles as evidence the code is unchanged and
+    # correct) and the join family.  After this window lands, no
+    # query's latest green row is older than r8 except the 21-query
+    # r8 remainder listed below for round 13.  Registration grew by
+    # exactly ONE (q_scan_ring, a verdict demand) to 209; rotated-out
+    # ever-green queries keep local regression safety via
     # tests/test_catalog.py (identical row+schema+hash DuckDB
     # comparison, catalog-wide).
-    # ---- longest-stale rotation: last green r5 (full cohort, 11) ----
-    "q_snapshot_diff",          # displaced from r10 — lead the window
-    "q_pattern_seq",            # displaced from r10
-    "q_agg_listagg",            # §2.4 rep
-    "q_agg_percentiles",        # §2.4 rep
-    "q_fn_zorder",              # §2.8 rep
-    "q_pattern_absence",
-    "q_quality_ensemble",
-    "q_sample_reservoir",
-    "q_sample_weighted",
-    "q_ts_ewma",                # oracle pytest-pinned == streaming twin's
-    "q_ts_outliers",
-    # ---- next-stale rotation: last green r6 (full cohort, 24) ----
-    "q_agg_multi",              # TPC-H Q1 shape; §2.4 rep
-    "q_agg_salted",             # skew strategy variant
-    "q_fn_json",                # §2.8 rep
-    "q_join_colocated",         # bucketed co-located join
-    "q_join_salted",            # skew strategy variant
-    "q_join_smj",               # §2.3 rep (big×big shuffle)
-    "q_late_data",              # watermark drop semantics
-    "q_merge_upsert",           # §2.3 rep (MERGE change-set)
-    "q_stream_complete_counts", # §2.9 STRICT streaming spine (16) --
-    "q_stream_curate",
-    "q_stream_custom_sessionizer",
-    "q_stream_enrich",
-    "q_stream_ewma",
-    "q_stream_join",
-    "q_stream_join_outer",
-    "q_stream_pattern_absence",
-    "q_stream_pattern_seq",
-    "q_stream_session_dynamic",
-    "q_stream_sliding",
-    "q_stream_temporal",
-    "q_stream_tumbling",
-    "q_stream_update_counts",   # -- end streaming spine
-    "q_tumbling_window",        # §2.9 time-windows rep
-    "q_udtf_lateral",           # §2.10 rep
-    # ---- changed-code re-certification (code edited this round,
-    # ---- after their r10 green rows) ----
-    "q_multimodal_decode_png",  # per-row-filter CPU budget (item 3)
-    "q_multimodal_decode_flac", # overlong-coding reject + encoder checks
-    # ---- family sentinels (families the cohorts miss; oldest green
-    # ---- member per family, staleness dual duty) ----
-    "q_source_range",           # §2.1 sources (r7-stale)
-    "q_filter",                 # §2.2 projections/filters (r9)
-    "q_win_rank",               # §2.5 analytic windows (r9)
-    "q_topk_per_group",         # §2.6 top-k (r9)
-    "q_except_all",             # §2.7 set ops (r7-stale)
-    "q_sql_window",             # SQL entry (r7-stale)
+    # ---- the new driver-checkable source (verdict item 4) ----
+    "q_scan_ring",              # token-ring DataSource scan == plain scan
+    # ---- longest-stale rotation: last green r7 (full cohort, 23) ----
+    "q_agg_global_sum",
+    "q_agg_pivot",
+    "q_agg_rollup",
+    "q_cast",
+    "q_corpus_shuffle",
+    "q_decontaminate_apply",
+    "q_dedup_ngram",
+    "q_fingerprint",
+    "q_fn_explode",
+    "q_fn_string",              # §2.8 rep
+    "q_intersect",
+    "q_join_nullsafe",
+    "q_pipeline_filtered_agg",  # TPC-H Q6 shape
+    "q_pipeline_local_supplier",
+    "q_pipeline_profit",
+    "q_pipeline_top_supplier",
+    "q_pipeline_topk_revenue",  # TPC-H Q3 shape
+    "q_sample_stratified",
+    "q_session_dynamic",
+    "q_sim_topk",               # tier-X rep
+    "q_token_count",
+    "q_udaf",                   # §2.10 rep
+    "q_union_distinct",
+    # ---- flagship canary + family sentinels (oldest green member
+    # ---- per family the cohort misses; staleness dual duty) ----
     "q_session_window",         # flagship; §2.9 batch windows
-    # ---- r7-stale fills (6 of 32; family breadth first) ----
-    "q_agg_cube",               # §2.4
-    "q_join_asof",              # §2.3
-    "q_win_range_frame",        # §2.5
-    "q_dedup_exact",            # tier X
-    "q_embed_pca",              # tier X (driver-state scale claim)
-    "q_pack_sequences",         # tier X
+    "q_project",                # §2.2 (r10)
+    "q_join_broadcast",         # §2.3 (r8)
+    "q_agg_count_group",        # §2.4 (r8)
+    "q_win_laglead",            # §2.5 (r10)
+    "q_topk",                   # §2.6 (r10)
+    "q_except",                 # §2.7 (r8)
+    "q_stream_session",         # §2.9 STRICT streaming (r8; bench canary)
+    "q_sql_session_window",     # SQL entry (r8)
+    # ---- r8-stale fills (17 of the remaining 38; tier-X dedup set
+    # ---- first — q_dedup_incremental was r11-bench-flagged — then
+    # ---- the join family and agg/2.2 breadth) ----
+    "q_dedup_incremental",
+    "q_dedup_near",
+    "q_dedup_apply",
+    "q_dedup_cross",
+    "q_dedup_groups",
+    "q_dedup_embedding",
+    "q_dedup_simhash",
+    "q_join_anti",
+    "q_join_outer",
+    "q_join_range",
+    "q_join_semi",
+    "q_join_star",
+    "q_agg_count_distinct",
+    "q_agg_having",
+    "q_agg_percentile",
+    "q_case_when",
+    "q_multimodal_decode",
+    # Round-13 backlog (the r8 remainder, 21): q_fn_array q_fn_date
+    # q_fn_map q_fn_math q_fn_null q_limit q_multimodal_passthrough
+    # q_pipeline_promo_share q_pipeline_returned_items q_sample_hash
+    # q_session_window_keyed q_sim_topk_ivf q_sim_topk_lsh
+    # q_sliding_window q_sort q_stream_upsert q_text_stats
+    # q_udf_scalar q_udtf q_win_ntile q_win_running_sum.
 )
-
-# Round-12 allocation (write when the r11 CORRECTNESS lands; run
-# scripts/update_green_manifest.py first): burn the remaining r7
-# cohort (~26 after this window re-certifies q_source_range,
-# q_except_all, q_sql_window and the six fills), then any query whose
-# code changed after its last green row, then as much of r8 as fits;
-# keep the flagship and one sentinel per family the cohorts miss, and
-# leave registration FROZEN unless a verdict demands a new operator.
 
 
 def ordered_queries() -> dict[str, QueryFn]:

@@ -452,3 +452,19 @@ def test_ring_writer_overlapping_queries_stage_in_isolation(tmp_path):
         for r in pq.read_table(f).to_pylist()
     )
     assert rows == [(1, "a1"), (2, "a2"), (3, "b3"), (4, "b4")]
+
+
+def test_q_scan_ring_equals_plain_scan(spark):
+    """The registered driver query (q_scan_ring): reading customer
+    through the token-ring DataSource with the size-derived split plan
+    must be row-for-row the plain parquet scan — ring coverage is
+    total and disjoint, so the union of per-split reads IS the table
+    (CassandraPojoSource.java:57-63 semantics)."""
+    from flink_samples_spark.plans import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    ring = sorted(map(tuple, QUERIES["q_scan_ring"](spark, sf_dir).collect()))
+    plain = sorted(
+        map(tuple, spark.read.parquet(f"{sf_dir}/customer.parquet").collect())
+    )
+    assert ring == plain
