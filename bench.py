@@ -2,18 +2,26 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (stdout carries NOTHING else):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": ...}
+   "queries": {"q1": sec, ...}, "sf": ..., ...}
+
+The driver records only the LAST ~2000 characters of stdout — round
+11's record was lost because per-query load-sample fields grew the
+line past that window and truncated the opening brace (r11 verdict
+item 1). The final line is therefore BUDGETED (hard guard < 1900
+chars, shrink ladder below); everything bulky — per-sample timings,
+per-run load samples, full gate detail — goes to a SIDECAR file
+($SPARK_GRAFT_BENCH_SIDECAR, default ``bench_sidecar.json`` next to
+this script; committed per round as ``BENCH_rN_local.json``).
 
 Each query is materialized with a noop sink (full execution, zero
 driver-transfer cost), timed after one warm-up of the session (JVM +
-parquet footer caches), best-of-2 INTERLEAVED across two full suite
-passes (see below).
+parquet footer caches), BEST-OF-3 (see sampling policy below).
 
-Contention-proofing (round-10 verdict item 1) — this host is shared,
-and the official round record must be classifiable from its own
-fields when a co-tenant inflates a timing:
+Contention-proofing (round-10/11 verdict items) — this host is
+shared, and the official round record must be classifiable from its
+own fields when a co-tenant inflates a timing:
 
 * **load gate**: the suite start is gated on the 15-minute loadavg
   (threshold $SPARK_GRAFT_BENCH_LOAD_GATE, default 8.0) with ONE
@@ -22,6 +30,20 @@ fields when a co-tenant inflates a timing:
   RIGHT NOW (1- and 5-min both under half the threshold) passes early
   even while a stale 15-min figure decays. The gate never aborts — on
   timeout it proceeds and says so in the JSON (``load_gate``).
+* **drift-probe pre-flight gate** (r11 verdict item 3 — the loadavg
+  gate alone let an r11 record start at load15 7.78 and then run
+  under sustained 12-22 load): before the warm-up, the three constant
+  drift probes run (min-of-2 each) and the GEOMEAN of their ratios to
+  the committed quiet-host reference
+  (``scripts/quiet_host_reference.json``) must be within
+  $SPARK_GRAFT_BENCH_PROBE_GATE (default 1.2); otherwise wait and
+  re-probe within the same bounded window. Geomean, not per-probe:
+  the 20-30 ms range_scan probe spans 0.017-0.035 s across known-
+  quiet rounds (r8-r11 locals), so a per-probe 1.2× bound false-fails
+  on a quiet host, while real co-tenant load inflates all three
+  probes together. Never aborts; the result rides in the JSON
+  (``probe_gate``), so a record that started on a busy host is
+  mechanically identifiable.
 * **best-of-3, interleaved for queries > 1 s**: a slow query's
   second and third runs come from two deferred passes spaced across
   the suite — sustained co-tenant load defeats adjacent samples, and
@@ -35,15 +57,20 @@ fields when a co-tenant inflates a timing:
   can't normalize away). Three samples instead of two because this
   host carries persistent background ticks: with two, whichever
   queries both samples happened to hit showed a random 1.2-1.7× tail.
+  A failed SECOND or THIRD run keeps the already-valid earlier
+  samples and records the failure separately (``<q>_rerun`` in
+  errors) — a transient late-suite error must not convert a measured
+  query into an error row (r11 ADVICE).
 * **suite-spaced streaming samples**: the two streaming contract
   rates are best-of-3 with one replay BEFORE the batch loops and two
   after (~10 min apart end to end) — this host's co-tenant bursts
   last ~5 min, and adjacent replays let one burst poison every
   sample of a contract number with a hard 1,000 ev/s floor.
 * **per-query load samples**: the 1-minute loadavg at the start of
-  each timed run is recorded per query (``query_load``: {q: [passA,
-  passB]}), so a 10× outlier is mechanically classifiable as load
-  (scripts/bench_compare.py reads these) rather than narratively.
+  each timed run is recorded per query (``query_load``: {q: [one per
+  best-of-3 sample]}, SIDECAR ONLY), so a 10× outlier is mechanically
+  classifiable as load (scripts/bench_compare.py reads these) rather
+  than narratively.
 """
 
 from __future__ import annotations
@@ -151,6 +178,139 @@ def _load1() -> float | None:
     return la[0] if la else None
 
 
+def _drift_probe_fns(spark):
+    """The three constant-cost probes: pure engine fixed overhead (no
+    table input, no Python stage). Shared by the pre-flight gate and
+    the end-of-suite drift record so the two are comparable."""
+    return (
+        # pure codegen pipeline: range → filter → sum (no shuffle)
+        ("range_sum", lambda: spark.range(50_000_000)
+            .filter("id % 7 != 0").agg({"id": "sum"})),
+        # one shuffle: range → groupBy → count (exchange fixed cost)
+        ("range_group", lambda: spark.range(5_000_000)
+            .groupBy((F.col("id") % 1024).alias("k")).count()),
+        # scheduler fixed cost: 32-partition no-op scan
+        ("range_scan", lambda: spark.range(0, 1_000_000, 1, 32)),
+    )
+
+
+def _run_probes(spark) -> dict[str, float]:
+    """Min-of-2 per probe (the r8-r11 sampling, kept for round-over-
+    round comparability of the drift factor)."""
+    best: dict[str, float] = {}
+    for name, fn in _drift_probe_fns(spark):
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            best[name] = min(best.get(name, float("inf")), dt)
+    return {k: round(v, 3) for k, v in best.items()}
+
+
+def _geomean(xs: list[float]) -> float:
+    import math
+
+    xs = [x for x in xs if x > 0]
+    return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else 1.0
+
+
+def probe_preflight_gate(spark) -> dict:
+    """r11 verdict item 3: gate the suite on measured engine overhead,
+    not loadavg alone. Runs the three drift probes and requires the
+    GEOMEAN of their ratios to the committed quiet-host reference
+    within $SPARK_GRAFT_BENCH_PROBE_GATE (default 1.2); on failure,
+    waits (45 s steps) and re-probes within
+    $SPARK_GRAFT_BENCH_LOAD_WAIT_S. Never aborts — a timed-out gate
+    proceeds and records itself."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_GATE", "1.2"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+    ref_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts",
+        "quiet_host_reference.json",
+    )
+    gate: dict = {"threshold": threshold}
+    try:
+        with open(ref_path) as f:
+            ref = {k: v for k, v in json.load(f)["probes"].items() if v > 0}
+    except (OSError, ValueError, KeyError):
+        ref = {}
+    if not ref:
+        gate["result"] = "no_reference"
+        return gate
+    gate["reference"] = ref
+    t0 = time.monotonic()
+    attempts = 0
+    # One unrecorded warm pass: the gate runs PRE-warmup on a fresh
+    # session, and the first probe round pays JIT/codegen compilation
+    # (measured ~1.5× the warmed value on an IDLE host) — gating on it
+    # would false-fail quiet hosts. The reference was recorded warmed.
+    _run_probes(spark)
+    while True:
+        # min over two rounds per attempt: single min-of-2 rounds
+        # bounce up to 1.6× on an idle host (scheduler ticks)
+        m1, m2 = _run_probes(spark), _run_probes(spark)
+        measured = {k: min(m1[k], m2[k]) for k in m1}
+        attempts += 1
+        # 0.1 s floor on BOTH sides: the ~50 ms range_scan probe is
+        # scheduler noise at idle (0.017-0.091 s across known-quiet
+        # runs) and would dominate the geomean; under real co-tenant
+        # load it reads 0.5 s+ and still trips the floored ratio.
+        ratios = {
+            k: max(measured[k], 0.1) / max(ref[k], 0.1)
+            for k in ref
+            if k in measured
+        }
+        factor = round(_geomean(list(ratios.values())), 3)
+        gate.update(
+            measured=measured,
+            ratios={k: round(r, 3) for k, r in ratios.items()},
+            factor=factor,
+            attempts=attempts,
+        )
+        if factor <= threshold:
+            gate["result"] = "passed" if attempts == 1 else "passed_after_wait"
+            break
+        if time.monotonic() - t0 >= max_wait:
+            gate["result"] = "timed_out"
+            break
+        time.sleep(45)
+    gate["waited_s"] = round(time.monotonic() - t0, 1)
+    return gate
+
+
+def budget_line(payload: dict, limit: int = 1900) -> str:
+    """The driver captures ~2000 trailing stdout chars; budget the
+    final line to ``limit`` with a shrink ladder — 2-decimal timings,
+    then truncated error strings, then errors→count — so the opening
+    brace ALWAYS survives the tail window (round 11 lost its record
+    to exactly this). Compact separators throughout. Mutates and
+    serializes ``payload``; the sidecar keeps the full detail."""
+    line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > limit and "queries" in payload:
+        payload["queries"] = {
+            k: round(v, 2) for k, v in payload["queries"].items()
+        }
+        line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > limit and "errors" in payload:
+        payload["errors"] = {k: v[:60] for k, v in payload["errors"].items()}
+        line = json.dumps(payload, separators=(",", ":"))
+        if len(line) > limit:
+            payload["errors_n"] = len(payload.pop("errors"))
+            line = json.dumps(payload, separators=(",", ":"))
+    # last-resort rungs (sidecar keeps every dropped field): loadavg
+    # pairs, then the long metric string — the timings themselves are
+    # never dropped, they ARE the record
+    for key in ("loadavg_start", "loadavg"):
+        if len(line) > limit and key in payload:
+            payload.pop(key)
+            line = json.dumps(payload, separators=(",", ":"))
+    if len(line) > limit:
+        payload["metric"] = "headline-suite sec"
+        line = json.dumps(payload, separators=(",", ":"))
+    return line
+
+
 def wait_for_quiet_host() -> dict:
     """Gate the suite start on the 15-minute loadavg (r10 verdict
     item 1a). One bounded retry window; never aborts — a timed-out
@@ -190,6 +350,7 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="fss-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    probe_gate = probe_preflight_gate(spark)
 
     # Warm-up pass: JVM codegen, Python worker pool, parquet footers.
     # No DataFrame/result caching — only engine infrastructure warms;
@@ -236,9 +397,12 @@ def main() -> None:
             dt = time.perf_counter() - t0
             spark.catalog.clearCache()
         except Exception as e:  # noqa: BLE001 — record and keep benching
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            samples.pop(name, None)
-            query_load.pop(name, None)
+            # A failed re-run keeps the already-valid earlier samples
+            # (r11 ADVICE): the min over the surviving samples is still
+            # a true measurement; only a FIRST-run failure leaves the
+            # query with no timing at all.
+            key = name if name not in samples else f"{name}_rerun"
+            errors[key] = f"{type(e).__name__}: {e}"[:300]
             return False
         samples.setdefault(name, []).append(dt)
         query_load.setdefault(name, []).append(load)
@@ -297,7 +461,10 @@ def main() -> None:
         if not timed_run(name):
             continue
         if samples[name][0] <= 1.0:
-            timed_run(name) and timed_run(name)  # adjacent samples 2+3
+            # adjacent samples 2+3 (each attempt independent: a
+            # transient failure of sample 2 must not cost sample 3)
+            timed_run(name)
+            timed_run(name)
         else:
             deferred.append(name)  # interleaved samples 2+3 below
     for _pass in range(2):
@@ -317,8 +484,6 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "load_gate": load_gate,
-        "query_load": query_load,
     }
 
     # Streaming throughput vs BASELINE.md's ≥1,000 records/s floor
@@ -344,31 +509,18 @@ def main() -> None:
             payload["stream_stateful_events_per_s"] = round(
                 n_events / stream_best["q_stream_ewma"]
             )
-        payload["stream_load"] = stream_load
 
-    # Host-drift reference points: three constant probes whose cost is
-    # pure engine fixed overhead (no table input, no Python stage), so
-    # round-over-round comparisons can normalize host noise from the
-    # JSON itself instead of post-hoc analysis. Interleaved best-of-2
-    # like the headliners. loadavg (1/5/15-min) records what the host
-    # was doing DURING the bench — a loaded driver host shows up here,
-    # not as a mystery regression in the query numbers.
-    probes = (
-        # pure codegen pipeline: range → filter → sum (no shuffle)
-        ("range_sum", lambda: spark.range(50_000_000)
-            .filter("id % 7 != 0").agg({"id": "sum"})),
-        # one shuffle: range → groupBy → count (exchange fixed cost)
-        ("range_group", lambda: spark.range(5_000_000)
-            .groupBy((F.col("id") % 1024).alias("k")).count()),
-        # scheduler fixed cost: 32-partition no-op scan
-        ("range_scan", lambda: spark.range(0, 1_000_000, 1, 32)),
-    )
-    # probes stay back-to-back min-of-2 (sub-second, and the r8-r10
-    # probe series was sampled that way — comparability of the drift
-    # factor across rounds is the whole point of the probes)
+    # Host-drift reference points: the three constant probes again at
+    # END of suite, so round-over-round comparisons can normalize host
+    # noise from the JSON itself (scripts/bench_compare.py). Min-of-2
+    # back-to-back, the r8-r11 sampling — comparability of the drift
+    # factor across rounds is the whole point of the probes. loadavg
+    # (1/5/15-min) records what the host was doing DURING the bench —
+    # a loaded driver host shows up here, not as a mystery regression
+    # in the query numbers.
     drift_load: dict[str, list[float | None]] = {}
     drift_best: dict[str, float] = {}
-    for probe_name, probe_fn in probes:
+    for probe_name, probe_fn in _drift_probe_fns(spark):
         try:
             best = float("inf")
             for _ in range(2):
@@ -382,9 +534,7 @@ def main() -> None:
             errors[f"drift_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
             drift_best.pop(probe_name, None)
             drift_load.pop(probe_name, None)
-    drift = {k: round(v, 3) for k, v in drift_best.items()}
-    payload["drift_probes"] = drift
-    payload["drift_load"] = drift_load
+    payload["drift_probes"] = {k: round(v, 3) for k, v in drift_best.items()}
     # loadavg at BOTH ends: the end-of-run 1-minute figure mostly
     # reflects the bench's own local[32] execution; the start-of-run
     # figure is what exposes a host that was already busy before the
@@ -395,9 +545,42 @@ def main() -> None:
     if la_end is not None:
         payload["loadavg"] = la_end
 
+    # Gate results ride in the driver line as COMPACT summaries; the
+    # full detail (references, ratios, per-attempt measurements) plus
+    # every per-sample field goes to the sidecar. The r11 record died
+    # by unbounded growth of exactly these fields.
+    payload["load_gate"] = load_gate.get("result")
+    payload["probe_gate"] = "{}({}x)".format(
+        probe_gate.get("result"), probe_gate.get("factor", "?")
+    ) if "factor" in probe_gate else probe_gate.get("result")
     if errors:
         payload["errors"] = errors
-    print(json.dumps(payload))
+
+    sidecar_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_sidecar.json"),
+    )
+    sidecar = dict(payload)
+    sidecar.update(
+        load_gate=load_gate,
+        probe_gate=probe_gate,
+        samples={k: [round(x, 3) for x in v] for k, v in samples.items()},
+        query_load=query_load,
+        stream_best_s={k: round(v, 3) for k, v in stream_best.items()},
+        stream_load=stream_load,
+        drift_load=drift_load,
+    )
+    try:
+        with open(sidecar_path, "w") as f:
+            json.dump(sidecar, f, indent=1)
+            f.write("\n")
+        payload["sidecar"] = os.path.basename(sidecar_path)
+        print(f"sidecar written: {sidecar_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"sidecar write failed: {e}", file=sys.stderr)
+
+    print(budget_line(payload))
 
 
 if __name__ == "__main__":

@@ -79,10 +79,17 @@ def load_annotation(old: dict, new: dict, q: str) -> str:
     co-tenant BURSTS hitting this query specifically; SUSTAINED
     co-tenant load raises the whole run's median and is the drift
     factor's job instead. Reads bench.py's per-query ``query_load``
-    samples; older JSONs without the field yield no annotation."""
-    gate = (new.get("load_gate") or {}).get("threshold") or (
-        old.get("load_gate") or {}
-    ).get("threshold") or 8.0
+    samples — SIDECAR-only since round 12 (the compact driver line
+    carries just the gate verdict string), so point this tool at the
+    ``BENCH_rN_local.json`` sidecars for LOAD-SUSPECT annotations;
+    JSONs without the field yield no annotation."""
+
+    def _gate_threshold(d: dict) -> float | None:
+        lg = d.get("load_gate")
+        # r11 shape: a dict with threshold; r12 driver line: a string
+        return lg.get("threshold") if isinstance(lg, dict) else None
+
+    gate = _gate_threshold(new) or _gate_threshold(old) or 8.0
     notes = []
     for side, data in (("old", old), ("new", new)):
         all_samples = sorted(

@@ -21,9 +21,18 @@ echo "$BENCH_OUT" | tail -1 | python -c '
 import json, sys
 line = sys.stdin.read().strip().splitlines()[-1]
 d = json.loads(line)
-errs = d.get("errors")
-if errs:
-    print("GATE RED: bench recorded per-query errors:", sorted(errs))
+errs = d.get("errors") or {}
+# <q>_rerun keys are TRANSIENT late-suite re-run failures whose query
+# still carries a valid earlier sample (r11 ADVICE) — warn, not red.
+hard = sorted(k for k in errs if not k.endswith("_rerun"))
+if hard:
+    print("GATE RED: bench recorded per-query errors:", hard)
+    sys.exit(1)
+soft = sorted(k for k in errs if k.endswith("_rerun"))
+if soft:
+    print("GATE WARN: transient re-run failures (timings kept):", soft)
+if "errors_n" in d:
+    print("GATE RED: error detail truncated out of the line; see sidecar")
     sys.exit(1)
 nq, tot, unit, sf = len(d["queries"]), d["value"], d["unit"], d["sf"]
 print(f"GATE GREEN: {nq} queries, total {tot} {unit} at sf{sf}")

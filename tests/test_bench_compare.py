@@ -137,3 +137,74 @@ def test_load_gate_unavailable_platform(monkeypatch):
     monkeypatch.setattr(bench.os, "getloadavg", boom)
     gate = bench.wait_for_quiet_host()
     assert gate["result"] == "unavailable"
+
+
+def test_probe_preflight_gate_passes_quiet_and_waits_when_loaded(monkeypatch):
+    """r11 verdict item 3: the suite start is gated on MEASURED probe
+    overhead vs the committed quiet-host reference — geomean of the
+    floored ratios ≤ threshold. A loaded host (probes ~3×) must not
+    pass; with a zero wait budget the gate times out, proceeds, and
+    records itself."""
+    bench = _load_bench_module()
+    ref = json.load(open(os.path.join(ROOT, "scripts",
+                                      "quiet_host_reference.json")))["probes"]
+
+    quiet = dict(ref)
+    monkeypatch.setattr(bench, "_run_probes", lambda spark: dict(quiet))
+    gate = bench.probe_preflight_gate(spark=None)
+    assert gate["result"] == "passed"
+    assert gate["factor"] <= 1.0 + 1e-9
+    assert gate["attempts"] == 1
+
+    loaded = {k: v * 3 for k, v in ref.items()}
+    monkeypatch.setattr(bench, "_run_probes", lambda spark: dict(loaded))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "0")
+    gate = bench.probe_preflight_gate(spark=None)
+    assert gate["result"] == "timed_out"
+    assert gate["factor"] > 1.2
+    assert gate["waited_s"] < 5  # bounded: zero budget -> no sleep
+
+
+def test_probe_preflight_gate_small_probe_noise_is_floored(monkeypatch):
+    """The ~50 ms range_scan probe spans 0.017-0.091 s across
+    known-quiet rounds — a 2× wobble on it alone must not fail the
+    gate (0.1 s floor on both ratio sides)."""
+    bench = _load_bench_module()
+    ref = json.load(open(os.path.join(ROOT, "scripts",
+                                      "quiet_host_reference.json")))["probes"]
+    wobble = dict(ref)
+    wobble["range_scan"] = ref["range_scan"] * 2  # still under the floor
+    monkeypatch.setattr(bench, "_run_probes", lambda spark: dict(wobble))
+    gate = bench.probe_preflight_gate(spark=None)
+    assert gate["result"] == "passed"
+
+
+def test_budget_line_always_fits_and_keeps_the_brace():
+    """The final stdout line must parse out of a 2000-char tail
+    capture even with 53 queries and a pile of errors (the r11
+    failure mode was unbounded growth truncating the opening brace)."""
+    bench = _load_bench_module()
+    # the REAL headline list — the budget guarantee is a contract on
+    # the actual suite (53 queries incl. 25-char multimodal names),
+    # not on arbitrarily long synthetic ids
+    payload = {
+        "metric": "headline-suite wall time (noop-materialized, local)",
+        "value": 123.456,
+        "unit": "sec",
+        "queries": {name: i + 0.123 for i, name in enumerate(bench.HEADLINE)},
+        "sf": "0.1",
+        "drift_probes": {"range_sum": 0.1, "range_group": 0.3, "range_scan": 0.02},
+        "loadavg_start": [1.0, 2.0, 3.0],
+        "loadavg": [20.0, 15.0, 10.0],
+        "load_gate": "passed",
+        "probe_gate": "passed(1.04x)",
+        "errors": {f"q_err_{i}": "SomeException: " + "x" * 290 for i in range(20)},
+    }
+    line = bench.budget_line(payload)
+    assert len(line) <= 1900
+    tail = line[-2000:]  # what the driver sees
+    parsed = json.loads(tail)
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    assert parsed["value"] == 123.456
+    # errors survived in truncated or counted form
+    assert "errors" in parsed or parsed.get("errors_n") == 20
