@@ -82,6 +82,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd  # noqa: E402 — the py_udf probe's type hints
 from pyspark.sql import functions as F  # noqa: E402
 
 from flink_samples_spark.plans import QUERIES  # noqa: E402
@@ -179,9 +180,27 @@ def _load1() -> float | None:
 
 
 def _drift_probe_fns(spark):
-    """The three constant-cost probes: pure engine fixed overhead (no
-    table input, no Python stage). Shared by the pre-flight gate and
-    the end-of-suite drift record so the two are comparable."""
+    """The four constant-cost probes: pure engine fixed overhead (no
+    table input). Shared by the pre-flight gate and the end-of-suite
+    drift record so the two are comparable. Three are JVM-only; the
+    fourth (``py_udf``, added r12) exercises the Arrow → Python-worker
+    → numpy path, because JVM probes are structurally BLIND to
+    Python-worker drift — the r11/r12 flag on q_dedup_incremental
+    (a pandas-UDF-heavy query) read ~1.5× normalized while all three
+    JVM probes read flat, and nothing in the record could say whether
+    the python lane itself had slowed. Gate/normalization use
+    whichever probe names both sides share, so pre-r12 comparisons
+    are unaffected."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _py_probe(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        a = s.to_numpy(dtype=np.float64)
+        # fixed numpy work per batch: a few vector ops + a sort
+        return pd.Series(np.sqrt(a * 1.0001 + 7.0) + np.sort(a % 97.0))
+
     return (
         # pure codegen pipeline: range → filter → sum (no shuffle)
         ("range_sum", lambda: spark.range(50_000_000)
@@ -191,6 +210,9 @@ def _drift_probe_fns(spark):
             .groupBy((F.col("id") % 1024).alias("k")).count()),
         # scheduler fixed cost: 32-partition no-op scan
         ("range_scan", lambda: spark.range(0, 1_000_000, 1, 32)),
+        # Arrow batch transfer + python-worker numpy throughput
+        ("py_udf", lambda: spark.range(0, 4_000_000, 1, 32)
+            .select(F.sum(_py_probe(F.col("id"))).alias("s"))),
     )
 
 
