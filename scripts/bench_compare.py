@@ -147,10 +147,16 @@ def main() -> None:
         if la:
             print(f"{side} loadavg: {la}")
         gate = key.get("load_gate")
-        if gate:
+        if isinstance(gate, dict):  # r11 full shape (sidecars)
             print(f"{side} load gate: {gate.get('result')} "
                   f"(threshold {gate.get('threshold')}, "
                   f"waited {gate.get('waited_s', 0)}s)")
+        elif gate:  # r12 driver-line shape: a verdict string
+            print(f"{side} load gate: {gate}")
+        pg = key.get("probe_gate")
+        if pg:
+            pg = pg.get("result") if isinstance(pg, dict) else pg
+            print(f"{side} probe gate: {pg}")
     print()
     print("| query | old s | new s | raw ratio | normalized | flag |")
     print("|---|---|---|---|---|---|")

@@ -208,3 +208,25 @@ def test_budget_line_always_fits_and_keeps_the_brace():
     assert parsed["value"] == 123.456
     # errors survived in truncated or counted form
     assert "errors" in parsed or parsed.get("errors_n") == 20
+
+
+def test_compare_accepts_r12_string_gates(tmp_path):
+    """The r12 driver line carries load_gate/probe_gate as verdict
+    STRINGS (full dicts live in the sidecar) — the comparison must
+    print them without crashing (the r12 gate log caught a .get on a
+    string mid-table)."""
+    old = {
+        "queries": {"q_a": 1.0},
+        "drift_probes": {"p1": 0.1},
+        "load_gate": {"threshold": 8.0, "result": "passed", "waited_s": 0},
+    }
+    new = {
+        "queries": {"q_a": 1.1},
+        "drift_probes": {"p1": 0.1},
+        "load_gate": "passed",
+        "probe_gate": "passed_after_wait(0.79x)",
+    }
+    r = run_compare(tmp_path, old, new)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "new load gate: passed" in r.stdout
+    assert "new probe gate: passed_after_wait(0.79x)" in r.stdout
