@@ -555,4 +555,18 @@ def register_cassandra_ring(spark) -> None:
         != "true"
     ):
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Ship this module BY VALUE inside the pickled DataSource: the
+    # data-source worker processes (create_data_source, plan, read)
+    # un-pickle the class in a fresh interpreter whose sys.path need
+    # not contain this repo (the driver may run from any cwd — the
+    # r12 vanilla sweep caught exactly that with a worker-side
+    # ModuleNotFoundError). By-value registration makes cloudpickle
+    # serialize the class and every module global it references
+    # (murmur3_token, the split planners) instead of a bare
+    # "import flink_samples_spark..." reference.
+    import sys
+
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
     spark.dataSource.register(_build_datasource())
