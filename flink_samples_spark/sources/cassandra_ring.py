@@ -307,6 +307,7 @@ def _build_datasource():
 
         def read(self, partition):
             import numpy as np
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             table = pq.read_table(self.path)
@@ -324,8 +325,22 @@ def _build_datasource():
             mask = (toks > partition.start) & (toks <= partition.end)
             if self.pk_values is not None:
                 mask &= np.isin(keys, np.fromiter(self.pk_values, dtype=np.int64))
-            for row in table.take(np.nonzero(mask)[0]).to_pylist():
-                yield tuple(row[c] for c in cols)
+            pruned = table.take(np.nonzero(mask)[0])
+            # Yield Arrow RecordBatches, not per-row tuples: the Python
+            # Data Source API accepts either, and batches keep the whole
+            # split Arrow-vectorized end-to-end (no pylist round-trip).
+            # Normalize large_string → string so the batch schema matches
+            # the declared Spark schema exactly.
+            target = pa.schema(
+                [
+                    pa.field(
+                        f.name,
+                        pa.string() if f.type == pa.large_string() else f.type,
+                    )
+                    for f in pruned.schema
+                ]
+            )
+            yield from pruned.cast(target).to_batches(max_chunksize=8192)
 
     class _RingCommit(WriterCommitMessage):
         def __init__(self, staging_id: str, staged: list[str]):

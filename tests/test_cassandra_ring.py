@@ -161,6 +161,17 @@ def test_ring_datasource_reads_exactly_the_table(spark, tmp_path):
     assert df_sized.count() == len(pdf)
 
 
+def _read_rows(reader, part):
+    """Flatten the reader's Arrow RecordBatch yields to row tuples
+    (the reader yields batches since r12 — the Data Source API accepts
+    either; Spark does this same flattening JVM-side)."""
+    return [
+        tuple(row.values())
+        for batch in reader.read(part)
+        for row in batch.to_pylist()
+    ]
+
+
 def test_pk_pushdown_prunes_to_owning_split():
     """Token-aware single-partition lookup at the reader level: a pk
     equality (or IN) predicate handed to pushFilters is fully
@@ -188,7 +199,7 @@ def test_pk_pushdown_prunes_to_owning_split():
         assert len(parts) == 1  # one owning range out of 64
         tok = murmur3_token(bigint_key_bytes(42))
         assert parts[0].start < tok <= parts[0].end
-        rows = list(reader.read(parts[0]))
+        rows = _read_rows(reader, parts[0])
         assert rows == [(42, "v42")]
 
         # IN list: as many ranges as distinct owners, all rows back
@@ -196,7 +207,7 @@ def test_pk_pushdown_prunes_to_owning_split():
         assert list(reader2.pushFilters([In(("pk",), (1, 2, 3))])) == []
         parts2 = reader2.partitions()
         assert 1 <= len(parts2) <= 3
-        got = sorted(r for p in parts2 for r in reader2.read(p))
+        got = sorted(r for p in parts2 for r in _read_rows(reader2, p))
         assert got == [(1, "v1"), (2, "v2"), (3, "v3")]
 
         # a non-pk filter is NOT absorbed (Spark must re-evaluate it)
@@ -331,7 +342,7 @@ def test_pushdown_equals_full_scan_filter_property():
             reader = ds_cls({"path": path, "n_splits": str(n_splits)}).reader(None)
             assert list(reader.pushFilters([In(("pk",), tuple(pick))])) == []
             got = sorted(
-                r for p in reader.partitions() for r in reader.read(p)
+                r for p in reader.partitions() for r in _read_rows(reader, p)
             )
             assert got == sorted((k, str(k)) for k in set(pick))
 
