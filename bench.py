@@ -32,16 +32,16 @@ own fields when a co-tenant inflates a timing:
   timeout it proceeds and says so in the JSON (``load_gate``).
 * **drift-probe pre-flight gate** (r11 verdict item 3 — the loadavg
   gate alone let an r11 record start at load15 7.78 and then run
-  under sustained 12-22 load): before the warm-up, the three constant
-  drift probes run (min-of-2 each) and the GEOMEAN of their ratios to
-  the committed quiet-host reference
+  under sustained 12-22 load): before the warm-up, the four constant
+  drift probes run (one warm pass, then min over two min-of-2
+  rounds) and the GEOMEAN of their 0.1 s-floored ratios to the
+  committed quiet-host reference
   (``scripts/quiet_host_reference.json``) must be within
   $SPARK_GRAFT_BENCH_PROBE_GATE (default 1.2); otherwise wait and
   re-probe within the same bounded window. Geomean, not per-probe:
-  the 20-30 ms range_scan probe spans 0.017-0.035 s across known-
-  quiet rounds (r8-r11 locals), so a per-probe 1.2× bound false-fails
-  on a quiet host, while real co-tenant load inflates all three
-  probes together. Never aborts; the result rides in the JSON
+  the 20-30 ms range_scan probe spans 0.017-0.091 s across known-
+  quiet rounds, so a per-probe 1.2× bound false-fails on a quiet
+  host, while real co-tenant load inflates every probe together. Never aborts; the result rides in the JSON
   (``probe_gate``), so a record that started on a busy host is
   mechanically identifiable.
 * **best-of-3, interleaved for queries > 1 s**: a slow query's
@@ -238,7 +238,7 @@ def _geomean(xs: list[float]) -> float:
 
 def probe_preflight_gate(spark) -> dict:
     """r11 verdict item 3: gate the suite on measured engine overhead,
-    not loadavg alone. Runs the three drift probes and requires the
+    not loadavg alone. Runs the drift probes and requires the
     GEOMEAN of their ratios to the committed quiet-host reference
     within $SPARK_GRAFT_BENCH_PROBE_GATE (default 1.2); on failure,
     waits (45 s steps) and re-probes within
