@@ -236,16 +236,25 @@ def _geomean(xs: list[float]) -> float:
     return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else 1.0
 
 
-def probe_preflight_gate(spark) -> dict:
+def probe_preflight_gate(spark, budget_s: float | None = None) -> dict:
     """r11 verdict item 3: gate the suite on measured engine overhead,
     not loadavg alone. Runs the drift probes and requires the
     GEOMEAN of their ratios to the committed quiet-host reference
     within $SPARK_GRAFT_BENCH_PROBE_GATE (default 1.2); on failure,
-    waits (45 s steps) and re-probes within
-    $SPARK_GRAFT_BENCH_LOAD_WAIT_S. Never aborts — a timed-out gate
-    proceeds and records itself."""
+    waits (45 s steps) and re-probes within ``budget_s`` seconds
+    (default $SPARK_GRAFT_BENCH_LOAD_WAIT_S). Never aborts — a
+    timed-out gate proceeds and records itself. ``budget_s`` is how
+    main() shares ONE wait budget across both suite-start gates: the
+    loadavg gate spends first, this gate gets the remainder, so the
+    worst-case pre-suite wait is bounded at max_wait TOTAL (not per
+    gate — a driver-side bench timeout must never be eaten by gates
+    alone)."""
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_GATE", "1.2"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+    max_wait = (
+        budget_s
+        if budget_s is not None
+        else float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+    )
     ref_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "scripts",
@@ -372,7 +381,12 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="fss-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    probe_gate = probe_preflight_gate(spark)
+    # shared wait budget across BOTH suite-start gates (the loadavg
+    # gate spent first; the probe gate gets what remains)
+    total_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+    probe_gate = probe_preflight_gate(
+        spark, budget_s=max(0.0, total_wait - load_gate.get("waited_s", 0.0))
+    )
 
     # Warm-up pass: JVM codegen, Python worker pool, parquet footers.
     # No DataFrame/result caching — only engine infrastructure warms;

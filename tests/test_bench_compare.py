@@ -230,3 +230,19 @@ def test_compare_accepts_r12_string_gates(tmp_path):
     assert r.returncode == 0, r.stdout + r.stderr
     assert "new load gate: passed" in r.stdout
     assert "new probe gate: passed_after_wait(0.79x)" in r.stdout
+
+
+def test_gate_wait_budget_is_shared(monkeypatch):
+    """The two suite-start gates share ONE wait budget: a probe gate
+    handed budget_s=0 must time out immediately instead of waiting its
+    own full $SPARK_GRAFT_BENCH_LOAD_WAIT_S on top of the loadavg
+    gate's spend."""
+    bench = _load_bench_module()
+    ref = json.load(open(os.path.join(ROOT, "scripts",
+                                      "quiet_host_reference.json")))["probes"]
+    loaded = {k: v * 3 for k, v in ref.items()}
+    monkeypatch.setattr(bench, "_run_probes", lambda spark: dict(loaded))
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900")  # ignored
+    gate = bench.probe_preflight_gate(spark=None, budget_s=0.0)
+    assert gate["result"] == "timed_out"
+    assert gate["waited_s"] < 5
