@@ -228,6 +228,50 @@ def plan_token_splits_by_size(
     return plan_token_splits(max(1, -(-estimated_table_bytes // per)))
 
 
+# ONE type table serves both seams of the stub wire layer: schema()
+# derives the declared Spark type from the parquet arrow type, and the
+# reader casts each batch to the canonical arrow type OF THAT SAME
+# SPARK TYPE — so the two can never drift apart (r12 ADVICE: the old
+# reader special-cased only large_string; adding e.g. large_binary to
+# schema() alone would have produced batches whose schema the JVM
+# rejects at read time).
+_ARROW_TO_SPARK = {
+    "int64": "bigint",
+    "int32": "int",
+    "double": "double",
+    "string": "string",
+    "large_string": "string",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _canonical_arrow_type(spark_type: str):
+    import pyarrow as pa
+
+    return {
+        "bigint": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "binary": pa.binary(),
+    }[spark_type]
+
+
+def _batch_cast_target(schema):
+    """Arrow schema every yielded batch is cast to: the canonical
+    arrow type of the SPARK type ``schema()`` declared for each
+    field, via the same ``_ARROW_TO_SPARK`` table."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field(f.name, _canonical_arrow_type(_ARROW_TO_SPARK[str(f.type)]))
+            for f in schema
+        ]
+    )
+
+
 def _build_datasource():
     """Import the Python Data Source pieces lazily: the classes close
     over nothing heavyweight, but pyspark.sql.datasource only exists
@@ -307,40 +351,53 @@ def _build_datasource():
 
         def read(self, partition):
             import numpy as np
-            import pyarrow as pa
             import pyarrow.parquet as pq
 
-            table = pq.read_table(self.path)
-            cols = table.column_names
-            if self.pk not in cols:
-                raise ValueError(f"partition key {self.pk!r} not in {cols}")
-            # vectorized split pruning: tokens for the whole pk column
-            # in one numpy pass, then materialize ONLY the owned rows
-            # (the live path prunes server-side; the stub should still
-            # scan like an engine, not a per-row Python loop)
-            keys = table.column(self.pk).to_numpy(zero_copy_only=False).astype(
-                np.int64
+            pf = pq.ParquetFile(self.path)
+            names = pf.schema_arrow.names
+            if self.pk not in names:
+                raise ValueError(f"partition key {self.pk!r} not in {names}")
+            pk_filter = (
+                None
+                if self.pk_values is None
+                else np.fromiter(self.pk_values, dtype=np.int64)
             )
-            toks = murmur3_token_bigint_vec(keys)
-            mask = (toks > partition.start) & (toks <= partition.end)
-            if self.pk_values is not None:
-                mask &= np.isin(keys, np.fromiter(self.pk_values, dtype=np.int64))
-            pruned = table.take(np.nonzero(mask)[0])
-            # Yield Arrow RecordBatches, not per-row tuples: the Python
-            # Data Source API accepts either, and batches keep the whole
-            # split Arrow-vectorized end-to-end (no pylist round-trip).
-            # Normalize large_string → string so the batch schema matches
-            # the declared Spark schema exactly.
-            target = pa.schema(
-                [
-                    pa.field(
-                        f.name,
-                        pa.string() if f.type == pa.large_string() else f.type,
-                    )
-                    for f in pruned.schema
-                ]
-            )
-            yield from pruned.cast(target).to_batches(max_chunksize=8192)
+            # Per-ROW-GROUP pruning (r12 verdict item 6): each split
+            # first reads ONLY the pk column of a row group, tokenizes
+            # it in one vectorized numpy pass, and materializes the
+            # remaining columns only for row groups that actually own
+            # rows in this token range. Token ranges are hash-spread,
+            # so a full-ring scan still touches most row groups (the
+            # stub's residual O(splits × matching-row-groups)
+            # amplification — the JVM connector against a live cluster
+            # is the scale path, where each replica serves only its
+            # range); a pk-pushdown lookup, THE Cassandra access
+            # pattern, now reads just the pk column plus the single
+            # row group holding the key instead of the whole table.
+            for rg in range(pf.metadata.num_row_groups):
+                keys = (
+                    pf.read_row_group(rg, columns=[self.pk])
+                    .column(self.pk)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                toks = murmur3_token_bigint_vec(keys)
+                mask = (toks > partition.start) & (toks <= partition.end)
+                if pk_filter is not None:
+                    mask &= np.isin(keys, pk_filter)
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                pruned = pf.read_row_group(rg).take(idx)
+                # Yield Arrow RecordBatches, not per-row tuples: the
+                # Python Data Source API accepts either, and batches
+                # keep the whole split Arrow-vectorized end-to-end (no
+                # pylist round-trip). Cast to the canonical arrow types
+                # of the DECLARED schema (shared _ARROW_TO_SPARK table)
+                # so batch and declared schema cannot drift.
+                yield from pruned.cast(_batch_cast_target(pruned.schema)).to_batches(
+                    max_chunksize=8192
+                )
 
     class _RingCommit(WriterCommitMessage):
         def __init__(self, staging_id: str, staged: list[str]):
@@ -486,13 +543,7 @@ def _build_datasource():
             fields = []
             for f in pq.read_schema(path):
                 t = str(f.type)
-                spark_t = {
-                    "int64": "bigint",
-                    "int32": "int",
-                    "double": "double",
-                    "string": "string",
-                    "large_string": "string",
-                }.get(t)
+                spark_t = _ARROW_TO_SPARK.get(t)
                 if spark_t is None:
                     raise ValueError(f"cassandra_ring stub: unmapped type {t}")
                 fields.append(f"{f.name} {spark_t}")
@@ -554,6 +605,9 @@ def _build_datasource():
     return CassandraRingDataSource
 
 
+_PICKLED_BY_VALUE = False
+
+
 def register_cassandra_ring(spark) -> None:
     """Register the ``cassandra_ring`` format on this session. Python
     data source filter pushdown is gated off by default
@@ -578,10 +632,21 @@ def register_cassandra_ring(spark) -> None:
     # ModuleNotFoundError). By-value registration makes cloudpickle
     # serialize the class and every module global it references
     # (murmur3_token, the split planners) instead of a bare
-    # "import flink_samples_spark..." reference.
-    import sys
+    # "import flink_samples_spark..." reference. NOTE the effect is
+    # PROCESS-GLOBAL and one-way (cloudpickle keeps the module in its
+    # by-value set for the interpreter's lifetime): any later pickle
+    # that references this module — e.g. a UDF closing over
+    # murmur3_token — also ships the module by value, costing a few
+    # KiB per task payload. That is the intended trade (correct
+    # workers from any cwd beat minimal payloads); the once-flag
+    # keeps repeated SourceSpec loads from re-walking the module
+    # registration (r12 ADVICE).
+    global _PICKLED_BY_VALUE
+    if not _PICKLED_BY_VALUE:
+        import sys
 
-    from pyspark import cloudpickle
+        from pyspark import cloudpickle
 
-    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        _PICKLED_BY_VALUE = True
     spark.dataSource.register(_build_datasource())
