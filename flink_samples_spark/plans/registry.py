@@ -64,88 +64,93 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-12 allocation (manifest after r11: 208 of 208 ever-green;
-    # latest-green histogram r7:23 r8:43 r9:45 r10:47 r11:50).  The r11
-    # verdict's two window orders: (a) the NEW q_scan_ring leads — the
-    # round-11 cassandra_ring DataSource becomes driver-checkable
-    # (verdict item 4); (b) staleness burn-down of the FULL r7 cohort
-    # (23 queries, verdict item 5).  Then the flagship canary and one
-    # sentinel per family the cohort misses, each picked from the
-    # OLDEST green cohort in its family so the seat does staleness
-    # dual duty (five of the eight are r8-stale themselves).  The 17
-    # remaining seats are r8-stale fills biased to the heavy tier-X
-    # dedup set (q_dedup_incremental was bench-flagged in r11 — its
-    # re-certification doubles as evidence the code is unchanged and
-    # correct) and the join family.  After this window lands, no
-    # query's latest green row is older than r8 except the 21-query
-    # r8 remainder listed below for round 13.  Registration grew by
-    # exactly ONE (q_scan_ring, a verdict demand) to 209; rotated-out
-    # ever-green queries keep local regression safety via
-    # tests/test_catalog.py (identical row+schema+hash DuckDB
+    # Round-13 allocation (manifest after r12: 209 of 209 ever-green;
+    # latest-green histogram r8:21 r9:45 r10:44 r11:49 r12:50).  The
+    # r12 verdict's two window orders: (a) the NEW q_ring_roundtrip
+    # leads — the token-routed ring SINK becomes driver-checkable
+    # (verdict item 3; the read twin q_scan_ring went green r12);
+    # (b) the full 21-query r8-stale remainder enumerated as this
+    # round's backlog in the r12 comment below (verdict item 1).
+    # Then four sentinels for the families the cohort misses, each
+    # the OLDEST-green member of its family so the seat does
+    # staleness dual duty, plus the flagship canary.  The 24
+    # remaining seats burn down the 45-query r9 cohort, biased to
+    # the heavy tier-X corpus ops, real-streaming, joins, and the
+    # SQL-entry family (the 21 TPC-H-shape r9 stragglers listed at
+    # the bottom are round 14's backlog — homogeneous SQL shapes,
+    # the lowest-risk residue).  After this window lands, no query's
+    # latest green driver row is older than r9.  Registration grew
+    # by exactly ONE (q_ring_roundtrip, a verdict demand) to 210;
+    # rotated-out ever-green queries keep local regression safety
+    # via tests/test_catalog.py (identical row+schema+hash DuckDB
     # comparison, catalog-wide).
-    # ---- the new driver-checkable source (verdict item 4) ----
-    "q_scan_ring",              # token-ring DataSource scan == plain scan
-    # ---- longest-stale rotation: last green r7 (full cohort, 23) ----
-    "q_agg_global_sum",
-    "q_agg_pivot",
-    "q_agg_rollup",
-    "q_cast",
-    "q_corpus_shuffle",
-    "q_decontaminate_apply",
-    "q_dedup_ngram",
-    "q_fingerprint",
-    "q_fn_explode",
-    "q_fn_string",              # §2.8 rep
-    "q_intersect",
-    "q_join_nullsafe",
-    "q_pipeline_filtered_agg",  # TPC-H Q6 shape
-    "q_pipeline_local_supplier",
-    "q_pipeline_profit",
-    "q_pipeline_top_supplier",
-    "q_pipeline_topk_revenue",  # TPC-H Q3 shape
-    "q_sample_stratified",
-    "q_session_dynamic",
-    "q_sim_topk",               # tier-X rep
-    "q_token_count",
-    "q_udaf",                   # §2.10 rep
-    "q_union_distinct",
+    # ---- the new driver-checkable sink (verdict item 3) ----
+    "q_ring_roundtrip",         # token-routed ring sink write+readback
+    # ---- longest-stale rotation: last green r8 (full cohort, 21) ----
+    "q_fn_array",
+    "q_fn_date",
+    "q_fn_map",
+    "q_fn_math",
+    "q_fn_null",
+    "q_limit",
+    "q_multimodal_passthrough",
+    "q_pipeline_promo_share",   # TPC-H Q14 shape
+    "q_pipeline_returned_items",
+    "q_sample_hash",
+    "q_session_window_keyed",
+    "q_sim_topk_ivf",
+    "q_sim_topk_lsh",
+    "q_sliding_window",
+    "q_sort",
+    "q_stream_upsert",          # STRICT streaming upsert replay
+    "q_text_stats",
+    "q_udf_scalar",
+    "q_udtf",
+    "q_win_ntile",
+    "q_win_running_sum",
     # ---- flagship canary + family sentinels (oldest green member
     # ---- per family the cohort misses; staleness dual duty) ----
-    "q_session_window",         # flagship; §2.9 batch windows
-    "q_project",                # §2.2 (r10)
-    "q_join_broadcast",         # §2.3 (r8)
-    "q_agg_count_group",        # §2.4 (r8)
-    "q_win_laglead",            # §2.5 (r10)
-    "q_topk",                   # §2.6 (r10)
-    "q_except",                 # §2.7 (r8)
-    "q_stream_session",         # §2.9 STRICT streaming (r8; bench canary)
-    "q_sql_session_window",     # SQL entry (r8)
-    # ---- r8-stale fills (17 of the remaining 38; tier-X dedup set
-    # ---- first — q_dedup_incremental was r11-bench-flagged — then
-    # ---- the join family and agg/2.2 breadth) ----
-    "q_dedup_incremental",
-    "q_dedup_near",
-    "q_dedup_apply",
-    "q_dedup_cross",
-    "q_dedup_groups",
-    "q_dedup_embedding",
-    "q_dedup_simhash",
-    "q_join_anti",
-    "q_join_outer",
-    "q_join_range",
-    "q_join_semi",
-    "q_join_star",
-    "q_agg_count_distinct",
-    "q_agg_having",
-    "q_agg_percentile",
-    "q_case_when",
-    "q_multimodal_decode",
-    # Round-13 backlog (the r8 remainder, 21): q_fn_array q_fn_date
-    # q_fn_map q_fn_math q_fn_null q_limit q_multimodal_passthrough
-    # q_pipeline_promo_share q_pipeline_returned_items q_sample_hash
-    # q_session_window_keyed q_sim_topk_ivf q_sim_topk_lsh
-    # q_sliding_window q_sort q_stream_upsert q_text_stats
-    # q_udf_scalar q_udtf q_win_ntile q_win_running_sum.
+    "q_session_window",         # flagship; §2.9 batch windows (bench canary)
+    "q_filter",                 # §2.2 (r11)
+    "q_win_rank",               # §2.5 (r11)
+    "q_topk_per_group",         # §2.6 (r11)
+    # ---- r9-stale fills (24 of the remaining 45; family-coverage
+    # ---- picks first, then tier-X corpus ops, streaming, joins,
+    # ---- and the SQL-entry family) ----
+    "q_scan_parquet",           # §2.1 rep
+    "q_join_bloom",             # §2.3 rep
+    "q_agg_approx_distinct",    # §2.4 rep
+    "q_union_all",              # §2.7 rep
+    "q_stream_dedup_index",     # §2.9 STRICT streaming (bench headliner)
+    "q_apply_in_pandas",        # §2.10 rep
+    "q_sql_cte",                # SQL-entry rep
+    "q_tfidf",
+    "q_contamination",
+    "q_boilerplate",
+    "q_chunk_docs",
+    "q_mix_corpus",
+    "q_ngram_topk",
+    "q_pii_scan",
+    "q_split_corpus",
+    "q_corpus_report",
+    "q_dedup_latest",
+    "q_embed_assign",
+    "q_embed_quantize",
+    "q_join_asof_fwd",
+    "q_join_band",
+    "q_sql_correlated_exists",
+    "q_sql_recursive",
+    "q_ts_resample",
+    # Round-14 backlog (the r9 remainder, 21): q_agg_grouping_sets
+    # q_agg_hll_sketch q_agg_stats q_cohort_retention q_fn_string2
+    # q_funnel q_pipeline_custdist q_pipeline_disjunctive
+    # q_pipeline_excess_supp q_pipeline_idle_cust
+    # q_pipeline_large_orders q_pipeline_late_solo_supp
+    # q_pipeline_market_share q_pipeline_min_cost_supp
+    # q_pipeline_order_priority q_pipeline_part_value
+    # q_pipeline_priority_lines q_pipeline_small_qty
+    # q_pipeline_supp_diversity q_pipeline_volume_shipping
+    # q_win_distribution.
 )
 
 

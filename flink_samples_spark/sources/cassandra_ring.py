@@ -258,6 +258,25 @@ def _canonical_arrow_type(spark_type: str):
     }[spark_type]
 
 
+def _arrow_sink_schema(spark_schema):
+    """Arrow schema the sink writes with, derived from the DECLARED
+    Spark sink schema through the same canonical mapping the reader
+    uses — without it, pa.table() infers from python values and
+    silently widens e.g. an int32 column to int64, so a write→read
+    roundtrip would not preserve the source schema."""
+    import pyarrow as pa
+
+    try:
+        return pa.schema(
+            [
+                pa.field(f.name, _canonical_arrow_type(f.dataType.simpleString()))
+                for f in spark_schema.fields
+            ]
+        )
+    except KeyError as e:
+        raise ValueError(f"cassandra_ring sink: unmapped Spark type {e}") from e
+
+
 def _batch_cast_target(schema):
     """Arrow schema every yielded batch is cast to: the canonical
     arrow type of the SPARK type ``schema()`` declared for each
@@ -447,6 +466,8 @@ def _build_datasource():
                     f"partition key {self.pk!r} not in sink schema "
                     f"{schema.fieldNames()}"
                 )
+            # fail at plan time, not per-task, on an unmappable column
+            _arrow_sink_schema(schema)
 
         def _owner(self, tok: int) -> int:
             import bisect
@@ -473,9 +494,12 @@ def _build_datasource():
             staging = _os.path.join(self.path, "_staging", self.staging_id)
             _os.makedirs(staging, exist_ok=True)
             staged = []
+            arrow_schema = _arrow_sink_schema(self.schema)
             for ridx, rows in sorted(per_range.items()):
                 cols = list(zip(*rows.values()))
-                table = pa.table({n: list(c) for n, c in zip(names, cols)})
+                table = pa.table(
+                    {n: list(c) for n, c in zip(names, cols)}, schema=arrow_schema
+                )
                 fname = f"range={ridx}-{uuid.uuid4().hex}.parquet"
                 pq.write_table(table, _os.path.join(staging, fname))
                 staged.append(fname)

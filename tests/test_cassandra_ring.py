@@ -416,6 +416,44 @@ def test_ring_writer_validates_options(spark, tmp_path):
         )
 
 
+def test_ring_writer_preserves_declared_column_types(spark, tmp_path):
+    """The sink writes with an explicit arrow schema derived from the
+    DECLARED Spark schema — without it pa.table() infers from python
+    values and silently widens int columns to int64, so a write→read
+    roundtrip (q_ring_roundtrip) would not match the source schema."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flink_samples_spark.sources.cassandra_ring import register_cassandra_ring
+
+    register_cassandra_ring(spark)
+    out = str(tmp_path / "typed_sink")
+    os.makedirs(out)
+    df = spark.createDataFrame(
+        [(1, 10, 1.5, "x"), (2, 20, 2.5, "y")],
+        "pk bigint, small int, bal double, name string",
+    )
+    (
+        df.write.format("cassandra_ring")
+        .option("path", out)
+        .option("n_splits", "4")
+        .mode("append")
+        .save()
+    )
+    files = glob.glob(os.path.join(out, "range=*.parquet"))
+    assert files
+    for f in files:
+        sch = pq.read_schema(f)
+        assert str(sch.field("small").type) == "int32"
+        assert str(sch.field("pk").type) == "int64"
+        assert str(sch.field("bal").type) == "double"
+    back = spark.read.parquet(os.path.join(out, "range=*.parquet"))
+    assert back.schema == df.schema
+    assert sorted(r.pk for r in back.collect()) == [1, 2]
+
+
 def test_ring_writer_overlapping_queries_stage_in_isolation(tmp_path):
     """r11 ADVICE: two overlapping writes to the same path must not
     delete each other's staged files — each query stages under its own

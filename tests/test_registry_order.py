@@ -25,7 +25,13 @@ WINDOW = 50
 # ≥1 representative per SURVEY §2 family that MUST sit inside the
 # driver's 50-slot window.
 FAMILY_REPRESENTATIVES = {
-    "2.1 sources": {"q_scan_parquet", "q_source_range", "q_scan_json", "q_scan_ring"},
+    "2.1 sources": {
+        "q_scan_parquet",
+        "q_source_range",
+        "q_scan_json",
+        "q_scan_ring",
+        "q_ring_roundtrip",
+    },
     "2.2 projections/filters": {"q_project", "q_filter"},
     "2.3 joins": {
         "q_join_broadcast",
