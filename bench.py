@@ -32,7 +32,7 @@ own fields when a co-tenant inflates a timing:
   timeout it proceeds and says so in the JSON (``load_gate``).
 * **drift-probe pre-flight gate** (r11 verdict item 3 — the loadavg
   gate alone let an r11 record start at load15 7.78 and then run
-  under sustained 12-22 load): before the warm-up, the four constant
+  under sustained 12-22 load): before the warm-up, the five constant
   drift probes run (one warm pass, then min over two min-of-2
   rounds) and the GEOMEAN of their 0.1 s-floored ratios to the
   committed quiet-host reference
@@ -58,9 +58,10 @@ own fields when a co-tenant inflates a timing:
   host carries persistent background ticks: with two, whichever
   queries both samples happened to hit showed a random 1.2-1.7× tail.
   A failed SECOND or THIRD run keeps the already-valid earlier
-  samples and records the failure separately (``<q>_rerun`` in
-  errors) — a transient late-suite error must not convert a measured
-  query into an error row (r11 ADVICE).
+  samples and records the failure separately (indexed ``<q>_rerunN``
+  keys in errors; surviving counts in the sidecar's
+  ``sample_counts``) — a transient late-suite error must not convert
+  a measured query into an error row (r11/r12 ADVICE).
 * **suite-spaced streaming samples**: the two streaming contract
   rates are best-of-3 with one replay BEFORE the batch loops and two
   after (~10 min apart end to end) — this host's co-tenant bursts
@@ -179,18 +180,32 @@ def _load1() -> float | None:
     return la[0] if la else None
 
 
+# The data-heavy probe's input is PINNED to the default sf0.1 table,
+# independent of $SPARK_GRAFT_SF_DIR: drift probes measure the HOST
+# against the committed quiet-host reference, so their cost must be a
+# constant — a bench run at another sf must not silently rescale the
+# normalizer.
+_PROBE_SF_PARQUET = "/root/testdata/sf0.1/lineitem.parquet"
+
+
 def _drift_probe_fns(spark):
-    """The four constant-cost probes: pure engine fixed overhead (no
-    table input). Shared by the pre-flight gate and the end-of-suite
-    drift record so the two are comparable. Three are JVM-only; the
-    fourth (``py_udf``, added r12) exercises the Arrow → Python-worker
-    → numpy path, because JVM probes are structurally BLIND to
-    Python-worker drift — the r11/r12 flag on q_dedup_incremental
-    (a pandas-UDF-heavy query) read ~1.5× normalized while all three
-    JVM probes read flat, and nothing in the record could say whether
-    the python lane itself had slowed. Gate/normalization use
-    whichever probe names both sides share, so pre-r12 comparisons
-    are unaffected."""
+    """The five constant-cost probes, shared by the pre-flight gate
+    and the end-of-suite drift record so the two are comparable.
+    Three are JVM fixed-overhead only; ``py_udf`` (added r12)
+    exercises the Arrow → Python-worker → numpy path, because JVM
+    probes are structurally BLIND to Python-worker drift; and
+    ``sf_scan_agg`` (added r13, r12 verdict item 2) is a SECONDS-LONG
+    data-heavy shape — sf0.1 parquet scan → 32-way shuffle → two-phase
+    agg with a distinct expand — because the round-12 same-host code
+    A/B proved the sub-second cache-resident probes slip into
+    scheduler gaps that data-heavy queries cannot: co-tenant
+    containers steal CPU without appearing in this cgroup's loadavg,
+    the small probes read FLAT, and bench_compare's normalization
+    over-flagged byte-identical code 31× in r11 and 18× in r12. The
+    long probe contends on the same resources (page cache, memory
+    bandwidth, sustained cores) as the suite queries it normalizes.
+    Gate/normalization use whichever probe names both sides share, so
+    pre-r13 comparisons are unaffected."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
@@ -213,19 +228,45 @@ def _drift_probe_fns(spark):
         # Arrow batch transfer + python-worker numpy throughput
         ("py_udf", lambda: spark.range(0, 4_000_000, 1, 32)
             .select(F.sum(_py_probe(F.col("id"))).alias("s"))),
+        # seconds-long data-heavy shape: 8-column sf0.1 scan, full-row
+        # 32-way shuffle, two-phase agg + count_distinct expand
+        ("sf_scan_agg", lambda: spark.read.parquet(_PROBE_SF_PARQUET)
+            .repartition(32, "l_orderkey")
+            .groupBy(
+                "l_returnflag",
+                "l_linestatus",
+                (F.col("l_orderkey") % 4096).alias("b"),
+            )
+            .agg(
+                F.sum("l_quantity").alias("q"),
+                F.sum("l_extendedprice").alias("s"),
+                F.avg("l_discount").alias("d"),
+                F.sum("l_tax").alias("t"),
+                F.max("l_shipdate").alias("m"),
+                F.count_distinct("l_suppkey").alias("u"),
+            )),
     )
 
 
-def _run_probes(spark) -> dict[str, float]:
+def _run_probes(spark, errors: dict | None = None) -> dict[str, float]:
     """Min-of-2 per probe (the r8-r11 sampling, kept for round-over-
-    round comparability of the drift factor)."""
+    round comparability of the drift factor). Per-probe try/except
+    (r12 ADVICE): one broken probe — e.g. the py_udf worker lane, or
+    a missing sf0.1 table under ``sf_scan_agg`` — must cost its own
+    row, never abort the gate or the suite; the failure message lands
+    in ``errors`` when the caller passes a dict."""
     best: dict[str, float] = {}
     for name, fn in _drift_probe_fns(spark):
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn().write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best[name] = min(best.get(name, float("inf")), dt)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn().write.format("noop").mode("overwrite").save()
+                dt = time.perf_counter() - t0
+                best[name] = min(best.get(name, float("inf")), dt)
+        except Exception as e:  # noqa: BLE001 — record and keep probing
+            best.pop(name, None)
+            if errors is not None:
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
     return {k: round(v, 3) for k, v in best.items()}
 
 
@@ -272,16 +313,18 @@ def probe_preflight_gate(spark, budget_s: float | None = None) -> dict:
     gate["reference"] = ref
     t0 = time.monotonic()
     attempts = 0
+    probe_errors: dict[str, str] = {}
     # One unrecorded warm pass: the gate runs PRE-warmup on a fresh
     # session, and the first probe round pays JIT/codegen compilation
     # (measured ~1.5× the warmed value on an IDLE host) — gating on it
     # would false-fail quiet hosts. The reference was recorded warmed.
-    _run_probes(spark)
+    _run_probes(spark, probe_errors)
     while True:
         # min over two rounds per attempt: single min-of-2 rounds
         # bounce up to 1.6× on an idle host (scheduler ticks)
-        m1, m2 = _run_probes(spark), _run_probes(spark)
-        measured = {k: min(m1[k], m2[k]) for k in m1}
+        m1, m2 = _run_probes(spark, probe_errors), _run_probes(spark, probe_errors)
+        measured = {k: min(m1.get(k, float("inf")), m2.get(k, float("inf")))
+                    for k in set(m1) | set(m2)}
         attempts += 1
         # 0.1 s floor on BOTH sides: the ~50 ms range_scan probe is
         # scheduler noise at idle (0.017-0.091 s across known-quiet
@@ -292,20 +335,35 @@ def probe_preflight_gate(spark, budget_s: float | None = None) -> dict:
             for k in ref
             if k in measured
         }
-        factor = round(_geomean(list(ratios.values())), 3)
         gate.update(
             measured=measured,
             ratios={k: round(r, 3) for k, r in ratios.items()},
-            factor=factor,
             attempts=attempts,
         )
+        if probe_errors:
+            gate["probe_errors"] = probe_errors
+        if not ratios:
+            # every probe failed — nothing to gate on; never abort,
+            # never fake a pass with an empty geomean (r12 ADVICE)
+            gate["result"] = "error"
+            break
+        factor = round(_geomean(list(ratios.values())), 3)
+        gate["factor"] = factor
         if factor <= threshold:
             gate["result"] = "passed" if attempts == 1 else "passed_after_wait"
             break
+        elapsed = time.monotonic() - t0
+        if elapsed >= max_wait:
+            gate["result"] = "timed_out"
+            break
+        # clamp the sleep to the remaining shared budget, and re-check
+        # it before spending another full probe round (tens of seconds
+        # with py_udf + sf_scan_agg) — the pre-suite wait is bounded at
+        # max_wait TOTAL, not max_wait plus a sleep plus a round
+        time.sleep(min(45.0, max_wait - elapsed))
         if time.monotonic() - t0 >= max_wait:
             gate["result"] = "timed_out"
             break
-        time.sleep(45)
     gate["waited_s"] = round(time.monotonic() - t0, 1)
     return gate
 
@@ -384,9 +442,15 @@ def main() -> None:
     # shared wait budget across BOTH suite-start gates (the loadavg
     # gate spent first; the probe gate gets what remains)
     total_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
-    probe_gate = probe_preflight_gate(
-        spark, budget_s=max(0.0, total_wait - load_gate.get("waited_s", 0.0))
-    )
+    try:
+        probe_gate = probe_preflight_gate(
+            spark, budget_s=max(0.0, total_wait - load_gate.get("waited_s", 0.0))
+        )
+    except Exception as e:  # noqa: BLE001 — r12 ADVICE: the gate's
+        # documented contract is 'never aborts'; an unexpected failure
+        # OUTSIDE the per-probe guards (reference parse, clock, ...)
+        # must cost the gate row, not the whole bench record
+        probe_gate = {"result": "error", "error": f"{type(e).__name__}: {e}"[:300]}
 
     # Warm-up pass: JVM codegen, Python worker pool, parquet footers.
     # No DataFrame/result caching — only engine infrastructure warms;
@@ -436,8 +500,18 @@ def main() -> None:
             # A failed re-run keeps the already-valid earlier samples
             # (r11 ADVICE): the min over the surviving samples is still
             # a true measurement; only a FIRST-run failure leaves the
-            # query with no timing at all.
-            key = name if name not in samples else f"{name}_rerun"
+            # query with no timing at all. Rerun error keys are INDEXED
+            # (r12 ADVICE: a flat `<q>_rerun` key let a second failure
+            # overwrite the first, and a query silently degraded from
+            # best-of-3 to best-of-1); the sidecar's sample_counts
+            # makes any degraded best-of-N visible.
+            if name not in samples:
+                key = name
+            else:
+                n = 2
+                while f"{name}_rerun{n}" in errors:
+                    n += 1
+                key = f"{name}_rerun{n}"
             errors[key] = f"{type(e).__name__}: {e}"[:300]
             return False
         samples.setdefault(name, []).append(dt)
@@ -490,6 +564,31 @@ def main() -> None:
 
     stream_pass()  # sample 1, before the batch loops
 
+    # The data-heavy drift probe (sf_scan_agg) is sampled SPACED
+    # across the suite — once here (post-warmup), once between the
+    # two deferred passes, plus the end-of-suite min-of-2 — and the
+    # recorded value is the min. The query timings it normalizes are
+    # best-of-3 spaced mins (quietest window the host offered during
+    # the run); a single end-of-suite sample would instead price
+    # whatever residue that one moment has, injecting its variance
+    # into every normalized ratio bench_compare prints.
+    data_probe_samples: list[float] = []
+
+    def sample_data_probe() -> None:
+        try:
+            fn = dict(_drift_probe_fns(spark))["sf_scan_agg"]
+            load = _load1()
+            t0 = time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            data_probe_samples.append(time.perf_counter() - t0)
+            drift_load.setdefault("sf_scan_agg", []).append(load)
+            spark.catalog.clearCache()
+        except Exception as e:  # noqa: BLE001 — its own row, never the suite
+            errors["drift_sf_scan_agg_spaced"] = f"{type(e).__name__}: {e}"[:300]
+
+    drift_load: dict[str, list[float | None]] = {}
+    sample_data_probe()
+
     deferred: list[str] = []
     for name in HEADLINE:
         if name in errors:
@@ -507,6 +606,8 @@ def main() -> None:
         for name in deferred:
             if name not in errors:
                 timed_run(name)
+        if _pass == 0:
+            sample_data_probe()  # mid-suite spaced sample
 
     stream_pass()  # samples 2+3, ~a suite apart from sample 1
     stream_pass()
@@ -546,15 +647,17 @@ def main() -> None:
                 n_events / stream_best["q_stream_ewma"]
             )
 
-    # Host-drift reference points: the three constant probes again at
+    # Host-drift reference points: the five constant probes again at
     # END of suite, so round-over-round comparisons can normalize host
     # noise from the JSON itself (scripts/bench_compare.py). Min-of-2
     # back-to-back, the r8-r11 sampling — comparability of the drift
-    # factor across rounds is the whole point of the probes. loadavg
-    # (1/5/15-min) records what the host was doing DURING the bench —
-    # a loaded driver host shows up here, not as a mystery regression
-    # in the query numbers.
-    drift_load: dict[str, list[float | None]] = {}
+    # factor across rounds is the whole point of the probes; the
+    # data-heavy sf_scan_agg additionally folds in its two SPACED
+    # mid-suite samples (see sample_data_probe above) so its recorded
+    # min is sampled the same way as the best-of-3 query timings it
+    # normalizes. loadavg (1/5/15-min) records what the host was doing
+    # DURING the bench — a loaded driver host shows up here, not as a
+    # mystery regression in the query numbers.
     drift_best: dict[str, float] = {}
     for probe_name, probe_fn in _drift_probe_fns(spark):
         try:
@@ -570,6 +673,11 @@ def main() -> None:
             errors[f"drift_{probe_name}"] = f"{type(e).__name__}: {e}"[:300]
             drift_best.pop(probe_name, None)
             drift_load.pop(probe_name, None)
+    if data_probe_samples:  # spaced samples stand even if the
+        # end-of-suite row failed (they are independent measurements)
+        drift_best["sf_scan_agg"] = min(
+            drift_best.get("sf_scan_agg", float("inf")), *data_probe_samples
+        )
     payload["drift_probes"] = {k: round(v, 3) for k, v in drift_best.items()}
     # loadavg at BOTH ends: the end-of-run 1-minute figure mostly
     # reflects the bench's own local[32] execution; the start-of-run
@@ -602,10 +710,14 @@ def main() -> None:
         load_gate=load_gate,
         probe_gate=probe_gate,
         samples={k: [round(x, 3) for x in v] for k, v in samples.items()},
+        # surviving best-of-N per query: 3 = full sampling, less =
+        # degraded by recorded rerun failures (r12 ADVICE)
+        sample_counts={k: len(v) for k, v in samples.items()},
         query_load=query_load,
         stream_best_s={k: round(v, 3) for k, v in stream_best.items()},
         stream_load=stream_load,
         drift_load=drift_load,
+        sf_scan_agg_spaced=[round(x, 3) for x in data_probe_samples],
     )
     try:
         with open(sidecar_path, "w") as f:

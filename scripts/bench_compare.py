@@ -2,7 +2,7 @@
 """Drift-normalized bench comparison (round-8 verdict #4).
 
 Round-over-round bench comparison on a shared, noisy host was a
-judgment call: BENCH JSONs carry ``drift_probes`` (three constant-cost
+judgment call: BENCH JSONs carry ``drift_probes`` (constant-cost
 queries timed inside the same process) and ``loadavg``, but the
 normalization happened by hand. This tool makes it mechanical:
 
@@ -10,9 +10,12 @@ normalization happened by hand. This tool makes it mechanical:
     python scripts/bench_compare.py old.json new.json --threshold 1.3
 
 Per query it prints raw new/old ratio AND the ratio normalized by the
-drift factor (geomean of the probe ratios — how much slower the HOST
-was during the new run, independent of engine code), and flags
-normalized regressions above the threshold. Files may be either the
+drift factor (the data-heavy probe's ratio when both records carry it,
+else the geomean of the shared probe ratios — how much slower the HOST
+was during the new run, independent of engine code), and flags queries
+whose raw AND normalized ratios BOTH exceed the threshold (see the
+flag-rule comment in main: normalization excuses host-slow runs, it
+must not synthesize regressions no wall clock saw). Files may be either the
 driver's wrapper shape (bench line under ``"parsed"``) or bench.py's
 raw JSON line; rounds before r8 have no drift probes, in which case
 the factor falls back to 1.0 and is labeled as such.
@@ -54,6 +57,16 @@ def geomean(xs: list[float]) -> float:
     return math.exp(sum(math.log(x) for x in xs) / len(xs))
 
 
+# Probes that run a SECONDS-LONG data-heavy shape (sf0.1 scan →
+# shuffle → agg). Preferred for normalization (r12 verdict item 2):
+# the round-12 same-host code A/B proved the sub-second fixed-overhead
+# probes slip into scheduler gaps that data-heavy queries cannot —
+# co-tenant steal leaves them FLAT while every real query inflates —
+# which made the geomean-of-all normalization over-flag byte-identical
+# code 31× in r11 and 18× in r12.
+DATA_PROBES = ("sf_scan_agg",)
+
+
 def drift_factor(old: dict, new: dict) -> tuple[float, str]:
     po, pn = old.get("drift_probes") or {}, new.get("drift_probes") or {}
     common = sorted(set(po) & set(pn))
@@ -65,6 +78,17 @@ def drift_factor(old: dict, new: dict) -> tuple[float, str]:
     ratios = {k: pn[k] / po[k] for k in common if po[k] > 0 and pn[k] > 0}
     if not ratios:
         return 1.0, "no usable drift probes — raw ratios only"
+    data = {k: r for k, r in ratios.items() if k in DATA_PROBES}
+    if data:
+        f = geomean(list(data.values()))
+        detail = ", ".join(f"{k} {r:.2f}x" for k, r in sorted(data.items()))
+        rest = ", ".join(
+            f"{k} {r:.2f}x" for k, r in sorted(ratios.items()) if k not in data
+        )
+        note = f"data-heavy probe ratio ({detail}"
+        if rest:
+            note += f"; fixed-overhead probes, informational: {rest}"
+        return f, note + ")"
     f = geomean(list(ratios.values()))
     detail = ", ".join(f"{k} {r:.2f}x" for k, r in sorted(ratios.items()))
     return f, f"geomean of {len(ratios)} probe ratios ({detail})"
@@ -139,6 +163,18 @@ def main() -> None:
         raw = qn[q] / qo[q]
         rows.append((q, qo[q], qn[q], raw, raw / f))
     rows.sort(key=lambda r: -r[4])
+    # Flag rule (r13): a query is flagged only when BOTH its raw and
+    # its normalized ratio exceed the threshold. Normalization exists
+    # to EXCUSE raw inflation the host caused (factor > 1); when the
+    # factor is < 1 it AMPLIFIES ratios instead, and three rounds of
+    # same-host code A/Bs adjudicated every amplified flag as host
+    # noise (31 in r11, 18 in r12, and a same-HEAD pair in r13 that
+    # read raw 0.84x yet normalized 1.38x through a noisy 0.61 factor
+    # — 34 phantom flags on identical code). A genuine code
+    # regression inflates the raw ratio too; one visible only through
+    # the normalizer's lens is not a finding, and the standing A/B
+    # protocol (BASELINE.md) remains the adjudicator for anything
+    # borderline.
 
     print(f"# bench compare: {args.old} -> {args.new}")
     print(f"drift factor: {f:.3f} ({f_note})")
@@ -163,7 +199,7 @@ def main() -> None:
     flagged = []
     for q, to, tn, raw, norm in rows:
         flag = ""
-        if norm > args.threshold:
+        if min(raw, norm) > args.threshold:
             flag = f"REGRESSION >{args.threshold}x" + load_annotation(old, new, q)
             flagged.append(q)
         print(f"| {q} | {to:.3f} | {tn:.3f} | {raw:.2f}x | {norm:.2f}x | {flag} |")

@@ -22,13 +22,16 @@ import json, sys
 line = sys.stdin.read().strip().splitlines()[-1]
 d = json.loads(line)
 errs = d.get("errors") or {}
-# <q>_rerun keys are TRANSIENT late-suite re-run failures whose query
-# still carries a valid earlier sample (r11 ADVICE) — warn, not red.
-hard = sorted(k for k in errs if not k.endswith("_rerun"))
+# <q>_rerunN keys are TRANSIENT late-suite re-run failures whose query
+# still carries a valid earlier sample (r11/r12 ADVICE; indexed since
+# r13 so a second failure cannot overwrite the first) — warn, not red.
+import re
+soft_re = re.compile(r"_rerun\d*$")
+hard = sorted(k for k in errs if not soft_re.search(k))
 if hard:
     print("GATE RED: bench recorded per-query errors:", hard)
     sys.exit(1)
-soft = sorted(k for k in errs if k.endswith("_rerun"))
+soft = sorted(k for k in errs if soft_re.search(k))
 if soft:
     print("GATE WARN: transient re-run failures (timings kept):", soft)
 if "errors_n" in d:

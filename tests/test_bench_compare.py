@@ -55,6 +55,110 @@ def test_zero_valued_probes_fall_back(tmp_path):
     assert "no usable drift probes — raw ratios only" in r.stdout
 
 
+def test_data_heavy_probe_preferred_for_normalization(tmp_path):
+    """r12 verdict item 2: when both sides carry the seconds-long
+    data-heavy probe (sf_scan_agg), the drift factor is ITS ratio —
+    the sub-second fixed-overhead probes stay flat under co-tenant
+    steal and over-flag data-heavy queries when averaged in. Here the
+    small probes read flat (1.0×) while the data probe reads 2× and
+    q_a reads 2×: with the preference q_a normalizes to 1.0 (host),
+    with the old geomean-of-all it would read ~1.26× and flag."""
+    old = {
+        "queries": {"q_a": 2.0},
+        "drift_probes": {"range_sum": 0.2, "range_group": 0.4, "sf_scan_agg": 1.2},
+    }
+    new = {
+        "queries": {"q_a": 4.0},
+        "drift_probes": {"range_sum": 0.2, "range_group": 0.4, "sf_scan_agg": 2.4},
+    }
+    r = run_compare(tmp_path, old, new, "--strict")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "drift factor: 2.000" in r.stdout
+    assert "data-heavy probe ratio (sf_scan_agg 2.00x" in r.stdout
+    assert "fixed-overhead probes, informational" in r.stdout
+    assert "| q_a | 2.000 | 4.000 | 2.00x | 1.00x |  |" in r.stdout
+    assert "no normalized regressions above threshold" in r.stdout
+
+
+def test_amplified_only_regression_is_not_flagged(tmp_path):
+    """r13 flag rule: when the drift factor is < 1 (new-side host
+    FASTER), normalization AMPLIFIES ratios — a query whose raw ratio
+    is clean must not flag on the amplified number alone (three
+    rounds of A/Bs adjudicated every such flag as host noise), while
+    a query over the threshold on BOTH raw and normalized still
+    flags."""
+    old = {
+        "queries": {"q_clean": 1.0, "q_slow": 1.0},
+        "drift_probes": {"sf_scan_agg": 2.0},
+    }
+    new = {
+        # factor 0.5: q_clean raw 1.1x -> normalized 2.2x (amplified
+        # past threshold, raw clean); q_slow raw 1.5x -> normalized 3x
+        "queries": {"q_clean": 1.1, "q_slow": 1.5},
+        "drift_probes": {"sf_scan_agg": 1.0},
+    }
+    r = run_compare(tmp_path, old, new, "--strict")
+    assert r.returncode == 1, r.stdout + r.stderr
+    assert "drift factor: 0.500" in r.stdout
+    clean = next(line for line in r.stdout.splitlines() if "| q_clean |" in line)
+    slow = next(line for line in r.stdout.splitlines() if "| q_slow |" in line)
+    assert "REGRESSION" not in clean
+    assert "REGRESSION" in slow
+    assert "FLAGGED (1): q_slow" in r.stdout
+
+
+def test_probe_failure_is_recorded_not_fatal(monkeypatch):
+    """r12 ADVICE (medium): a probe that raises — e.g. the py_udf
+    worker lane failing worker-side — must cost its own row and land
+    in the gate's probe_errors, never abort the gate or the suite."""
+    bench = _load_bench_module()
+
+    class _NoopWriter:
+        """Mimics df.write.format('noop').mode('overwrite').save()."""
+
+        @property
+        def write(self):
+            return self
+
+        def format(self, _):
+            return self
+
+        def mode(self, _):
+            return self
+
+        def save(self):
+            return None
+
+    def fake_probe_fns(spark):
+        def boom():
+            raise RuntimeError("worker died")
+
+        return (("good", _NoopWriter), ("bad", boom))
+
+    monkeypatch.setattr(bench, "_drift_probe_fns", fake_probe_fns)
+    errs: dict = {}
+    best = bench._run_probes(spark=None, errors=errs)
+    assert "good" in best and "bad" not in best
+    assert "bad" in errs and "worker died" in errs["bad"]
+
+
+def test_gate_with_all_probes_failing_records_error(monkeypatch):
+    """Every probe failing leaves nothing to gate on: the gate must
+    record result='error' (with the probe_errors), not fake a pass
+    through an empty geomean — and still never abort."""
+    bench = _load_bench_module()
+
+    def all_fail(spark, errors=None):
+        if errors is not None:
+            errors["range_sum"] = "RuntimeError: boom"
+        return {}
+
+    monkeypatch.setattr(bench, "_run_probes", all_fail)
+    gate = bench.probe_preflight_gate(spark=None, budget_s=0.0)
+    assert gate["result"] == "error"
+    assert "range_sum" in gate.get("probe_errors", {})
+
+
 def test_flagged_query_under_load_is_annotated(tmp_path):
     """A flagged regression whose timed runs started above the gate
     threshold gets a LOAD-SUSPECT annotation carrying the samples —
@@ -150,14 +254,14 @@ def test_probe_preflight_gate_passes_quiet_and_waits_when_loaded(monkeypatch):
                                       "quiet_host_reference.json")))["probes"]
 
     quiet = dict(ref)
-    monkeypatch.setattr(bench, "_run_probes", lambda spark: dict(quiet))
+    monkeypatch.setattr(bench, "_run_probes", lambda spark, errors=None: dict(quiet))
     gate = bench.probe_preflight_gate(spark=None)
     assert gate["result"] == "passed"
     assert gate["factor"] <= 1.0 + 1e-9
     assert gate["attempts"] == 1
 
     loaded = {k: v * 3 for k, v in ref.items()}
-    monkeypatch.setattr(bench, "_run_probes", lambda spark: dict(loaded))
+    monkeypatch.setattr(bench, "_run_probes", lambda spark, errors=None: dict(loaded))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "0")
     gate = bench.probe_preflight_gate(spark=None)
     assert gate["result"] == "timed_out"
@@ -174,7 +278,7 @@ def test_probe_preflight_gate_small_probe_noise_is_floored(monkeypatch):
                                       "quiet_host_reference.json")))["probes"]
     wobble = dict(ref)
     wobble["range_scan"] = ref["range_scan"] * 2  # still under the floor
-    monkeypatch.setattr(bench, "_run_probes", lambda spark: dict(wobble))
+    monkeypatch.setattr(bench, "_run_probes", lambda spark, errors=None: dict(wobble))
     gate = bench.probe_preflight_gate(spark=None)
     assert gate["result"] == "passed"
 
@@ -241,7 +345,7 @@ def test_gate_wait_budget_is_shared(monkeypatch):
     ref = json.load(open(os.path.join(ROOT, "scripts",
                                       "quiet_host_reference.json")))["probes"]
     loaded = {k: v * 3 for k, v in ref.items()}
-    monkeypatch.setattr(bench, "_run_probes", lambda spark: dict(loaded))
+    monkeypatch.setattr(bench, "_run_probes", lambda spark, errors=None: dict(loaded))
     monkeypatch.setenv("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900")  # ignored
     gate = bench.probe_preflight_gate(spark=None, budget_s=0.0)
     assert gate["result"] == "timed_out"
