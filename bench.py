@@ -180,6 +180,11 @@ def _load1() -> float | None:
     return la[0] if la else None
 
 
+# Probes running a seconds-long data-heavy shape — these get their own
+# gate bound and are preferred by scripts/bench_compare.py's
+# normalization (keep the two tuples in sync).
+DATA_PROBES = ("sf_scan_agg",)
+
 # The data-heavy probe's input is PINNED to the default sf0.1 table,
 # independent of $SPARK_GRAFT_SF_DIR: drift probes measure the HOST
 # against the committed quiet-host reference, so their cost must be a
@@ -279,9 +284,12 @@ def _geomean(xs: list[float]) -> float:
 
 def probe_preflight_gate(spark, budget_s: float | None = None) -> dict:
     """r11 verdict item 3: gate the suite on measured engine overhead,
-    not loadavg alone. Runs the drift probes and requires the
+    not loadavg alone. Runs the drift probes and requires BOTH the
     GEOMEAN of their ratios to the committed quiet-host reference
-    within $SPARK_GRAFT_BENCH_PROBE_GATE (default 1.2); on failure,
+    within $SPARK_GRAFT_BENCH_PROBE_GATE (default 1.2) AND each
+    data-heavy probe's ratio within $SPARK_GRAFT_BENCH_DATA_PROBE_GATE
+    (default 1.5 — covert co-tenant steal can leave the small probes
+    flat while the data lane runs 1.6×+); on failure,
     waits (45 s steps) and re-probes within ``budget_s`` seconds
     (default $SPARK_GRAFT_BENCH_LOAD_WAIT_S). Never aborts — a
     timed-out gate proceeds and records itself. ``budget_s`` is how
@@ -291,6 +299,16 @@ def probe_preflight_gate(spark, budget_s: float | None = None) -> dict:
     gate — a driver-side bench timeout must never be eaten by gates
     alone)."""
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_PROBE_GATE", "1.2"))
+    # The data-heavy probe gets its OWN bound (r13): covert co-tenant
+    # steal leaves the sub-second probes near-flat while the data lane
+    # runs 1.6×+ (measured: a window with cgroup load1 0.07 read
+    # sf_scan_agg at 1.59-1.95× reference while the small-probe ratios
+    # sat at 0.96-1.09 — geomean 1.12, under the 1.2 gate), and the
+    # data lane is what the suite's queries actually contend on.
+    # Known-quiet pre-suite windows read 1.09-1.23×; 1.5 separates.
+    data_threshold = float(
+        os.environ.get("SPARK_GRAFT_BENCH_DATA_PROBE_GATE", "1.5")
+    )
     max_wait = (
         budget_s
         if budget_s is not None
@@ -349,7 +367,17 @@ def probe_preflight_gate(spark, budget_s: float | None = None) -> dict:
             break
         factor = round(_geomean(list(ratios.values())), 3)
         gate["factor"] = factor
-        if factor <= threshold:
+        data_over = {
+            k: round(r, 3)
+            for k, r in ratios.items()
+            if k in DATA_PROBES and r > data_threshold
+        }
+        gate["data_threshold"] = data_threshold
+        if data_over:
+            gate["data_probe_over"] = data_over
+        else:
+            gate.pop("data_probe_over", None)
+        if factor <= threshold and not data_over:
             gate["result"] = "passed" if attempts == 1 else "passed_after_wait"
             break
         elapsed = time.monotonic() - t0
@@ -694,9 +722,14 @@ def main() -> None:
     # every per-sample field goes to the sidecar. The r11 record died
     # by unbounded growth of exactly these fields.
     payload["load_gate"] = load_gate.get("result")
-    payload["probe_gate"] = "{}({}x)".format(
-        probe_gate.get("result"), probe_gate.get("factor", "?")
-    ) if "factor" in probe_gate else probe_gate.get("result")
+    if "factor" in probe_gate:
+        _pg = "{}({}x".format(probe_gate.get("result"), probe_gate["factor"])
+        _dr = probe_gate.get("ratios", {}).get("sf_scan_agg")
+        if _dr is not None:  # data-lane ratio rides in the compact string
+            _pg += f";d{_dr}x"
+        payload["probe_gate"] = _pg + ")"
+    else:
+        payload["probe_gate"] = probe_gate.get("result")
     if errors:
         payload["errors"] = errors
 

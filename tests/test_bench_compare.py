@@ -142,6 +142,34 @@ def test_probe_failure_is_recorded_not_fatal(monkeypatch):
     assert "bad" in errs and "worker died" in errs["bad"]
 
 
+def test_gate_refuses_covert_data_lane_steal(monkeypatch):
+    """r13: a window where the sub-second probes read flat but the
+    data-heavy probe reads past $SPARK_GRAFT_BENCH_DATA_PROBE_GATE
+    (covert co-tenant steal — measured at cgroup load1 0.07) must NOT
+    pass even though the geomean clears 1.2; the record says why."""
+    bench = _load_bench_module()
+    ref = json.load(open(os.path.join(ROOT, "scripts",
+                                      "quiet_host_reference.json")))["probes"]
+    covert = dict(ref)
+    covert["sf_scan_agg"] = ref["sf_scan_agg"] * 1.7  # small probes flat
+    monkeypatch.setattr(
+        bench, "_run_probes", lambda spark, errors=None: dict(covert)
+    )
+    gate = bench.probe_preflight_gate(spark=None, budget_s=0.0)
+    assert gate["result"] == "timed_out"
+    assert gate["factor"] <= 1.2  # the geomean alone would have passed
+    assert "sf_scan_agg" in gate["data_probe_over"]
+
+    quiet = dict(ref)
+    quiet["sf_scan_agg"] = ref["sf_scan_agg"] * 1.2  # known-quiet band
+    monkeypatch.setattr(
+        bench, "_run_probes", lambda spark, errors=None: dict(quiet)
+    )
+    gate = bench.probe_preflight_gate(spark=None, budget_s=0.0)
+    assert gate["result"] == "passed"
+    assert "data_probe_over" not in gate
+
+
 def test_gate_with_all_probes_failing_records_error(monkeypatch):
     """Every probe failing leaves nothing to gate on: the gate must
     record result='error' (with the probe_errors), not fake a pass
