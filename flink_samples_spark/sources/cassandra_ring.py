@@ -298,8 +298,8 @@ def _build_datasource():
     importable anywhere."""
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceArrowWriter,
         DataSourceReader,
-        DataSourceWriter,
         EqualTo,
         In,
         InputPartition,
@@ -428,7 +428,7 @@ def _build_datasource():
             self.staging_id = staging_id
             self.staged = staged
 
-    class CassandraRingWriter(DataSourceWriter):
+    class CassandraRingWriter(DataSourceArrowWriter):
         """Token-routed sink (the write-side of the same plan): each
         task groups its rows by owning token range and flushes one
         batch file per (task, range) — the per-range statement
@@ -444,7 +444,16 @@ def _build_datasource():
         tasks), so two overlapping writes to the same path — batch +
         batch, or a batch while a stream runs — never delete each
         other's staged files; commit/abort touch only their own
-        staging area."""
+        staging area.
+
+        ARROW-VECTORIZED (r13): subclasses ``DataSourceArrowWriter``,
+        so Spark hands each task an iterator of Arrow RecordBatches —
+        the write side now matches the reader's Arrow lane. Token
+        routing is one vectorized pass per batch (numpy murmur3 over
+        the pk column + ``searchsorted`` on the range ends), and the
+        per-key last-write-wins dedupe is a reversed ``np.unique``
+        over the concatenated per-range table — no per-row python
+        loop anywhere in the task path."""
 
         def __init__(self, options, schema, overwrite: bool):
             import uuid
@@ -469,37 +478,49 @@ def _build_datasource():
             # fail at plan time, not per-task, on an unmappable column
             _arrow_sink_schema(schema)
 
-        def _owner(self, tok: int) -> int:
-            import bisect
-
-            return bisect.bisect_left([e for _s, e in self.splits], tok)
-
         def write(self, iterator):
             import os as _os
             import uuid
 
+            import numpy as np
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            names = self.schema.fieldNames()
-            per_range: dict[int, dict[int, tuple]] = {}
-            for row in iterator:
-                vals = tuple(row)
-                key = int(vals[names.index(self.pk)])
-                # upsert: later task-order write for the same key
-                # replaces the earlier one (CQL last-write-wins)
-                per_range.setdefault(
-                    self._owner(murmur3_token(bigint_key_bytes(key))), {}
-                )[key] = vals
+            # range ends, ascending: owner(token) = index of the first
+            # end >= token (ranges are (start, end] and cover the ring)
+            ends = np.array([e for _s, e in self.splits], dtype=np.int64)
+            per_range: dict[int, list[pa.Table]] = {}
+            for batch in iterator:
+                tbl = pa.Table.from_batches([batch])
+                keys = (
+                    tbl.column(self.pk)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                owners = np.searchsorted(
+                    ends, murmur3_token_bigint_vec(keys), side="left"
+                )
+                for ridx in np.unique(owners):
+                    idx = np.nonzero(owners == ridx)[0]
+                    per_range.setdefault(int(ridx), []).append(tbl.take(idx))
             staging = _os.path.join(self.path, "_staging", self.staging_id)
             _os.makedirs(staging, exist_ok=True)
             staged = []
             arrow_schema = _arrow_sink_schema(self.schema)
-            for ridx, rows in sorted(per_range.items()):
-                cols = list(zip(*rows.values()))
-                table = pa.table(
-                    {n: list(c) for n, c in zip(names, cols)}, schema=arrow_schema
+            for ridx, tables in sorted(per_range.items()):
+                merged = pa.concat_tables(tables)
+                keys = (
+                    merged.column(self.pk)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
                 )
+                # upsert: later task-order write for the same key
+                # replaces the earlier one (CQL last-write-wins) —
+                # np.unique over the REVERSED keys yields, for each
+                # key, its first reversed position = last original
+                _, rev_first = np.unique(keys[::-1], return_index=True)
+                keep = np.sort(len(keys) - 1 - rev_first)
+                table = merged.take(keep).cast(arrow_schema)
                 fname = f"range={ridx}-{uuid.uuid4().hex}.parquet"
                 pq.write_table(table, _os.path.join(staging, fname))
                 staged.append(fname)
@@ -582,15 +603,16 @@ def _build_datasource():
         def streamWriter(self, schema, overwrite):
             return CassandraRingStreamWriter(self.options, schema, overwrite)
 
-    from pyspark.sql.datasource import DataSourceStreamWriter
+    from pyspark.sql.datasource import DataSourceStreamArrowWriter
 
-    class CassandraRingStreamWriter(DataSourceStreamWriter):
+    class CassandraRingStreamWriter(DataSourceStreamArrowWriter):
         """The reference's Cassandra sink is a STREAMING sink
         (``CassandraPojoSinkStreaming.java:70-79``): this is its
         Spark twin at the Data Source level —
         ``writeStream.format("cassandra_ring")`` routes each
         micro-batch through the same token-range batching as the
-        batch writer, with the stream commit protocol's batchId
+        batch writer (Arrow-vectorized like it, r13), with the stream
+        commit protocol's batchId
         making the publish idempotent: a retried epoch REPLACES its
         own files (``epoch=<batchId>`` prefix) instead of
         double-appending, the same contract as

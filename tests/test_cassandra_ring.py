@@ -530,13 +530,20 @@ def test_ring_writer_overlapping_queries_stage_in_isolation(tmp_path):
     def writer():
         return ds_cls({"path": out, "n_splits": "4"}).writer(schema, False)
 
-    class _Row(tuple):
-        pass
+    import pyarrow as pa
+
+    def batch(rows):
+        # the writer is Arrow-vectorized (DataSourceArrowWriter):
+        # Spark hands tasks RecordBatches, so the protocol drive does too
+        pks, vals = zip(*rows)
+        return pa.record_batch(
+            {"pk": pa.array(pks, pa.int64()), "value": pa.array(vals, pa.string())}
+        )
 
     wa, wb = writer(), writer()
     assert wa.staging_id != wb.staging_id
-    ma = wa.write(iter([_Row((1, "a1")), _Row((2, "a2"))]))
-    mb = wb.write(iter([_Row((3, "b3")), _Row((4, "b4"))]))
+    ma = wa.write(iter([batch([(1, "a1"), (2, "a2")])]))
+    mb = wb.write(iter([batch([(3, "b3"), (4, "b4")])]))
     # both queries have files staged under distinct subdirs
     assert len(glob.glob(os.path.join(out, "_staging", "*", "*.parquet"))) >= 2
     wa.commit([ma])
