@@ -481,9 +481,17 @@ def test_ring_writer_preserves_declared_column_types(spark, tmp_path):
     register_cassandra_ring(spark)
     out = str(tmp_path / "typed_sink")
     os.makedirs(out)
+    import datetime
+
     df = spark.createDataFrame(
-        [(1, 10, 1.5, "x"), (2, 20, 2.5, "y")],
-        "pk bigint, small int, bal double, name string",
+        [
+            (1, 10, 1.5, "x", datetime.datetime(2024, 1, 2, 3, 4, 5, 600),
+             datetime.date(2024, 1, 2)),
+            (2, 20, 2.5, "y", datetime.datetime(2024, 6, 7, 8, 9, 10, 110),
+             datetime.date(2024, 6, 7)),
+        ],
+        "pk bigint, small int, bal double, name string,"
+        " ts timestamp_ntz, d date",
     )
     (
         df.write.format("cassandra_ring")
@@ -499,9 +507,23 @@ def test_ring_writer_preserves_declared_column_types(spark, tmp_path):
         assert str(sch.field("small").type) == "int32"
         assert str(sch.field("pk").type) == "int64"
         assert str(sch.field("bal").type) == "double"
+        assert str(sch.field("ts").type) == "timestamp[us]"
+        assert str(sch.field("d").type) == "date32[day]"
     back = spark.read.parquet(os.path.join(out, "range=*.parquet"))
     assert back.schema == df.schema
-    assert sorted(r.pk for r in back.collect()) == [1, 2]
+    assert sorted((r.pk, r.ts, r.d) for r in back.collect()) == sorted(
+        (r.pk, r.ts, r.d) for r in df.collect()
+    )
+    # and the written files read back through the ring SOURCE too —
+    # the shared type table maps both directions
+    ring_back = (
+        spark.read.format("cassandra_ring")
+        .option("path", files[0])
+        .option("partition_key", "pk")
+        .option("n_splits", "2")
+        .load()
+    )
+    assert ring_back.schema == df.schema
 
 
 def test_ring_writer_overlapping_queries_stage_in_isolation(tmp_path):
