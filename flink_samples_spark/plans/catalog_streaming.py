@@ -81,10 +81,15 @@ def _run_streaming(spark: SparkSession, sf_dir: str, build, post) -> DataFrame:
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "value"
         )
-        write_replay_files(events, replay, n_files=8, order_col="ts")
         # sentinel beyond all data: flushes every window/state on the
-        # final watermark advance
-        max_ts = events.agg(F.max("ts")).first()[0]
+        # final watermark advance; its base (max event time) rides the
+        # replay write's own sorted fetch — no separate max-aggregate
+        # job (r13; see write_replay_files)
+        replay_stats: dict = {}
+        write_replay_files(
+            events, replay, n_files=8, order_col="ts", stats_out=replay_stats
+        )
+        max_ts = replay_stats["max_order"]
         sent = spark.createDataFrame(
             [(-1, max_ts, -1, 0.0)], "event_id long, ts timestamp, user_id long, value double"
         ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 40 DAYS"))
@@ -236,8 +241,13 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "value"
         )
-        write_replay_files(events, replay, n_files=8, order_col="ts")
-        max_ts = events.agg(F.max("ts")).first()[0]
+        # max event time rides the replay write's own sorted fetch —
+        # no separate max-aggregate job (r13; see write_replay_files)
+        replay_stats: dict = {}
+        write_replay_files(
+            events, replay, n_files=8, order_col="ts", stats_out=replay_stats
+        )
+        max_ts = replay_stats["max_order"]
         # probe file (micro-batch 9): copies of the earliest rows with
         # their ORIGINAL ancient timestamps — every one must be dropped
         probes = events.orderBy("ts").limit(50).select(
@@ -806,8 +816,13 @@ def q_stream_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
-        write_replay_files(events, replay, n_files=8, order_col="ts")
-        max_ts = events.agg(F.max("ts")).first()[0]
+        # max event time rides the replay write's own sorted fetch —
+        # no separate max-aggregate job (r13; see write_replay_files)
+        replay_stats: dict = {}
+        write_replay_files(
+            events, replay, n_files=8, order_col="ts", stats_out=replay_stats
+        )
+        max_ts = replay_stats["max_order"]
         # one sentinel PER SIDE: the outer join's emission watermark is
         # the min of both input watermarks, so both must advance
         sent = spark.createDataFrame(
@@ -1126,8 +1141,13 @@ def q_stream_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
-        write_replay_files(events, replay, n_files=8, order_col="ts")
-        max_ts = events.agg(F.max("ts")).first()[0]
+        # max event time rides the replay write's own sorted fetch —
+        # no separate max-aggregate job (r13; see write_replay_files)
+        replay_stats: dict = {}
+        write_replay_files(
+            events, replay, n_files=8, order_col="ts", stats_out=replay_stats
+        )
+        max_ts = replay_stats["max_order"]
         sent = spark.createDataFrame(
             [(-1, max_ts, -1, "view", 0.0)],
             "event_id long, ts timestamp, user_id long, event_type string, value double",

@@ -69,7 +69,11 @@ def pojo_stream_with_lateness(
 
 
 def write_replay_files(
-    df, out_dir: str | None = None, n_files: int = 10, order_col: str = "ts"
+    df,
+    out_dir: str | None = None,
+    n_files: int = 10,
+    order_col: str = "ts",
+    stats_out: dict | None = None,
 ) -> str:
     """Materialize a batch DataFrame as N single-file parquet chunks in
     event-time order — one micro-batch each under
@@ -84,23 +88,40 @@ def write_replay_files(
        Spark itself (``df.repartitionByRange(order_col).sortWithin
        Partitions(order_col).write.parquet(...)``) and feed them to
        :func:`file_replay_stream` directly.
+
+    ``stats_out`` (optional dict) receives ``n_rows`` and
+    ``max_order`` (the maximum ``order_col`` value, i.e. the last row
+    of the sorted fetch) — callers that need the replay's max event
+    time for a flush sentinel read it from here instead of running a
+    separate max-aggregate job over the same input (r13: one Spark
+    job per streaming query saved).
     """
     out_dir = out_dir or tempfile.mkdtemp(prefix="replay_")
     os.makedirs(out_dir, exist_ok=True)
-    # bounded probe (stops scanning at the limit) instead of a full
-    # count job over the whole input just to enforce the guard
-    if df.limit(1_000_001).count() > 1_000_000:
+    # full-column tie-break: orderBy(order_col) alone leaves equal
+    # timestamps in nondeterministic relative order across runs, so a
+    # chunk boundary could split a tie differently run-to-run — the
+    # opposite of this harness's determinism contract. The 1M-row
+    # guard rides the SAME fetch (limit 1M+1: for inputs under the
+    # cap, sort+limit+collect returns exactly the full sorted set;
+    # over it, the surplus row trips the refusal) — r13: previously a
+    # separate bounded count job probed the size first, one extra
+    # Spark job per streaming query.
+    tiebreak = [c for c in df.columns if c != order_col]
+    pdf = df.orderBy(order_col, *tiebreak).limit(1_000_001).toPandas()
+    if len(pdf) > 1_000_000:
         raise ValueError(
             "write_replay_files is a driver-side test harness; got more "
             "than 1M rows. Use a Spark-native sorted write for large replays."
         )
-    # full-column tie-break: orderBy(order_col) alone leaves equal
-    # timestamps in nondeterministic relative order across runs, so a
-    # chunk boundary could split a tie differently run-to-run — the
-    # opposite of this harness's determinism contract
-    tiebreak = [c for c in df.columns if c != order_col]
-    pdf = df.orderBy(order_col, *tiebreak).toPandas()
     n = len(pdf)
+    if stats_out is not None:
+        stats_out["n_rows"] = n
+        mx = pdf[order_col].iloc[-1] if n else None
+        # pandas Timestamp → plain datetime so downstream
+        # createDataFrame/literal use sees exactly what a Spark
+        # max()-aggregate row would have carried
+        stats_out["max_order"] = mx.to_pydatetime() if hasattr(mx, "to_pydatetime") else mx
     per = max(n // n_files, 1)
     for i in range(n_files):
         lo = i * per
