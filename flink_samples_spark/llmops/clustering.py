@@ -232,11 +232,6 @@ def pca_fit(
 
     from flink_samples_spark.utils import parallelize_narrow
 
-    first = vectors.select(vec_col).first()
-    if first is None:
-        raise ValueError("pca_fit: empty input frame")
-    d = len(first[0])
-
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         import pandas as pd
@@ -259,10 +254,23 @@ def pca_fit(
         .agg(F.sum("v").alias("v"))
         .collect()
     )
+    if not merged:
+        raise ValueError("pca_fit: empty input frame")
+    # every partial emits the full 1+d+d² vector, so the merged slot
+    # count determines d directly — no separate dimension-probe job
+    # over the input (r13: one driver job saved per fit; 1+d+d² =
+    # len(merged) ⇒ d = (√(4·len−3) − 1) / 2)
+    d = int(round(((4 * len(merged) - 3) ** 0.5 - 1) / 2))
+    if 1 + d + d * d != len(merged):
+        raise ValueError(
+            f"pca_fit: malformed partials ({len(merged)} slots is not 1+d+d²)"
+        )
     flat = np.zeros(1 + d + d * d)
     for r in merged:
         flat[r["slot"]] = r["v"]
     n = int(flat[0])
+    if n == 0:
+        raise ValueError("pca_fit: empty input frame")
     mu = flat[1 : 1 + d] / n
     gram = flat[1 + d :].reshape(d, d)
     cov = gram / n - np.outer(mu, mu)
