@@ -445,6 +445,216 @@ _INDEX_SCHEMA = (
 )
 
 
+_PAIR_ARRAY_TYPE = "array<struct<doc_a:bigint,doc_b:bigint>>"
+
+
+def _sql_pairs_within(arr: str) -> str:
+    """SQL transliteration of :func:`_pairs_within` (all a<b pairs of
+    an ascending-sorted array column) — must stay expression-for-
+    expression identical so the SQL and DataFrame ingestion paths
+    produce bit-identical pair sets (pinned by pytest)."""
+    return (
+        f"flatten(transform({arr}, (x, i) -> "
+        f"transform(slice({arr}, i + 2, size({arr})), "
+        f"y -> named_struct('doc_a', x, 'doc_b', y))))"
+    )
+
+
+def _sql_salted_hot_cte(hot_from: str, n_col: str, list_col: str, max_bucket: int) -> str:
+    """SQL transliteration of :func:`_salted_hot_pairs` as a CTE chain
+    ending in ``hot_pairs(p)``: triangle-salted redistribution of
+    buckets over ``max_bucket`` docs (exact pair set, bounded tasks).
+    ``hot_from`` is a FROM-clause fragment selecting
+    (band, band_hash, ``n_col``, ``list_col``) rows already filtered
+    to n > max_bucket."""
+    cross = (
+        "flatten(transform(lo, x -> transform(hi, y -> "
+        "named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))"
+    )
+    return f"""
+    hot_docs AS (
+      SELECT band, band_hash,
+             CAST(ceil({n_col} / {max_bucket}) AS INT) AS s,
+             explode({list_col}) AS doc_id
+      FROM {hot_from}
+    ),
+    tagged AS (
+      SELECT band, band_hash, doc_id, s,
+             CAST(pmod(xxhash64(doc_id, band, band_hash), s) AS INT) AS salt
+      FROM hot_docs
+    ),
+    cells0 AS (
+      SELECT band, band_hash, doc_id, salt,
+             explode(sequence(0, s - 1)) AS j
+      FROM tagged
+    ),
+    cells AS (
+      SELECT /*+ REPARTITION(band, band_hash, ci, cj) */
+             band, band_hash, doc_id, salt,
+             least(salt, j) AS ci, greatest(salt, j) AS cj
+      FROM cells0
+    ),
+    cellg AS (
+      SELECT band, band_hash, ci, cj,
+             sort_array(collect_list(CASE WHEN salt = ci THEN doc_id END)) AS lo,
+             sort_array(collect_list(CASE WHEN salt <> ci THEN doc_id END)) AS hi
+      FROM cells GROUP BY band, band_hash, ci, cj
+    ),
+    hot_pairs AS (
+      SELECT explode(
+        CASE WHEN ci = cj THEN {_sql_pairs_within('lo')} ELSE {cross} END
+      ) AS p
+      FROM cellg
+    )"""
+
+
+def _sql_verify_tail(threshold: float, sk_body: str) -> str:
+    """SQL transliteration of :func:`_verify_pairs` + :func:`_jaccard_tail`
+    over a ``cands(doc_a, doc_b)`` CTE: merge-hinted sketch attaches
+    (never broadcast — see _verify_pairs for the OOM measurements) and
+    the single exact-Jaccard expression."""
+    return f""",
+    sk AS ({sk_body})
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT /*+ MERGE(l), MERGE(r) */
+             c.doc_a AS doc_a, c.doc_b AS doc_b,
+             round(CAST(size(array_intersect(l.shingle_hashes, r.shingle_hashes)) AS DOUBLE)
+                   / (size(l.shingle_hashes) + size(r.shingle_hashes)
+                      - size(array_intersect(l.shingle_hashes, r.shingle_hashes))), 6)
+               AS jaccard
+      FROM cands c
+      JOIN sk l ON c.doc_a = l.doc_id
+      JOIN sk r ON c.doc_b = r.doc_id
+    )
+    WHERE jaccard >= {threshold!r}"""
+
+
+def fused_grouped_sql(batch_view: str, index_view: str | None) -> str:
+    """Standalone SQL for the fused bucketing aggregate — the
+    ``grouped`` CTE of :func:`fused_pairs_sql` as its own statement,
+    so a caller can materialize it ONCE (persist + temp view) and
+    hand the view name to ``fused_pairs_sql(..., grouped_view=...)``:
+    the cold and hot branches then share one execution of the
+    bucketing shuffle exactly like the DataFrame form's persist
+    (measured: the inline-CTE form re-runs the final aggregate per
+    branch, ~0.2 s/batch at sf0.1)."""
+    if index_view is None:
+        return f"""
+        SELECT band, band_hash,
+               count(1) AS n_docs,
+               sort_array(collect_list(doc_id)) AS ds
+        FROM (
+          SELECT doc_id, CAST(pe.pos AS INT) AS band, pe.col AS band_hash
+          FROM {batch_view}
+          LATERAL VIEW posexplode(band_hashes) pe AS pos, col
+        ) GROUP BY band, band_hash"""
+    return f"""
+    SELECT band, band_hash, da, db, size(db) AS nb FROM (
+      SELECT band, band_hash,
+             sort_array(collect_list(CASE WHEN side = 0 THEN doc_id END)) AS da,
+             sort_array(collect_list(CASE WHEN side = 1 THEN doc_id END)) AS db
+      FROM (
+        SELECT doc_id, 0 AS side, CAST(pe.pos AS INT) AS band, pe.col AS band_hash
+        FROM {index_view}
+        LATERAL VIEW posexplode(band_hashes) pe AS pos, col
+        UNION ALL
+        SELECT doc_id, 1 AS side, CAST(pe.pos AS INT) AS band, pe.col AS band_hash
+        FROM {batch_view}
+        LATERAL VIEW posexplode(band_hashes) pe AS pos, col
+      ) GROUP BY band, band_hash
+    )"""
+
+
+def fused_pairs_sql(
+    batch_view: str,
+    index_view: str | None,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    max_bucket_pairs: int = 250_000,
+    grouped_view: str | None = None,
+) -> str:
+    """ONE SQL string computing exactly what
+    :func:`fused_pairs_with_index` computes (``index_view is None`` ≡
+    ``index=None``), over temp views holding the packed index frames.
+
+    WHY (r14 optimization, guide §1/§5 — driver latency is part of
+    the query): the per-micro-batch ingestion loop previously rebuilt
+    the fused-pairs plan through ~70 DataFrame/Column py4j calls, each
+    re-analyzing a growing tree — ~0.5-0.6 s of pure driver time per
+    batch before any task ran. Registering the two frames as temp
+    views and submitting this ONE statement moves parsing + analysis
+    into a single JVM round trip. The pair set is bit-identical to the
+    DataFrame form (pinned by
+    ``test_fused_pairs_sql_matches_dataframe_form``); the plan differs
+    only in that the grouped-bucket aggregate is a CTE consumed by the
+    cold and hot branches (shuffle reused via ReusedExchange) instead
+    of a persist — the hot branch is exercised only by over-cap
+    buckets either way.
+
+    Trade-off, documented: the DataFrame form's ``df.observe``
+    hot-bucket monitor cannot ride a SQL string, so this fast path
+    logs nothing when buckets salt. The SALTING itself is identical
+    (exact pair set, bounded tasks) — only the warning log is absent;
+    callers that need the in-flight monitor use
+    :func:`fused_pairs_with_index`.
+
+    Same doc_id-disjointness REQUIREMENT as the DataFrame form when
+    ``index_view`` is given (the single verify join resolves both pair
+    ends against the union sketch frame)."""
+    empty = f"CAST(array() AS {_PAIR_ARRAY_TYPE})"
+    grouped_cte = (
+        f"grouped AS ({fused_grouped_sql(batch_view, index_view)}),"
+        if grouped_view is None
+        else f"grouped AS (SELECT * FROM {grouped_view}),"
+    )
+    if index_view is None:
+        cold = f"""
+        cold AS (
+          SELECT explode({_sql_pairs_within('ds')}) AS p
+          FROM grouped WHERE n_docs >= 2 AND n_docs <= {max_bucket}
+        ),"""
+        hot = _sql_salted_hot_cte(
+            f"grouped WHERE n_docs > {max_bucket}", "n_docs", "ds", max_bucket
+        )
+        sk_body = f"SELECT doc_id, shingle_hashes FROM {batch_view}"
+    else:
+        cross_arr = (
+            "flatten(transform(da, x -> transform(db, y -> "
+            "named_struct('doc_a', x, 'doc_b', y))))"
+        )
+        cold = f"""
+        cold AS (
+          SELECT explode(concat(
+            CASE WHEN nb >= 2 AND nb <= {max_bucket}
+                 THEN {_sql_pairs_within('db')} ELSE {empty} END,
+            CASE WHEN size(da) >= 1 AND nb >= 1
+                      AND CAST(size(da) AS BIGINT) * CAST(nb AS BIGINT)
+                          <= {max_bucket_pairs}
+                 THEN {cross_arr} ELSE {empty} END
+          )) AS p FROM grouped
+        ),"""
+        hot = _sql_salted_hot_cte(
+            f"grouped WHERE nb > {max_bucket}", "nb", "db", max_bucket
+        )
+        sk_body = (
+            f"SELECT doc_id, shingle_hashes FROM {index_view} "
+            f"UNION ALL SELECT doc_id, shingle_hashes FROM {batch_view}"
+        )
+    return (
+        "WITH "
+        + grouped_cte
+        + cold
+        + hot
+        + """,
+    cands AS (
+      SELECT DISTINCT p.doc_a AS doc_a, p.doc_b AS doc_b FROM (
+        SELECT p FROM cold UNION ALL SELECT p FROM hot_pairs
+      )
+    )"""
+        + _sql_verify_tail(threshold, sk_body)
+    )
+
+
 def minhash_lsh_pairs_cross(
     docs_a: DataFrame,
     docs_b: DataFrame,
@@ -1342,6 +1552,7 @@ def fused_pairs_with_index(
     threshold: float = 0.8,
     max_bucket: int = 1000,
     max_bucket_pairs: int = 250_000,
+    check_disjoint: bool = False,
 ) -> DataFrame:
     """WITHIN-batch pairs and CROSS-index pairs from ONE bucketing
     shuffle and ONE verify join pass — the ingestion-loop fusion of
@@ -1381,6 +1592,24 @@ def fused_pairs_with_index(
         return minhash_lsh_pairs_from_index(
             bidx_batch, threshold=threshold, max_bucket=max_bucket
         )
+    if check_disjoint:
+        # opt-in guard (r13 verdict item 8): one cheap semi-join count
+        # job turns the silent-wrong-pairs misuse (overlapping ids) into
+        # a loud error. Off by default — the ingestion loop satisfies
+        # disjointness by construction and pays no extra job.
+        n_shared = (
+            bidx_batch.select("doc_id")
+            .join(index.select("doc_id"), "doc_id", "semi")
+            .count()
+        )
+        if n_shared:
+            raise ValueError(
+                f"fused_pairs_with_index requires doc_id-disjoint sides; "
+                f"{n_shared} doc_id(s) appear in BOTH the batch and the "
+                "index (the union-sketch verify would silently duplicate "
+                "matches). Use dedup_against_index_banded for overlapping-"
+                "id corpora."
+            )
     bands = _index_band_rows(index, side=0).unionByName(
         _index_band_rows(bidx_batch, side=1)
     )
@@ -1433,6 +1662,42 @@ def fused_pairs_with_index(
         bidx_batch.select("doc_id", "shingle_hashes")
     )
     return _verify_pairs(candidates, sk, sk, threshold)
+
+
+def fused_pairs_via_views(
+    spark,
+    batch_view: str,
+    index_view: str | None,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+    max_bucket_pairs: int = 250_000,
+) -> DataFrame:
+    """The ingestion fast path assembled: materialized-grouped
+    two-statement form of :func:`fused_pairs_sql`. Statement 1 builds
+    the bucketing aggregate and ``persist()``s it (lazy — zero bytes
+    if the result is never executed) so the cold and hot branches
+    share ONE execution of the bucketing shuffle, exactly like
+    :func:`fused_pairs_with_index`'s persist; statement 2 is the
+    pair-expansion + verify tail over it.
+
+    CACHE OWNERSHIP: the persisted grouped table is left registered —
+    the per-micro-batch ingestion loop (the intended caller) already
+    runs ``spark.catalog.clearCache()`` at the end of every batch,
+    which releases it along with the batch's sketch cache. Other
+    callers must clear or unpersist themselves."""
+    grouped = spark.sql(fused_grouped_sql(batch_view, index_view)).persist()
+    gview = f"{batch_view}_grouped"
+    grouped.createOrReplaceTempView(gview)
+    return spark.sql(
+        fused_pairs_sql(
+            batch_view,
+            index_view,
+            threshold=threshold,
+            max_bucket=max_bucket,
+            max_bucket_pairs=max_bucket_pairs,
+            grouped_view=gview,
+        )
+    )
 
 
 def read_prior_index(spark, idx_dir: str, batch_id: int) -> DataFrame | None:

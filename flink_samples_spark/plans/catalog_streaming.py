@@ -1011,7 +1011,7 @@ def q_stream_session_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_samples_spark.llmops.dedup import (
         build_dedup_index,
-        fused_pairs_with_index,
+        fused_pairs_via_views,
         read_prior_index,
     )
     from flink_samples_spark.streaming.sinks import idempotent_parquet_sink
@@ -1046,11 +1046,29 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 5.1 s → 3.0 s per micro-batch, identical pair set; the
             # ingestion loop's doc_ids are disjoint across batches,
             # which is exactly the fusion's correctness requirement).
+            # r14: the fused plan is submitted as ONE SQL statement
+            # over temp views (fused_pairs_sql — bit-identical pair
+            # set, pytest-pinned) instead of ~70 per-batch
+            # DataFrame/Column py4j calls, killing the ~0.5 s/batch
+            # driver-side plan-construction tax (guide §1/§5).
+            # foreachBatch hands us a DataFrame bound to a CLONED
+            # session with its own temp-view catalog — register the
+            # views and submit the SQL through THAT session, or the
+            # statement can't resolve them
+            sp = batch.sparkSession
             bidx = build_dedup_index(batch, k=3).cache()
             # ONLY prior-batch signatures: retry/restart-safe read
             # derived from storage (see read_prior_index docstring)
-            index = read_prior_index(spark, idx, batch_id)
-            pairs = fused_pairs_with_index(bidx, index, threshold=0.8)
+            index = read_prior_index(sp, idx, batch_id)
+            bidx.createOrReplaceTempView("fss_ing_batch")
+            if index is not None:
+                index.createOrReplaceTempView("fss_ing_index")
+            pairs = fused_pairs_via_views(
+                sp,
+                "fss_ing_batch",
+                "fss_ing_index" if index is not None else None,
+                threshold=0.8,
+            )
             sink_fn(pairs, batch_id)
             # append AFTER emission: a doc never pairs with itself via
             # the index. The append lands in a per-batch_id partition

@@ -118,6 +118,12 @@ def write_replay_files(
     if stats_out is not None:
         stats_out["n_rows"] = n
         mx = pdf[order_col].iloc[-1] if n else None
+        # NaT guard (ADVICE r13): an all-null order column sorts NaT
+        # last, and a NaT sentinel would later feed a null timestamp
+        # literal — report None exactly like the empty-input case (a
+        # Spark max()-aggregate over all-null rows returns NULL too)
+        if mx is not None and mx != mx:  # NaN/NaT are not equal to themselves
+            mx = None
         # pandas Timestamp → plain datetime so downstream
         # createDataFrame/literal use sees exactly what a Spark
         # max()-aggregate row would have carried
