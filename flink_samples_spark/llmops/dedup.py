@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from flink_samples_spark.llmops.text import document_fingerprint
-from flink_samples_spark.utils import parallelize_narrow
+from flink_samples_spark.utils import parallelize_by_key, parallelize_narrow
 
 _LOG = logging.getLogger(__name__)
 
@@ -419,8 +419,12 @@ def minhash_lsh_pairs(
     """
     # cache the hashed-shingle arrays: they feed the banding stage AND
     # both sides of the verification join (per-doc array of longs —
-    # ~2 KB/doc; Spark recomputes gracefully on eviction)
-    hashed = parallelize_narrow(_shingle_hashes(docs, k)).cache()
+    # ~2 KB/doc; Spark recomputes gracefully on eviction). r14: hash-
+    # partitioned + sorted on doc_id BEFORE the cache, so each verify
+    # merge join reuses the cached layout instead of exchanging and
+    # sorting the sketch frame again (guide §2.4 — two O(corpus-
+    # sketch) exchanges removed per run; see parallelize_by_key)
+    hashed = parallelize_by_key(_shingle_hashes(docs, k), "doc_id").cache()
     bands = hashed.mapInPandas(
         _band_fn(signature), "doc_id bigint, band int, band_hash bigint"
     )
@@ -678,8 +682,11 @@ def minhash_lsh_pairs_cross(
     definition). Sides are tracked end-to-end, so A and B may even
     share doc_id values.
     """
-    ha = parallelize_narrow(_shingle_hashes(docs_a, k)).cache()
-    hb = parallelize_narrow(_shingle_hashes(docs_b, k)).cache()
+    # keyed like minhash_lsh_pairs' sketch cache (r14): the verify tail
+    # merge-joins ha on doc_a and hb on doc_b — partitioned + sorted on
+    # doc_id before the cache, both attaches reuse the layout
+    ha = parallelize_by_key(_shingle_hashes(docs_a, k), "doc_id").cache()
+    hb = parallelize_by_key(_shingle_hashes(docs_b, k), "doc_id").cache()
     schema = "doc_id bigint, band int, band_hash bigint"
     bands = ha.mapInPandas(_band_fn(signature), schema).withColumn(
         "side", F.lit(0)
@@ -1273,8 +1280,9 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b")
     )
     # cached: the verification join consumes this frame on BOTH sides
-    # (same contract as minhash_lsh_pairs' hashed cache)
-    hashed = parallelize_narrow(_shingle_hashes(docs, k)).cache()
+    # (same contract as minhash_lsh_pairs' hashed cache, keyed so the
+    # two merge attaches reuse the cached layout — r14)
+    hashed = parallelize_by_key(_shingle_hashes(docs, k), "doc_id").cache()
     return _verify_jaccard_pairs(hashed, within, threshold)
 
 
@@ -1770,7 +1778,7 @@ def dedup_against_index(
     (feed banding + verify, same contract as minhash_lsh_pairs);
     repeated per-micro-batch callers should ``clearCache()`` between
     batches, as q_stream_dedup_index does."""
-    hb = parallelize_narrow(_shingle_hashes(batch, k)).cache()
+    hb = parallelize_by_key(_shingle_hashes(batch, k), "doc_id").cache()
     schema = "doc_id bigint, band int, band_hash bigint"
     bands = _index_band_rows(index, side=0).unionByName(
         hb.mapInPandas(_band_fn(signature), schema).withColumn("side", F.lit(1))

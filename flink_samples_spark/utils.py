@@ -38,6 +38,30 @@ def parallelize_narrow(df: DataFrame) -> DataFrame:
     return df
 
 
+def parallelize_by_key(df: DataFrame, key: str) -> DataFrame:
+    """:func:`parallelize_narrow` for frames that downstream JOINS will
+    re-key on ``key`` (r14, guide §2.4): hash-partition on the key (at
+    least one partition per core — same width rule as
+    parallelize_narrow, never shrinking an already-parallel scan) and
+    sort within partitions, so every later sort-merge join on ``key``
+    REUSES the layout instead of exchanging + sorting the frame once
+    per consumer. The dedup sketch frames are the motivating case:
+    they are cached and then attached on doc_id by TWO merge joins in
+    the verify tail — under round-robin parallelization each join paid
+    a full exchange + sort of the multi-KB sketch rows; partitioned
+    and sorted once before the cache, both joins shuffle only the
+    16-byte candidate side (the InMemoryRelation forwards partitioning
+    and ordering through the aliasing projections). At 100 TB this
+    removes two O(corpus-sketch) exchanges per dedup run for one
+    up-front exchange the narrow form was already paying on narrow
+    inputs."""
+    spark = df.sparkSession
+    target = max(
+        spark.sparkContext.defaultParallelism, df.rdd.getNumPartitions()
+    )
+    return df.repartition(target, F.col(key)).sortWithinPartitions(key)
+
+
 def pin_plan_with_confs(df: DataFrame, confs: dict[str, str]) -> DataFrame:
     """Physically plan ``df`` under temporarily-set session confs,
     then restore the session. Spark memoizes a Dataset's
