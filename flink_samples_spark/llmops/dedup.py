@@ -1497,10 +1497,25 @@ def _index_band_rows(bidx: DataFrame, side: int | None = None) -> DataFrame:
     """(doc_id, band, band_hash) rows restored from an index frame's
     packed ``band_hashes`` array (:func:`build_dedup_index` output) —
     the exact rows the unpacked banding stage would produce, with
-    zero re-hashing (band id = 0-based array position)."""
-    out = bidx.select(
-        "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
-    ).select("doc_id", F.col("band").cast("int").alias("band"), "band_hash")
+    zero re-hashing (band id = 0-based array position).
+
+    Legacy compatibility (ADVICE r13): indexes persisted before the
+    r13 packed layout carry ``bands array<struct<band,band_hash>>``
+    instead — the documented contract is "sign the corpus once, reuse
+    forever", so those must keep reading. The struct explode yields
+    the identical rows. (The SQL ingestion fast path —
+    :func:`fused_grouped_sql` — assumes the packed layout; it is only
+    fed indexes the same streaming run just wrote.)"""
+    if "band_hashes" not in bidx.columns and "bands" in bidx.columns:
+        out = bidx.select("doc_id", F.explode("bands").alias("b")).select(
+            "doc_id",
+            F.col("b.band").cast("int").alias("band"),
+            F.col("b.band_hash").alias("band_hash"),
+        )
+    else:
+        out = bidx.select(
+            "doc_id", F.posexplode("band_hashes").alias("band", "band_hash")
+        ).select("doc_id", F.col("band").cast("int").alias("band"), "band_hash")
     return out.withColumn("side", F.lit(side)) if side is not None else out
 
 

@@ -1081,6 +1081,33 @@ def test_fused_pairs_sql_matches_dataframe_form(spark, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_index_band_rows_reads_legacy_struct_layout(spark, sf_dir):
+    """ADVICE r13: indexes persisted BEFORE the r13 packed layout carry
+    bands array<struct<band,band_hash>>; the documented index contract
+    is 'sign once, reuse forever', so _index_band_rows must keep
+    reading them — identical rows to the packed form."""
+    from pyspark.sql import functions as FF
+
+    from flink_samples_spark.llmops.dedup import (
+        _index_band_rows,
+        build_dedup_index,
+    )
+    from flink_samples_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    packed = build_dedup_index(docs, k=3)
+    legacy = packed.select(
+        "doc_id",
+        "shingle_hashes",
+        FF.expr(
+            "transform(band_hashes, (h, i) -> named_struct('band', i, 'band_hash', h))"
+        ).alias("bands"),
+    )
+    a = _index_band_rows(packed).collect()
+    b = _index_band_rows(legacy).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_fused_pairs_disjointness_misuse_is_detectable(spark):
     """fused_pairs_with_index / fused_pairs_sql REQUIRE doc_id-disjoint
     sides (VERDICT r13 'what's wrong' #3): overlapping ids resolve both
