@@ -26,7 +26,13 @@ own fields when a co-tenant inflates a timing:
 * **load gate**: the suite start is gated on the 15-minute loadavg
   (threshold $SPARK_GRAFT_BENCH_LOAD_GATE, default 8.0) with ONE
   bounded retry window (up to $SPARK_GRAFT_BENCH_LOAD_WAIT_S seconds,
-  default 900, polling every 30 s). A host that is demonstrably quiet
+  default 1500 — raised from 900 in r14 per the r13 verdict: the r13
+  driver record started on a window that degraded mid-suite, and the
+  gates' shared budget was too small to outwait it; the probe gate
+  additionally holds out for a data-probe ratio within
+  $SPARK_GRAFT_BENCH_DATA_PROBE_SOFT (default 1.25) while budget
+  remains, recording ``soft_miss`` when it settles for a hard-pass
+  window above that. Polling every 30 s). A host that is demonstrably quiet
   RIGHT NOW (1- and 5-min both under half the threshold) passes early
   even while a stale 15-min figure decays. The gate never aborts — on
   timeout it proceeds and says so in the JSON (``load_gate``).
@@ -309,10 +315,23 @@ def probe_preflight_gate(spark, budget_s: float | None = None) -> dict:
     data_threshold = float(
         os.environ.get("SPARK_GRAFT_BENCH_DATA_PROBE_GATE", "1.5")
     )
+    # SOFT data-probe target (r14, r13 verdict item 2: the r13 driver
+    # record started at d1.25× — under the 1.5 hard gate — and the
+    # window then degraded to ~1.9×, eating the round's raw signal).
+    # A hard-passing window whose data ratio still exceeds this target
+    # keeps waiting within the shared budget for a quieter one; on
+    # budget exhaustion it PROCEEDS (the gate never aborts) and the
+    # recorded d-ratio makes the compromise self-describing. 1.25, not
+    # 1.2: known-quiet pre-suite windows read up to 1.23× against the
+    # committed reference, so 1.2 would burn the whole budget on an
+    # idle host.
+    soft_target = float(
+        os.environ.get("SPARK_GRAFT_BENCH_DATA_PROBE_SOFT", "1.25")
+    )
     max_wait = (
         budget_s
         if budget_s is not None
-        else float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+        else float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "1500"))
     )
     ref_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -373,16 +392,32 @@ def probe_preflight_gate(spark, budget_s: float | None = None) -> dict:
             if k in DATA_PROBES and r > data_threshold
         }
         gate["data_threshold"] = data_threshold
+        gate["data_soft_target"] = soft_target
         if data_over:
             gate["data_probe_over"] = data_over
         else:
             gate.pop("data_probe_over", None)
-        if factor <= threshold and not data_over:
+        hard_pass = factor <= threshold and not data_over
+        data_soft_over = {
+            k: round(r, 3)
+            for k, r in ratios.items()
+            if k in DATA_PROBES and r > soft_target
+        }
+        if hard_pass and not data_soft_over:
             gate["result"] = "passed" if attempts == 1 else "passed_after_wait"
+            gate.pop("soft_miss", None)
             break
         elapsed = time.monotonic() - t0
         if elapsed >= max_wait:
-            gate["result"] = "timed_out"
+            if hard_pass:
+                # hard gate satisfied, soft data target never reached
+                # within budget: proceed (never abort) and say so
+                gate["result"] = (
+                    "passed" if attempts == 1 else "passed_after_wait"
+                )
+                gate["soft_miss"] = data_soft_over
+            else:
+                gate["result"] = "timed_out"
             break
         # clamp the sleep to the remaining shared budget, and re-check
         # it before spending another full probe round (tens of seconds
@@ -433,7 +468,7 @@ def wait_for_quiet_host() -> dict:
     item 1a). One bounded retry window; never aborts — a timed-out
     gate proceeds and records itself so the JSON is self-describing."""
     threshold = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_GATE", "8.0"))
-    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "1500"))
     gate: dict = {"threshold": threshold, "max_wait_s": max_wait}
     start = _loadavg()
     gate["loadavg_initial"] = start
@@ -469,7 +504,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     # shared wait budget across BOTH suite-start gates (the loadavg
     # gate spent first; the probe gate gets what remains)
-    total_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "900"))
+    total_wait = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT_S", "1500"))
     try:
         probe_gate = probe_preflight_gate(
             spark, budget_s=max(0.0, total_wait - load_gate.get("waited_s", 0.0))
