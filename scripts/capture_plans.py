@@ -23,8 +23,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 from flink_samples_spark.plans import QUERIES  # noqa: E402
 from flink_samples_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r13"
+OUT_DIR = os.environ.get(
+    "SPARK_GRAFT_PLANS_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "plans", "r14"),
 )
 
 
