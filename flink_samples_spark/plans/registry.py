@@ -64,93 +64,85 @@ ORACLES: dict[str, str] = {}
 # regression safety via tests/test_catalog.py (identical
 # row+schema+hash DuckDB comparison, catalog-wide).
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # Round-13 allocation (manifest after r12: 209 of 209 ever-green;
-    # latest-green histogram r8:21 r9:45 r10:44 r11:49 r12:50).  The
-    # r12 verdict's two window orders: (a) the NEW q_ring_roundtrip
-    # leads — the token-routed ring SINK becomes driver-checkable
-    # (verdict item 3; the read twin q_scan_ring went green r12);
-    # (b) the full 21-query r8-stale remainder enumerated as this
-    # round's backlog in the r12 comment below (verdict item 1).
-    # Then four sentinels for the families the cohort misses, each
-    # the OLDEST-green member of its family so the seat does
-    # staleness dual duty, plus the flagship canary.  The 24
-    # remaining seats burn down the 45-query r9 cohort, biased to
-    # the heavy tier-X corpus ops, real-streaming, joins, and the
-    # SQL-entry family (the 21 TPC-H-shape r9 stragglers listed at
-    # the bottom are round 14's backlog — homogeneous SQL shapes,
-    # the lowest-risk residue).  After this window lands, no query's
-    # latest green driver row is older than r9.  Registration grew
-    # by exactly ONE (q_ring_roundtrip, a verdict demand) to 210;
-    # rotated-out ever-green queries keep local regression safety
-    # via tests/test_catalog.py (identical row+schema+hash DuckDB
+    # Round-14 allocation (manifest after r13: 210 of 210 ever-green;
+    # latest-green histogram r9:21 r10:44 r11:46 r12:49 r13:50).
+    # Optimization-round priority #1 is certifying THIS round's diff:
+    # the seven queries whose physical plans the r14 changes touch
+    # (keyed sketch caches; the SQL ingestion fast path) lead the
+    # window so the driver's own oracle re-certifies exactly what
+    # changed.  Then the 21-query r9 backlog the r13 comment promised
+    # (the TPC-H-shape remainder), the flagship canary, and 21 seats
+    # burning down the r10 cohort biased to the heavy tier-X paths
+    # (multimodal decode family, corpus rewrites, streaming dedup,
+    # kmeans/int8 ANN).  After this window lands, no query's latest
+    # green driver row is older than r10 and the r10 cohort shrinks
+    # 44 → 23 (enumerated at the bottom as round 15's backlog).
+    # Rotated-out ever-green queries keep local regression safety via
+    # tests/test_catalog.py (identical row+schema+hash DuckDB
     # comparison, catalog-wide).
-    # ---- the new driver-checkable sink (verdict item 3) ----
-    "q_ring_roundtrip",         # token-routed ring sink write+readback
-    # ---- longest-stale rotation: last green r8 (full cohort, 21) ----
-    "q_fn_array",
-    "q_fn_date",
-    "q_fn_map",
-    "q_fn_math",
-    "q_fn_null",
-    "q_limit",
-    "q_multimodal_passthrough",
-    "q_pipeline_promo_share",   # TPC-H Q14 shape
-    "q_pipeline_returned_items",
-    "q_sample_hash",
-    "q_session_window_keyed",
-    "q_sim_topk_ivf",
-    "q_sim_topk_lsh",
-    "q_sliding_window",
-    "q_sort",
-    "q_stream_upsert",          # STRICT streaming upsert replay
-    "q_text_stats",
-    "q_udf_scalar",
-    "q_udtf",
-    "q_win_ntile",
-    "q_win_running_sum",
-    # ---- flagship canary + family sentinels (oldest green member
-    # ---- per family the cohort misses; staleness dual duty) ----
+    # ---- r14 changed-plan regression set (this round's diff) ----
+    "q_stream_dedup_index",     # SQL ingestion fast path (bench headliner)
+    "q_dedup_near",             # keyed sketch cache
+    "q_dedup_groups",
+    "q_dedup_apply",
+    "q_dedup_cross",
+    "q_dedup_simhash",
+    "q_dedup_incremental",
+    # ---- longest-stale rotation: last green r9 (full cohort, 21) ----
+    "q_agg_grouping_sets",
+    "q_agg_hll_sketch",
+    "q_agg_stats",
+    "q_cohort_retention",
+    "q_fn_string2",
+    "q_funnel",
+    "q_pipeline_custdist",      # TPC-H Q13 shape
+    "q_pipeline_disjunctive",   # Q19
+    "q_pipeline_excess_supp",   # Q20
+    "q_pipeline_idle_cust",     # Q22
+    "q_pipeline_large_orders",  # Q18
+    "q_pipeline_late_solo_supp",# Q21
+    "q_pipeline_market_share",  # Q8
+    "q_pipeline_min_cost_supp", # Q2
+    "q_pipeline_order_priority",# Q4
+    "q_pipeline_part_value",    # Q11
+    "q_pipeline_priority_lines",# Q12
+    "q_pipeline_small_qty",     # Q17
+    "q_pipeline_supp_diversity",# Q16
+    "q_pipeline_volume_shipping",# Q7
+    "q_win_distribution",
+    # ---- flagship canary ----
     "q_session_window",         # flagship; §2.9 batch windows (bench canary)
-    "q_filter",                 # §2.2 (r11)
-    "q_win_rank",               # §2.5 (r11)
-    "q_topk_per_group",         # §2.6 (r11)
-    # ---- r9-stale fills (24 of the remaining 45; family-coverage
-    # ---- picks first, then tier-X corpus ops, streaming, joins,
-    # ---- and the SQL-entry family) ----
-    "q_scan_parquet",           # §2.1 rep
-    "q_join_bloom",             # §2.3 rep
-    "q_agg_approx_distinct",    # §2.4 rep
-    "q_union_all",              # §2.7 rep
-    "q_stream_dedup_index",     # §2.9 STRICT streaming (bench headliner)
-    "q_apply_in_pandas",        # §2.10 rep
-    "q_sql_cte",                # SQL-entry rep
-    "q_tfidf",
-    "q_contamination",
-    "q_boilerplate",
-    "q_chunk_docs",
-    "q_mix_corpus",
-    "q_ngram_topk",
-    "q_pii_scan",
-    "q_split_corpus",
-    "q_corpus_report",
-    "q_dedup_latest",
-    "q_embed_assign",
-    "q_embed_quantize",
-    "q_join_asof_fwd",
-    "q_join_band",
-    "q_sql_correlated_exists",
-    "q_sql_recursive",
-    "q_ts_resample",
-    # Round-14 backlog (the r9 remainder, 21): q_agg_grouping_sets
-    # q_agg_hll_sketch q_agg_stats q_cohort_retention q_fn_string2
-    # q_funnel q_pipeline_custdist q_pipeline_disjunctive
-    # q_pipeline_excess_supp q_pipeline_idle_cust
-    # q_pipeline_large_orders q_pipeline_late_solo_supp
-    # q_pipeline_market_share q_pipeline_min_cost_supp
-    # q_pipeline_order_priority q_pipeline_part_value
-    # q_pipeline_priority_lines q_pipeline_small_qty
-    # q_pipeline_supp_diversity q_pipeline_volume_shipping
-    # q_win_distribution.
+    # ---- r10-stale fills (21 of the remaining 44; heavy tier-X
+    # ---- corpus ops, the whole multimodal decode family, streaming
+    # ---- dedup, clustering/ANN, SQL/temporal reps) ----
+    "q_multimodal_decode_gif",
+    "q_multimodal_decode_jpeg",
+    "q_multimodal_decode_mjpeg",
+    "q_multimodal_decode_rle",
+    "q_multimodal_decode_wav",
+    "q_multimodal_decode_y4m",
+    "q_lm_score",
+    "q_dedup_span",
+    "q_dedup_within",
+    "q_curation_v2",
+    "q_tokenize_vocab",
+    "q_training_pipeline",
+    "q_stream_dedup",
+    "q_embed_kmeans",
+    "q_sim_topk_int8",
+    "q_udf_arrow",
+    "q_scan_json",
+    "q_scd2",
+    "q_join_temporal",
+    "q_pivot",
+    "q_quality_score",
+    # Round-15 backlog (the r10 remainder, 23): q_agg_approx_quantile
+    # q_agg_bitmap_distinct q_agg_histogram q_budget_select
+    # q_data_quality q_fn_array2 q_fn_bitwise q_fn_date2 q_fn_regex
+    # q_fn_try q_fn_variant q_intersect_all q_join_asof_tol q_lang_id
+    # q_mix_temperature q_multimodal_features q_multimodal_framesample
+    # q_pii_redact q_quality_repetition q_sample_domain_cap
+    # q_sql_grouping_sets q_sql_scalar_subquery q_unpivot.
 )
 
 
